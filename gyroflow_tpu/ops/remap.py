@@ -1,0 +1,353 @@
+"""The fused per-pixel undistort/rotate/redistort remap — TPU compute path.
+
+This is the JAX/XLA implementation of the reference's single-source pixel kernel
+(semantics: stabilize_spirv/src/stabilize.rs:58-141 == cpu_undistort.rs:421-625 ==
+opencl_undistort.cl/wgpu_undistort.wgsl; see SURVEY.md §8.1 for the verified
+step list). One traced program per KernelConfig replaces the reference's three
+shader dialects + CPU fallback; whole frames are computed as one fused XLA
+program (coordinate math on the VPU, N-tap gathers for sampling).
+
+Every step below cites the reference source it mirrors. All math f32.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import distortion_models as dm
+from .interpolation import COEFFS, INTER_BITS, INTER_TAB_SIZE, INTERP_INFO
+from .kernel_params import (
+    ANY_UNDERWATER, FILL_WITH_BACKGROUND, FIX_COLOR_RANGE, FRAMEBUFFER_INVERTED,
+    HAS_DIGITAL_LENS, HAS_FPD_DATA, HAS_IBIS_DATA, HAS_MESH_DATA, HORIZONTAL_RS,
+    KernelConfig, KernelDynamics,
+)
+
+_COEFFS_J = jnp.asarray(COEFFS)
+
+
+def map_coord(x, in_min, in_max, out_min, out_max):
+    """Linear range remap (util.rs:144-147)."""
+    return (x - in_min) * (out_max - out_min) / (in_max - in_min) + out_min
+
+
+def _lens_params(cfg: KernelConfig, dyn: KernelDynamics) -> dm.LensParams:
+    return dm.LensParams(
+        k=dyn.k, digital_lens_params=dyn.digital_lens_params,
+        width=jnp.float32(cfg.width), height=jnp.float32(cfg.height),
+        output_width=jnp.float32(cfg.output_width), output_height=jnp.float32(cfg.output_height),
+    )
+
+
+def _forward_refraction(x, y, w, lrc):
+    """Underwater forward refraction scaling of w (cpu_undistort.rs:143-152)."""
+    do = (lrc != 1.0) & (lrc > 0.0) & (w != 0.0)
+    w_safe = jnp.where(w == 0.0, 1.0, w)
+    r = jnp.sqrt(x * x + y * y) / w_safe
+    sin_theta_d = (r / jnp.sqrt(1.0 + r * r)) * lrc
+    denom = jnp.sqrt(jnp.maximum(1.0 - sin_theta_d * sin_theta_d, 1e-12))
+    r_d = sin_theta_d / denom
+    scale = jnp.where((r_d != 0.0) & do, r / jnp.where(r_d == 0.0, 1.0, r_d), 1.0)
+    return w * scale
+
+
+def _inverse_refraction(pt, lrc):
+    """Inverse refraction applied after radial undistort (cpu_undistort.rs:448-456)."""
+    do = (lrc != 1.0) & (lrc > 0.0)
+    r = jnp.sqrt(jnp.sum(pt * pt, axis=-1))
+    nz = r != 0.0
+    r_safe = jnp.where(nz, r, 1.0)
+    sin_theta_d = (r_safe / jnp.sqrt(1.0 + r_safe * r_safe)) / lrc
+    denom = jnp.sqrt(jnp.maximum(1.0 - sin_theta_d * sin_theta_d, 1e-12))
+    r_d = sin_theta_d / denom
+    factor = jnp.where(do & nz, r_d / r_safe, 1.0)
+    return pt * factor[..., None]
+
+
+def rotate_and_distort(pos, idx, matrices, cfg: KernelConfig, dyn: KernelDynamics):
+    """Project one output-space point through row matrix idx into source uv.
+
+    Mirrors Stabilization::rotate_and_distort (cpu_undistort.rs:133-228):
+    3x3 row matrix; w<=0 and r_limit rejects; refraction; model distort;
+    focal scale; IBIS/OIS shift; digital lens; input stretch.
+    Returns (uv (...,2), valid (...,)).
+    """
+    model = dm.get_model(cfg.distortion_model)
+    digital = dm.get_model(cfg.digital_lens) if cfg.digital_lens else None
+    lp = _lens_params(cfg, dyn)
+
+    m = jnp.take(matrices, idx, axis=0)  # (...,14)
+    px, py = pos[..., 0], pos[..., 1]
+    _x = px * m[..., 0] + py * m[..., 1] + m[..., 2] + dyn.translation3d[0]
+    _y = px * m[..., 3] + py * m[..., 4] + m[..., 5] + dyn.translation3d[1]
+    _w = px * m[..., 6] + py * m[..., 7] + m[..., 8] + dyn.translation3d[2]
+
+    valid = _w > 0.0
+    r_limit_sq = dyn.r_limit * dyn.r_limit
+    valid = valid & ~((r_limit_sq > 0.0) & ((_x * _x + _y * _y) > r_limit_sq * _w))
+
+    if cfg.has(ANY_UNDERWATER):
+        _w = _forward_refraction(_x, _y, _w, dyn.light_refraction_coefficient)
+
+    w_safe = jnp.where(valid, _w, 1.0)
+    uv = model.distort(_x, _y, w_safe, lp)
+    uv = uv * dyn.f
+
+    # IBIS/OIS shift + rotation from matrix cols 9-13 (cpu_undistort.rs:157-165)
+    if cfg.has(HAS_IBIS_DATA):
+        any_is = (m[..., 9] != 0.0) | (m[..., 10] != 0.0) | (m[..., 11] != 0.0) | \
+                 (m[..., 12] != 0.0) | (m[..., 13] != 0.0)
+        ang = m[..., 11]
+        cos_a = jnp.cos(-ang)
+        sin_a = jnp.sin(-ang)
+        u2 = cos_a * uv[..., 0] - sin_a * uv[..., 1] - m[..., 9] + m[..., 12]
+        v2 = sin_a * uv[..., 0] + cos_a * uv[..., 1] - m[..., 10] + m[..., 13]
+        uv = jnp.where(any_is[..., None], jnp.stack([u2, v2], axis=-1), uv)
+
+    uv = uv + dyn.c
+
+    if cfg.has(HAS_MESH_DATA) or cfg.has(HAS_FPD_DATA):
+        raise NotImplementedError("Sony mesh/focal-plane correction lands with the IBIS milestone")
+
+    if cfg.has(HAS_DIGITAL_LENS) and digital is not None:
+        uv = digital.distort(uv[..., 0], uv[..., 1], jnp.ones_like(uv[..., 0]), lp)
+
+    sh = dyn.input_horizontal_stretch
+    sv = dyn.input_vertical_stretch
+    uv = jnp.stack([
+        jnp.where(sh > 0.001, uv[..., 0] / jnp.where(sh > 0.001, sh, 1.0), uv[..., 0]),
+        jnp.where(sv > 0.001, uv[..., 1] / jnp.where(sv > 0.001, sv, 1.0), uv[..., 1]),
+    ], axis=-1)
+    return uv, valid
+
+
+def _rotate_point(px, py, angle, origin, origin2):
+    """cpu_undistort.rs:262-265."""
+    ca, sa = math.cos(angle), math.sin(angle)
+    return (ca * (px - origin[0]) - sa * (py - origin[1]) + origin2[0],
+            sa * (px - origin[0]) + ca * (py - origin[1]) + origin2[1])
+
+
+def _rotated_frame_size(cfg: KernelConfig) -> Tuple[float, float]:
+    rotation = cfg.input_rotation * (math.pi / 180.0)
+    fx, fy = _rotate_point(float(cfg.width), float(cfg.height), rotation, (0.0, 0.0), (0.0, 0.0))
+    return (round(abs(fx)), round(abs(fy)))
+
+
+def undistort_coord(out_pos, matrices, cfg: KernelConfig, dyn: KernelDynamics,
+                    out_c, out_f):
+    """Output pixel -> source uv, before background-mode / sampling.
+
+    Mirrors undistort_coord (cpu_undistort.rs:421-517). Returns (uv, valid);
+    where invalid the caller paints background.
+    """
+    model = dm.get_model(cfg.distortion_model)
+    digital = dm.get_model(cfg.digital_lens) if cfg.digital_lens else None
+    lp = _lens_params(cfg, dyn)
+    orx, ory, orw, orh = cfg.out_rect
+
+    x = map_coord(out_pos[..., 0], float(orx), float(orx + orw), 0.0, float(cfg.output_width))
+    y = map_coord(out_pos[..., 1], float(ory), float(ory + orh), 0.0, float(cfg.output_height))
+    x = x + dyn.translation2d[0]
+    y = y + dyn.translation2d[1]
+
+    # ---- lens correction blend (cpu_undistort.rs:429-460) ----
+    if cfg.lens_correction:
+        nx, ny = x, y
+        if cfg.has(HAS_DIGITAL_LENS) and digital is not None:
+            # digital warp FOV-independently: un-zoom -> warp -> re-zoom
+            uzx = (nx - out_c[0]) * dyn.fov + out_c[0]
+            uzy = (ny - out_c[1]) * dyn.fov + out_c[1]
+            dpt, dvalid = digital.undistort(jnp.stack([uzx, uzy], axis=-1), lp)
+            nx = jnp.where(dvalid, (dpt[..., 0] - out_c[0]) / dyn.fov + out_c[0], nx)
+            ny = jnp.where(dvalid, (dpt[..., 1] - out_c[1]) / dyn.fov + out_c[1], ny)
+        nx = (nx - out_c[0]) / out_f[0]
+        ny = (ny - out_c[1]) / out_f[1]
+        upt, uvalid = model.undistort(jnp.stack([nx, ny], axis=-1), lp)
+        nx = jnp.where(uvalid, upt[..., 0], nx)
+        ny = jnp.where(uvalid, upt[..., 1], ny)
+        if cfg.has(ANY_UNDERWATER):
+            npt = _inverse_refraction(jnp.stack([nx, ny], axis=-1), dyn.light_refraction_coefficient)
+            nx, ny = npt[..., 0], npt[..., 1]
+        nx = nx * out_f[0] + out_c[0]
+        ny = ny * out_f[1] + out_c[1]
+        amount = dyn.lens_correction_amount
+        x = nx * (1.0 - amount) + x * amount
+        y = ny * (1.0 - amount) + y * amount
+
+    # ---- rolling shutter row select (cpu_undistort.rs:463-482) ----
+    matrix_count = matrices.shape[0]
+    horizontal_rs = cfg.has(HORIZONTAL_RS)
+    lim = cfg.width if horizontal_rs else cfg.height
+    axis = x if horizontal_rs else y
+    sy = jnp.clip(jnp.rint(axis).astype(jnp.int32), 0, lim)
+    if matrix_count > 1:
+        center = matrix_count // 2
+        probe_uv, probe_valid = rotate_and_distort(
+            jnp.stack([x, y], axis=-1), jnp.full(x.shape, center, jnp.int32),
+            matrices, cfg, dyn)
+        probe_axis = probe_uv[..., 0] if horizontal_rs else probe_uv[..., 1]
+        sy_probe = jnp.clip(jnp.rint(probe_axis).astype(jnp.int32), 0, lim)
+        sy = jnp.where(probe_valid, sy_probe, sy)
+    idx = jnp.minimum(sy, matrix_count - 1)
+
+    uv, valid = rotate_and_distort(jnp.stack([x, y], axis=-1), idx, matrices, cfg, dyn)
+    u, v = uv[..., 0], uv[..., 1]
+
+    # ---- input rotation (cpu_undistort.rs:485-491) ----
+    frame_w, frame_h = float(cfg.width), float(cfg.height)
+    if cfg.input_rotation != 0.0:
+        rotation = cfg.input_rotation * (math.pi / 180.0)
+        fw, fh = _rotated_frame_size(cfg)
+        u, v = _rotate_point(u, v, rotation, (frame_w / 2.0, frame_h / 2.0), (fw / 2.0, fh / 2.0))
+        frame_w, frame_h = fw, fh
+
+    # ---- background edge modes (cpu_undistort.rs:493-509) ----
+    if cfg.background_mode == 1:  # repeat (clamp 3px inside, matching CPU ref)
+        u = jnp.clip(u, 3.0, frame_w - 3.0)
+        v = jnp.clip(v, 3.0, frame_h - 3.0)
+    elif cfg.background_mode == 2:  # mirror
+        rx = jnp.rint(u)
+        ry = jnp.rint(v)
+        w3 = frame_w - 3.0
+        h3 = frame_h - 3.0
+        u = jnp.where(rx > w3, w3 - (rx - w3), u)
+        u = jnp.where(rx < 3.0, 3.0 + frame_w - (w3 + rx), u)
+        v = jnp.where(ry > h3, h3 - (ry - h3), v)
+        v = jnp.where(ry < 3.0, 3.0 + frame_h - (h3 + ry), v)
+
+    if cfg.background_mode != 3:
+        sx, sy_, sw, sh = cfg.src_rect
+        u = map_coord(u, 0.0, frame_w, float(sx), float(sx + sw))
+        v = map_coord(v, 0.0, frame_h, float(sy_), float(sy_ + sh))
+
+    return jnp.stack([u, v], axis=-1), valid
+
+
+def sample_input(img, uv, bg, cfg: KernelConfig, dyn: KernelDynamics):
+    """N-tap LUT-based separable sampling (cpu_undistort.rs:370-418).
+
+    img: (H, W, C) f32; uv: (...,2); bg: (C,). Out-of-source-rect taps read bg.
+    """
+    info = INTERP_INFO[cfg.interpolation]
+    taps, ind, shift, offset = info["taps"], info["ind"], info["shift"], info["offset"]
+    H, W, C = img.shape
+    flat = img.reshape(H * W, C)
+    srx, sry, srw, srh = cfg.src_rect
+
+    u = uv[..., 0] - offset
+    v = uv[..., 1] - offset
+    # guard non-finite coords (invalid lanes are masked by the caller)
+    u = jnp.where(jnp.isfinite(u), u, 0.0)
+    v = jnp.where(jnp.isfinite(v), v, 0.0)
+    u = jnp.clip(u, -32768.0, 32768.0)
+    v = jnp.clip(v, -32768.0, 32768.0)
+
+    sx0 = jnp.rint(u * INTER_TAB_SIZE).astype(jnp.int32)
+    sy0 = jnp.rint(v * INTER_TAB_SIZE).astype(jnp.int32)
+    sx = sx0 >> INTER_BITS
+    sy = sy0 >> INTER_BITS
+    base_x = ind + ((sx0 & (INTER_TAB_SIZE - 1)) << shift)
+    base_y = ind + ((sy0 & (INTER_TAB_SIZE - 1)) << shift)
+
+    coeffs_x = jnp.take(_COEFFS_J, base_x[..., None] + jnp.arange(taps), mode="clip")  # (...,taps)
+    coeffs_y = jnp.take(_COEFFS_J, base_y[..., None] + jnp.arange(taps), mode="clip")
+
+    total = jnp.zeros(u.shape + (C,), jnp.float32)
+    for yp in range(taps):
+        yy = sy + yp
+        row_ok = (yy >= sry) & (yy < sry + srh)
+        yy_c = jnp.clip(yy, 0, H - 1)
+        xsum = jnp.zeros(u.shape + (C,), jnp.float32)
+        for xp in range(taps):
+            xx = sx + xp
+            col_ok = (xx >= srx) & (xx < srx + srw)
+            xx_c = jnp.clip(xx, 0, W - 1)
+            px = jnp.take(flat, yy_c * W + xx_c, axis=0, mode="clip")
+            px = jnp.where((row_ok & col_ok)[..., None], px, bg)
+            xsum = xsum + px * coeffs_x[..., xp, None]
+        total = total + xsum * coeffs_y[..., yp, None]
+    return jnp.minimum(total, dyn.pixel_value_limit)
+
+
+def _remap_colorrange(px, is_y: bool):
+    """Full->limited range (cpu_undistort.rs:253-260)."""
+    px = px * (0.85882352 if is_y else 0.87843137)
+    bump = jnp.zeros(px.shape[-1], jnp.float32).at[:2].add(16.0)
+    return px + bump
+
+
+def remap_plane(img, matrices, cfg: KernelConfig, dyn: KernelDynamics):
+    """Remap one plane: (H, W, C) f32 -> (output_height, output_width, C) f32.
+
+    Mirrors undistort_image_cpu's per-pixel driver (cpu_undistort.rs:519-625),
+    vectorized over the whole output grid in one fused XLA program.
+    """
+    C = img.shape[-1]
+    bg_full = dyn.background * dyn.max_pixel_value  # (4,)
+    bg = bg_full[:C]
+
+    oh, ow = cfg.output_height, cfg.output_width
+    ys = jnp.arange(oh, dtype=jnp.float32)
+    xs = jnp.arange(ow, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    out_pos = jnp.stack([gx, gy], axis=-1)  # (oh, ow, 2)
+
+    if cfg.has(FILL_WITH_BACKGROUND):
+        # note: the reference writes bg_t directly, skipping fix_range (cpu_undistort.rs:558-561)
+        return jnp.broadcast_to(bg, (oh, ow, C)).astype(jnp.float32)
+
+    factor = jnp.maximum(1.0 - dyn.lens_correction_amount, 0.001)
+    out_c = (float(cfg.output_width) / 2.0, float(cfg.output_height) / 2.0)
+    out_f = (dyn.f[0] / dyn.fov / factor, dyn.f[1] / dyn.fov / factor)
+
+    uv, valid = undistort_coord(out_pos, matrices, cfg, dyn, out_c, out_f)
+
+    if cfg.background_mode == 3:
+        # margin with feather (cpu_undistort.rs:576-613)
+        fw, fh = float(cfg.width), float(cfg.height)
+        widthf, heightf = fw - 1.0, fh - 1.0
+        feather = jnp.maximum(dyn.background_margin_feather * heightf, 0.0001)
+        u, v = uv[..., 0], uv[..., 1]
+        near_edge = (u > widthf - feather) | (u < feather) | (v > heightf - feather) | (v < feather)
+        alpha = jnp.where(
+            near_edge,
+            jnp.clip(jnp.minimum(jnp.minimum(widthf - u, heightf - v), jnp.minimum(u, v)) / feather, 0.0, 1.0),
+            1.0)
+        pt2u = jnp.where(near_edge, ((u / fw - 0.5) * (1.0 - dyn.background_margin) + 0.5) * fw, u)
+        pt2v = jnp.where(near_edge, ((v / fh - 0.5) * (1.0 - dyn.background_margin) + 0.5) * fh, v)
+
+        frame_w, frame_h = (float(cfg.width), float(cfg.height)) if cfg.input_rotation == 0.0 \
+            else _rotated_frame_size(cfg)
+        srx, sry, srw, srh = cfg.src_rect
+        mu = map_coord(u, 0.0, frame_w, float(srx), float(srx + srw))
+        mv = map_coord(v, 0.0, frame_h, float(sry), float(sry + srh))
+        m2u = map_coord(pt2u, 0.0, frame_w, float(srx), float(srx + srw))
+        m2v = map_coord(pt2v, 0.0, frame_h, float(sry), float(sry + srh))
+
+        c1 = sample_input(img, jnp.stack([mu, mv], axis=-1), bg, cfg, dyn)
+        c2 = sample_input(img, jnp.stack([m2u, m2v], axis=-1), bg, cfg, dyn)
+        pixel = c1 * alpha[..., None] + c2 * (1.0 - alpha[..., None])
+    else:
+        pixel = sample_input(img, uv, bg, cfg, dyn)
+
+    pixel = jnp.where(valid[..., None], pixel, bg)
+
+    # pixels whose mapped out_pos is beyond the logical output get background
+    orx, ory, orw, orh = cfg.out_rect
+    lx = map_coord(out_pos[..., 0], float(orx), float(orx + orw), 0.0, float(cfg.output_width))
+    ly = map_coord(out_pos[..., 1], float(ory), float(ory + orh), 0.0, float(cfg.output_height))
+    in_bounds = (lx >= 0.0) & (ly >= 0.0) & (lx < cfg.output_width) & (ly < cfg.output_height)
+    pixel = jnp.where(in_bounds[..., None], pixel, bg)
+
+    if cfg.has(FIX_COLOR_RANGE):
+        pixel = _remap_colorrange(pixel, cfg.plane_index == 0)
+    return pixel
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def remap_plane_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics):
+    return remap_plane(img, matrices, cfg, dyn)

@@ -1,0 +1,218 @@
+"""Golden tests: JAX remap pipeline vs the scalar oracle (reference CPU semantics).
+
+Accuracy budget: <=0.5 px max remap deviation (BASELINE.json north star); we
+assert far tighter since both implement the same f32 math.
+"""
+import math
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import oracle
+from gyroflow_tpu.ops import remap
+from gyroflow_tpu.ops.kernel_params import (
+    ANY_UNDERWATER, FILL_WITH_BACKGROUND, FIX_COLOR_RANGE, HAS_DIGITAL_LENS,
+    HORIZONTAL_RS, KernelConfig, KernelDynamics,
+)
+
+W, H = 64, 48
+OW, OH = 64, 48
+
+
+def make_image(c=1, seed=0):
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:H, 0:W].astype(np.float32)
+    base = 40.0 + 120.0 * (x / W) + 60.0 * (y / H)
+    img = np.stack([base + 20.0 * np.sin(x / 3.0 + i) * np.cos(y / 4.0) for i in range(c)], axis=-1)
+    img += rng.normal(0, 2.0, img.shape)
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+def rot_matrix(rx, ry, rz):
+    cx, sx = math.cos(rx), math.sin(rx)
+    cy, sy = math.cos(ry), math.sin(ry)
+    cz, sz = math.cos(rz), math.sin(rz)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, 0 + cz, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
+def make_matrices(f, fov, rotations, ibis=None):
+    """Rows = inv(new_k @ R) like FrameTransform::at_timestamp (frame_transform.rs:296-307)."""
+    new_k = np.array([[f[0] / fov, 0, OW / 2.0], [0, f[1] / fov, OH / 2.0], [0, 0, 1.0]])
+    rows = []
+    for i, rot in enumerate(rotations):
+        r = rot_matrix(*rot)
+        # sign fixup, non-inverted framebuffer (frame_transform.rs:264-267)
+        r = r.copy()
+        r[0, 1] *= -1; r[0, 2] *= -1
+        r[1, 0] *= -1; r[2, 0] *= -1
+        i_r = np.linalg.pinv(new_k @ r)
+        row = list(i_r.flatten().astype(np.float32))
+        row += list(ibis[i]) if ibis is not None else [0.0] * 5
+        rows.append(row)
+    return np.asarray(rows, dtype=np.float32)
+
+
+BASE_K = [0.25, -0.07, 0.02, -0.003]
+
+
+def make_pair(flags=0, interpolation=2, background_mode=0, lens_correction_amount=1.0,
+              fov=0.9, rotations=None, digital_lens=None, digital_lens_params=None,
+              lrc=1.0, translation2d=(0.0, 0.0), background=(0.1, 0.5, 0.2, 1.0),
+              bg_margin=0.1, bg_feather=0.05, input_rotation=0.0, f=(55.0, 55.0)):
+    if rotations is None:
+        rotations = [(0.02, -0.03, 0.01)]
+    cfg = KernelConfig(
+        width=W, height=H, output_width=OW, output_height=OH,
+        interpolation=interpolation, background_mode=background_mode,
+        distortion_model="opencv_fisheye", digital_lens=digital_lens,
+        flags=flags | (HAS_DIGITAL_LENS if digital_lens else 0),
+        lens_correction=lens_correction_amount < 1.0,
+        input_rotation=input_rotation,
+    )
+    dyn = KernelDynamics.make(
+        f=f, c=(W / 2.0, H / 2.0), k=BASE_K, fov=fov,
+        lens_correction_amount=lens_correction_amount,
+        background=background, background_margin=bg_margin,
+        background_margin_feather=bg_feather, translation2d=translation2d,
+        digital_lens_params=digital_lens_params,
+        light_refraction_coefficient=lrc,
+    )
+    p = oracle.default_params(W, H, OW, OH)
+    p.update(
+        f=f, c=(W / 2.0, H / 2.0), k=BASE_K + [0.0] * 8, fov=fov,
+        interpolation=interpolation, background_mode=background_mode,
+        lens_correction_amount=lens_correction_amount,
+        background=background, background_margin=bg_margin,
+        background_margin_feather=bg_feather, translation2d=translation2d,
+        digital_lens=digital_lens,
+        digital_lens_params=(list(digital_lens_params) + [0.0] * 16)[:16] if digital_lens_params else [0.0] * 16,
+        light_refraction_coefficient=lrc, flags=cfg.flags, input_rotation=input_rotation,
+    )
+    matrices = make_matrices(f, fov, rotations)
+    return cfg, dyn, p, matrices
+
+
+def compare(cfg, dyn, p, matrices, img, px_tol=0.05, val_tol=0.75):
+    got = np.asarray(remap.remap_plane_jit(jnp.asarray(img), jnp.asarray(matrices), cfg, dyn))
+    want = oracle.undistort_image(img, p, matrices)
+    # pixel-value comparison (sampling differences amplify uv differences)
+    diff = np.abs(got - want)
+    assert diff.max() < max(val_tol, 255 * 0.02), f"pixel diff {diff.max()}"
+
+    # geometry comparison where both produce coords
+    factor = max(1.0 - p["lens_correction_amount"], 0.001)
+    out_c = (OW / 2.0, OH / 2.0)
+    out_f = (p["f"][0] / p["fov"] / factor, p["f"][1] / p["fov"] / factor)
+    want_uv = oracle.undistort_coord_map(p, matrices)
+    ys = jnp.arange(OH, dtype=jnp.float32)
+    xs = jnp.arange(OW, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    got_uv, got_valid = remap.undistort_coord(
+        jnp.stack([gx, gy], axis=-1), jnp.asarray(matrices), cfg, dyn,
+        (OW / 2.0, OH / 2.0), (jnp.float32(out_f[0]), jnp.float32(out_f[1])))
+    got_uv = np.asarray(got_uv)
+    got_valid = np.asarray(got_valid)
+    want_valid = ~np.isnan(want_uv[..., 0])
+    agree = got_valid == want_valid
+    assert agree.mean() > 0.999, f"validity disagreement {1-agree.mean():.4f}"
+    both = got_valid & want_valid
+    if both.any():
+        uv_err = np.abs(got_uv[both] - want_uv[both]).max()
+        assert uv_err < px_tol, f"uv deviation {uv_err}px (budget 0.5)"
+    return got, want
+
+
+class TestGoldenRemap:
+    def test_bilinear_global_rotation(self):
+        img = make_image()
+        compare(*make_pair(), img=img)
+
+    def test_bicubic(self):
+        img = make_image()
+        compare(*make_pair(interpolation=4), img=img)
+
+    def test_lanczos4(self):
+        img = make_image()
+        compare(*make_pair(interpolation=8), img=img)
+
+    def test_rgba(self):
+        img = make_image(c=4)
+        compare(*make_pair(), img=img)
+
+    def test_bg_repeat(self):
+        img = make_image()
+        compare(*make_pair(background_mode=1, fov=1.4), img=img)
+
+    def test_bg_mirror(self):
+        img = make_image()
+        compare(*make_pair(background_mode=2, fov=1.4), img=img)
+
+    def test_bg_margin_feather(self):
+        img = make_image()
+        compare(*make_pair(background_mode=3, fov=1.2), img=img)
+
+    def test_lens_correction_blend(self):
+        img = make_image()
+        compare(*make_pair(lens_correction_amount=0.5), img=img)
+
+    def test_rolling_shutter_per_row(self):
+        img = make_image()
+        rotations = [(0.02 + 0.0006 * i, -0.03 + 0.0004 * i, 0.01) for i in range(H)]
+        compare(*make_pair(rotations=rotations), img=img)
+
+    def test_rolling_shutter_horizontal(self):
+        img = make_image()
+        rotations = [(0.02, -0.03 + 0.0004 * i, 0.01 + 0.0002 * i) for i in range(W)]
+        compare(*make_pair(rotations=rotations, flags=HORIZONTAL_RS), img=img)
+
+    def test_underwater_refraction(self):
+        img = make_image()
+        compare(*make_pair(flags=ANY_UNDERWATER, lrc=1.33), img=img)
+
+    def test_refraction_with_lens_correction(self):
+        img = make_image()
+        compare(*make_pair(flags=ANY_UNDERWATER, lrc=1.33, lens_correction_amount=0.3), img=img)
+
+    def test_digital_stretch(self):
+        img = make_image()
+        compare(*make_pair(digital_lens="digital_stretch",
+                           digital_lens_params=[1.3333, 1.0]), img=img)
+
+    def test_digital_superview_with_lens_correction(self):
+        img = make_image()
+        compare(*make_pair(digital_lens="gopro_superview", lens_correction_amount=0.4), img=img)
+
+    def test_translation2d(self):
+        img = make_image()
+        compare(*make_pair(translation2d=(2.5, -1.75)), img=img)
+
+    def test_fill_with_background(self):
+        img = make_image()
+        cfg, dyn, p, matrices = make_pair(flags=FILL_WITH_BACKGROUND)
+        got = np.asarray(remap.remap_plane_jit(jnp.asarray(img), jnp.asarray(matrices), cfg, dyn))
+        want = oracle.undistort_image(img, p, matrices)
+        assert np.abs(got - want).max() < 1e-3
+
+    def test_fix_color_range(self):
+        img = make_image(c=1)
+        compare(*make_pair(flags=FIX_COLOR_RANGE), img=img)
+
+    def test_input_rotation(self):
+        img = make_image()
+        compare(*make_pair(input_rotation=90.0), img=img)
+
+    def test_r_limit(self):
+        img = make_image()
+        cfg, dyn, p, matrices = make_pair(fov=1.3)
+        dyn = dyn._replace(r_limit=jnp.float32(1.1))
+        p["r_limit"] = 1.1
+        compare(cfg, dyn, p, matrices, img=img)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
