@@ -208,9 +208,30 @@ def slerp_shortest(a: np.ndarray, b: np.ndarray, t) -> np.ndarray:
 
 
 def angle_of(q: np.ndarray) -> np.ndarray:
-    """Rotation angle (rad) of unit quaternion(s), in [0, pi]."""
-    w = np.abs(np.clip(q[..., 0], -1.0, 1.0))
-    return 2.0 * np.arccos(w)
+    """Rotation angle (rad) of unit quaternion(s), in [0, pi].
+
+    atan2 form, matching nalgebra's UnitQuaternion::angle."""
+    w = np.abs(q[..., 0])
+    n = np.linalg.norm(q[..., 1:], axis=-1)
+    return 2.0 * np.arctan2(n, w)
+
+
+def euler_angles(q: np.ndarray):
+    """(roll_x, pitch_y, yaw_z) such that R = Rz(yaw) @ Ry(pitch) @ Rx(roll).
+
+    Matches nalgebra's Rotation3::euler_angles (Slabaugh's method)."""
+    m = to_rotation_matrix(q)
+    m20 = np.clip(m[..., 2, 0], -1.0, 1.0)
+    gimbal = np.abs(m20) >= 1.0 - 1e-12
+    pitch = -np.arcsin(m20)
+    roll = np.arctan2(m[..., 2, 1], m[..., 2, 2])
+    yaw = np.arctan2(m[..., 1, 0], m[..., 0, 0])
+    # gimbal lock: nalgebra picks yaw = 0
+    roll_g = np.arctan2(-m[..., 1, 2], m[..., 1, 1])
+    roll = np.where(gimbal, roll_g, roll)
+    yaw = np.where(gimbal, 0.0, yaw)
+    pitch = np.where(gimbal, np.where(m20 < 0, np.pi / 2, -np.pi / 2), pitch)
+    return roll, pitch, yaw
 
 
 def angle_between(a: np.ndarray, b: np.ndarray) -> np.ndarray:

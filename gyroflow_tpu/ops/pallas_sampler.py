@@ -1,0 +1,332 @@
+"""Gather-free Pallas TPU sampling kernel for the remap.
+
+TPUs have no efficient arbitrary gather (measured: XLA gather ~10-20 ns/tap ->
+1.3 s/frame for 1080p lanczos4). This kernel removes gathers entirely:
+
+For each output tile (TH x TW pixels):
+  1. DMA a source window (Sr x Sc) from HBM into VMEM. The window origin is
+     data-dependent (computed host/XLA-side from the uv map's per-tile bbox)
+     and delivered via PrefetchScalarGridSpec scalar-prefetch arrays.
+  2. Build the separable tap-weight matrices arithmetically:
+       C[p, c] = sum_t wx_t(p) * [c == fx(p) + t] * colok_t(p)   (P x Sc)
+       R[p, r] = sum_t wy_t(p) * [r == fy(p) + t] * rowok_t(p)   (P x Sr)
+     using the same 32-phase fixed-point quantization as the reference LUTs
+     (cpu_undistort.rs:11-75) — weights are computed from the defining formulas
+     at the quantized phase, so values match the tables to f32 rounding.
+  3. colmix = C @ win^T on the MXU (each pixel's row-strip of column-mixed
+     values), then out[p] = sum_r R[p,r] * colmix[p,r] on the VPU.
+  4. Out-of-source-rect taps contribute background: since sum(w) == 1 per axis,
+     bg weight = 1 - rowsum_in(p) * colsum_in(p) (mask separability), matching
+     the reference's per-tap bg reads exactly.
+
+This turns a memory-latency-bound gather loop into MXU matmuls + VPU masks —
+the TPU-native formulation of texture sampling.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .interpolation import INTER_BITS, INTER_TAB_SIZE, INTERP_INFO
+
+LANE = 128
+SUBLANE = 8
+
+
+class SamplerSpec(NamedTuple):
+    """Static geometry of the sampling kernel (one compiled kernel per value)."""
+    height: int            # source plane H
+    width: int             # source plane W
+    out_height: int
+    out_width: int
+    interpolation: int     # 2 | 4 | 8
+    tile_h: int = 8
+    tile_w: int = 128
+    win_h: int = 64
+    win_w: int = 512
+    source_rect: tuple = None  # (x, y, w, h)
+
+    @classmethod
+    def create(cls, height, width, out_height, out_width, interpolation,
+               tile_h=8, tile_w=128, win_h=64, win_w=512, source_rect=None):
+        # plane dims padded to the f32 tile grid so aligned window origins can
+        # reach every edge; src_rect keeps the true extent (padding reads bg)
+        pheight = -(-height // SUBLANE) * SUBLANE
+        pwidth = -(-width // LANE) * LANE
+        win_h = min(-(-win_h // SUBLANE) * SUBLANE, pheight)
+        win_w = min(-(-win_w // LANE) * LANE, pwidth)
+        rect = source_rect or (0, 0, width, height)
+        return cls(pheight, pwidth, out_height, out_width, interpolation,
+                   tile_h, tile_w, win_h, win_w, rect)
+
+    @property
+    def taps(self) -> int:
+        return INTERP_INFO[self.interpolation]["taps"]
+
+    @property
+    def offset(self) -> float:
+        return INTERP_INFO[self.interpolation]["offset"]
+
+    @property
+    def grid(self):
+        return (pl.cdiv(self.out_height, self.tile_h), pl.cdiv(self.out_width, self.tile_w))
+
+    @property
+    def src_rect(self):
+        return self.source_rect or (0, 0, self.width, self.height)
+
+
+# ---------------------------------------------------------------------------
+# Tap weights at the quantized phase (exact LUT semantics, arithmetic form)
+# ---------------------------------------------------------------------------
+
+def _weights_bilinear(ph):
+    x = ph.astype(jnp.float32) * (1.0 / INTER_TAB_SIZE)
+    return [1.0 - x, x]
+
+
+def _weights_bicubic(ph):
+    A = -0.75
+    x = ph.astype(jnp.float32) * (1.0 / INTER_TAB_SIZE)
+    w0 = ((A * (x + 1) - 5 * A) * (x + 1) + 8 * A) * (x + 1) - 4 * A
+    w1 = ((A + 2) * x - (A + 3)) * x * x + 1
+    w2 = ((A + 2) * (1 - x) - (A + 3)) * (1 - x) * (1 - x) + 1
+    return [w0, w1, w2, 1.0 - w0 - w1 - w2]
+
+
+def _weights_lanczos4(ph):
+    s45 = 0.70710678118654752440084436210485
+    cs = [(1.0, 0.0), (-s45, -s45), (0.0, 1.0), (s45, -s45),
+          (-1.0, 0.0), (s45, s45), (0.0, -1.0), (-s45, s45)]
+    x = ph.astype(jnp.float32) * (1.0 / INTER_TAB_SIZE)
+    y0 = -(x + 3.0) * (math.pi * 0.25)
+    s0 = jnp.sin(y0)
+    c0 = jnp.cos(y0)
+    raw = []
+    for t in range(8):
+        y = -(x + 3.0 - t) * (math.pi * 0.25)
+        # x==0 & t==3 -> y==0; guarded by the phase-0 special case below
+        y2 = jnp.where(y == 0.0, 1.0, y * y)
+        raw.append((cs[t][0] * s0 + cs[t][1] * c0) / y2)
+    total = raw[0]
+    for t in range(1, 8):
+        total = total + raw[t]
+    inv = 1.0 / total
+    is_zero = ph == 0
+    out = []
+    for t in range(8):
+        special = jnp.float32(1.0 if t == 3 else 0.0)
+        out.append(jnp.where(is_zero, special, raw[t] * inv))
+    return out
+
+
+_WEIGHT_FNS = {2: _weights_bilinear, 4: _weights_bicubic, 8: _weights_lanczos4}
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _sampler_kernel(spec: SamplerSpec,
+                    y0_ref, x0_ref,            # scalar prefetch (ntiles,)
+                    img_ref,                   # ANY (HBM): (H, W)
+                    u_ref, v_ref,              # VMEM (1, P) — tile-flattened
+                    bg_ref,                    # SMEM (1, 1)
+                    out_ref,                   # VMEM (1, P)
+                    win_ref, sem):             # scratch: (Sr, Sc) + DMA sem
+    Sr, Sc = spec.win_h, spec.win_w
+    taps = spec.taps
+    P = spec.tile_h * spec.tile_w
+    srx, sry, srw, srh = spec.src_rect
+
+    t_idx = pl.program_id(0)
+    y0 = pl.multiple_of(y0_ref[t_idx], SUBLANE)   # host aligns origins
+    x0 = pl.multiple_of(x0_ref[t_idx], LANE)
+
+    copy = pltpu.make_async_copy(
+        img_ref.at[pl.ds(y0, Sr), pl.ds(x0, Sc)], win_ref, sem)
+    copy.start()
+
+    # per-pixel quantities live on the LANE axis as (1, P) rows — no reshapes,
+    # broadcasts against (Sc, P)/(Sr, P) iotas are layout-natural for Mosaic
+    u = u_ref[0] - spec.offset
+    v = v_ref[0] - spec.offset
+
+    sx0 = jnp.rint(u * INTER_TAB_SIZE).astype(jnp.int32)
+    sy0 = jnp.rint(v * INTER_TAB_SIZE).astype(jnp.int32)
+    fx = (sx0 >> INTER_BITS)          # absolute source col of tap 0, (1, P)
+    fy = (sy0 >> INTER_BITS)
+    phx = sx0 & (INTER_TAB_SIZE - 1)
+    phy = sy0 & (INTER_TAB_SIZE - 1)
+
+    wx = _WEIGHT_FNS[spec.interpolation](phx)  # taps x (1, P)
+    wy = _WEIGHT_FNS[spec.interpolation](phy)
+
+    fx_rel = fx - x0
+    fy_rel = fy - y0
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (Sc, P), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (Sr, P), 0)
+
+    C = jnp.zeros((Sc, P), jnp.float32)
+    csum = jnp.zeros((1, P), jnp.float32)
+    for t in range(taps):
+        ok = ((fx + t >= srx) & (fx + t < srx + srw)).astype(jnp.float32)
+        w = wx[t] * ok
+        C = C + jnp.where(col_ids == fx_rel + t, w, 0.0)
+        csum = csum + w
+
+    R = jnp.zeros((Sr, P), jnp.float32)
+    rsum = jnp.zeros((1, P), jnp.float32)
+    for t in range(taps):
+        ok = ((fy + t >= sry) & (fy + t < sry + srh)).astype(jnp.float32)
+        w = wy[t] * ok
+        R = R + jnp.where(row_ids == fy_rel + t, w, 0.0)
+        rsum = rsum + w
+
+    copy.wait()
+
+    # colmix[r, p] = sum_c win[r, c] * C[c, p]   (MXU)
+    colmix = jnp.dot(win_ref[:], C, preferred_element_type=jnp.float32)
+
+    sampled = jnp.sum(R * colmix, axis=0, keepdims=True)  # (1, P)
+    bg_weight = 1.0 - rsum * csum
+    out_ref[0] = sampled + bg_weight * bg_ref[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def _sample_call(spec: SamplerSpec, img, u_t, v_t, y0s, x0s, bg, interpret=False):
+    ntiles = u_t.shape[0]
+    P = spec.tile_h * spec.tile_w
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                 # img (HBM)
+            pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((spec.win_h, spec.win_w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_sampler_kernel, spec),
+        out_shape=jax.ShapeDtypeStruct((ntiles, 1, P), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(y0s, x0s, img, u_t.reshape(ntiles, 1, P), v_t.reshape(ntiles, 1, P), bg)
+
+
+def _tileize(spec: SamplerSpec, x):
+    """(OH', OW') -> (ntiles, P): row-major tiles, each flattened to one row."""
+    ny, nx = spec.grid
+    TH, TW = spec.tile_h, spec.tile_w
+    return (x.reshape(ny, TH, nx, TW)
+             .transpose(0, 2, 1, 3)
+             .reshape(ny * nx, TH * TW))
+
+
+def _untileize(spec: SamplerSpec, x):
+    ny, nx = spec.grid
+    TH, TW = spec.tile_h, spec.tile_w
+    return (x.reshape(ny, nx, TH, TW)
+             .transpose(0, 2, 1, 3)
+             .reshape(ny * TH, nx * TW))
+
+
+def _out_untileize(spec: SamplerSpec, x):
+    return _untileize(spec, x.reshape(x.shape[0], x.shape[-1]))
+
+
+# ---------------------------------------------------------------------------
+# Host/XLA-side window planning + public entry
+# ---------------------------------------------------------------------------
+
+def _pad_to(x, th, tw, fill=0.0):
+    oh, ow = x.shape
+    ph = (-oh) % th
+    pw = (-ow) % tw
+    if ph or pw:
+        x = jnp.pad(x, ((0, ph), (0, pw)), constant_values=fill)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def plan_windows(spec: SamplerSpec, u, v, valid):
+    """Per-tile window origins + overflow flag from the uv map (all on device).
+
+    u, v: (OH', OW') padded uv; valid: bool mask. Origins are lane-aligned.
+    """
+    TH, TW = spec.tile_h, spec.tile_w
+    ny, nx = spec.grid
+    taps = spec.taps
+
+    def tilewise(arr, fill):
+        a = jnp.where(valid, arr, fill)
+        return a.reshape(ny, TH, nx, TW)
+
+    big = jnp.float32(1e9)
+    umin = tilewise(u, big).min(axis=(1, 3))
+    umax = tilewise(u, -big).max(axis=(1, 3))
+    vmin = tilewise(v, big).min(axis=(1, 3))
+    vmax = tilewise(v, -big).max(axis=(1, 3))
+
+    any_valid = valid.reshape(ny, TH, nx, TW).any(axis=(1, 3))
+    umin = jnp.where(any_valid, umin, 0.0)
+    umax = jnp.where(any_valid, umax, 0.0)
+    vmin = jnp.where(any_valid, vmin, 0.0)
+    vmax = jnp.where(any_valid, vmax, 0.0)
+
+    off = spec.offset
+    x0 = (jnp.floor(umin - off).astype(jnp.int32) - 1) & ~(LANE - 1)
+    y0 = (jnp.floor(vmin - off).astype(jnp.int32) - 1) & ~(SUBLANE - 1)
+    x0 = jnp.clip(x0, 0, max(spec.width - spec.win_w, 0))
+    y0 = jnp.clip(y0, 0, max(spec.height - spec.win_h, 0))
+
+    # the farthest in-rect tap each tile needs
+    srx, sry, srw, srh = spec.src_rect
+    xlast = jnp.minimum(jnp.floor(umax - off).astype(jnp.int32) + taps, srx + srw - 1)
+    ylast = jnp.minimum(jnp.floor(vmax - off).astype(jnp.int32) + taps, sry + srh - 1)
+    xfirst = jnp.maximum(jnp.floor(umin - off).astype(jnp.int32), srx)
+    yfirst = jnp.maximum(jnp.floor(vmin - off).astype(jnp.int32), sry)
+    overflow = (((xlast - x0 >= spec.win_w) | (ylast - y0 >= spec.win_h)) &
+                (xlast >= xfirst) & (ylast >= yfirst) & any_valid)
+
+    return y0.reshape(-1), x0.reshape(-1), overflow.any()
+
+
+def sample_plane(spec: SamplerSpec, img, u, v, valid, bg_scalar):
+    """Sample one channel: img (H, W) f32, uv maps (OH, OW) -> (OH, OW) f32.
+
+    Returns (sampled, overflow). Out-of-rect taps and the caller's invalid
+    lanes are the caller's responsibility to blend with bg (invalid lanes) —
+    in-rect/out-of-rect tap weighting is handled here.
+    """
+    if img.shape != (spec.height, spec.width):
+        img = jnp.pad(img, ((0, spec.height - img.shape[0]),
+                            (0, spec.width - img.shape[1])))
+    up = _pad_to(u, spec.tile_h, spec.tile_w)
+    vp = _pad_to(v, spec.tile_h, spec.tile_w)
+    validp = _pad_to(valid.astype(jnp.float32), spec.tile_h, spec.tile_w) > 0.5
+    up = jnp.where(jnp.isfinite(up), up, 0.0)
+    vp = jnp.where(jnp.isfinite(vp), vp, 0.0)
+    up = jnp.clip(up, -32768.0, 32768.0)
+    vp = jnp.clip(vp, -32768.0, 32768.0)
+
+    y0s, x0s, overflow = plan_windows(spec, up, vp, validp)
+    bg = jnp.asarray(bg_scalar, jnp.float32).reshape(1, 1)
+    interpret = jax.default_backend() == "cpu"  # Mosaic is TPU-only; tests interpret
+    out_t = _sample_call(spec, img, _tileize(spec, up), _tileize(spec, vp),
+                         y0s, x0s, bg, interpret=interpret)
+    out = _out_untileize(spec, out_t)
+    return out[:spec.out_height, :spec.out_width], overflow

@@ -67,23 +67,20 @@ def _inverse_refraction(pt, lrc):
     return pt * factor[..., None]
 
 
-def rotate_and_distort(pos, idx, matrices, cfg: KernelConfig, dyn: KernelDynamics):
-    """Project one output-space point through row matrix idx into source uv.
+def rotate_and_distort_core(px, py, m, cfg: KernelConfig, dyn: KernelDynamics,
+                            lp: dm.LensParams):
+    """Shared tuple-based core of rotate_and_distort.
 
-    Mirrors Stabilization::rotate_and_distort (cpu_undistort.rs:133-228):
-    3x3 row matrix; w<=0 and r_limit rejects; refraction; model distort;
-    focal scale; IBIS/OIS shift; digital lens; input stretch.
-    Returns (uv (...,2), valid (...,)).
+    ``m`` is a length-14 sequence of broadcastable arrays/scalars (matrix row
+    elements) — from a per-pixel XLA gather, or from a one-hot matmul inside
+    the Pallas coords kernel. Returns (u, v, valid). Pallas-safe (2D only).
     """
     model = dm.get_model(cfg.distortion_model)
     digital = dm.get_model(cfg.digital_lens) if cfg.digital_lens else None
-    lp = _lens_params(cfg, dyn)
 
-    m = jnp.take(matrices, idx, axis=0)  # (...,14)
-    px, py = pos[..., 0], pos[..., 1]
-    _x = px * m[..., 0] + py * m[..., 1] + m[..., 2] + dyn.translation3d[0]
-    _y = px * m[..., 3] + py * m[..., 4] + m[..., 5] + dyn.translation3d[1]
-    _w = px * m[..., 6] + py * m[..., 7] + m[..., 8] + dyn.translation3d[2]
+    _x = px * m[0] + py * m[1] + m[2] + dyn.translation3d[0]
+    _y = px * m[3] + py * m[4] + m[5] + dyn.translation3d[1]
+    _w = px * m[6] + py * m[7] + m[8] + dyn.translation3d[2]
 
     valid = _w > 0.0
     r_limit_sq = dyn.r_limit * dyn.r_limit
@@ -93,35 +90,52 @@ def rotate_and_distort(pos, idx, matrices, cfg: KernelConfig, dyn: KernelDynamic
         _w = _forward_refraction(_x, _y, _w, dyn.light_refraction_coefficient)
 
     w_safe = jnp.where(valid, _w, 1.0)
-    uv = model.distort(_x, _y, w_safe, lp)
-    uv = uv * dyn.f
+    u, v = model.distort_xy(_x, _y, w_safe, lp)
+    u = u * dyn.f[0]
+    v = v * dyn.f[1]
 
     # IBIS/OIS shift + rotation from matrix cols 9-13 (cpu_undistort.rs:157-165)
     if cfg.has(HAS_IBIS_DATA):
-        any_is = (m[..., 9] != 0.0) | (m[..., 10] != 0.0) | (m[..., 11] != 0.0) | \
-                 (m[..., 12] != 0.0) | (m[..., 13] != 0.0)
-        ang = m[..., 11]
+        any_is = (m[9] != 0.0) | (m[10] != 0.0) | (m[11] != 0.0) | \
+                 (m[12] != 0.0) | (m[13] != 0.0)
+        ang = m[11]
         cos_a = jnp.cos(-ang)
         sin_a = jnp.sin(-ang)
-        u2 = cos_a * uv[..., 0] - sin_a * uv[..., 1] - m[..., 9] + m[..., 12]
-        v2 = sin_a * uv[..., 0] + cos_a * uv[..., 1] - m[..., 10] + m[..., 13]
-        uv = jnp.where(any_is[..., None], jnp.stack([u2, v2], axis=-1), uv)
+        u2 = cos_a * u - sin_a * v - m[9] + m[12]
+        v2 = sin_a * u + cos_a * v - m[10] + m[13]
+        u = jnp.where(any_is, u2, u)
+        v = jnp.where(any_is, v2, v)
 
-    uv = uv + dyn.c
+    u = u + dyn.c[0]
+    v = v + dyn.c[1]
 
     if cfg.has(HAS_MESH_DATA) or cfg.has(HAS_FPD_DATA):
         raise NotImplementedError("Sony mesh/focal-plane correction lands with the IBIS milestone")
 
     if cfg.has(HAS_DIGITAL_LENS) and digital is not None:
-        uv = digital.distort(uv[..., 0], uv[..., 1], jnp.ones_like(uv[..., 0]), lp)
+        u, v = digital.distort_xy(u, v, jnp.ones_like(u), lp)
 
     sh = dyn.input_horizontal_stretch
     sv = dyn.input_vertical_stretch
-    uv = jnp.stack([
-        jnp.where(sh > 0.001, uv[..., 0] / jnp.where(sh > 0.001, sh, 1.0), uv[..., 0]),
-        jnp.where(sv > 0.001, uv[..., 1] / jnp.where(sv > 0.001, sv, 1.0), uv[..., 1]),
-    ], axis=-1)
-    return uv, valid
+    u = jnp.where(sh > 0.001, u / jnp.where(sh > 0.001, sh, 1.0), u)
+    v = jnp.where(sv > 0.001, v / jnp.where(sv > 0.001, sv, 1.0), v)
+    return u, v, valid
+
+
+def rotate_and_distort(pos, idx, matrices, cfg: KernelConfig, dyn: KernelDynamics):
+    """Project output-space point(s) through row matrix idx into source uv.
+
+    Mirrors Stabilization::rotate_and_distort (cpu_undistort.rs:133-228).
+    Returns (uv (...,2), valid (...,)). XLA path (per-pixel matrix gather).
+    """
+    lp = _lens_params(cfg, dyn)
+    if matrices.shape[0] == 1:
+        m = [matrices[0, i] for i in range(14)]  # broadcast, no gather
+    else:
+        mg = jnp.take(matrices, idx, axis=0)  # (...,14)
+        m = [mg[..., i] for i in range(14)]
+    u, v, valid = rotate_and_distort_core(pos[..., 0], pos[..., 1], m, cfg, dyn, lp)
+    return jnp.stack([u, v], axis=-1), valid
 
 
 def _rotate_point(px, py, angle, origin, origin2):
@@ -137,13 +151,11 @@ def _rotated_frame_size(cfg: KernelConfig) -> Tuple[float, float]:
     return (round(abs(fx)), round(abs(fy)))
 
 
-def undistort_coord(out_pos, matrices, cfg: KernelConfig, dyn: KernelDynamics,
-                    out_c, out_f):
-    """Output pixel -> source uv, before background-mode / sampling.
-
-    Mirrors undistort_coord (cpu_undistort.rs:421-517). Returns (uv, valid);
-    where invalid the caller paints background.
-    """
+def coords_pre(out_pos, matrices, cfg: KernelConfig, dyn: KernelDynamics,
+               out_c, out_f):
+    """Stages of undistort_coord BEFORE the per-pixel matrix projection:
+    output-rect map, translation2d, lens-correction blend, RS row select.
+    Returns (x, y, idx)."""
     model = dm.get_model(cfg.distortion_model)
     digital = dm.get_model(cfg.digital_lens) if cfg.digital_lens else None
     lp = _lens_params(cfg, dyn)
@@ -193,10 +205,12 @@ def undistort_coord(out_pos, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         sy_probe = jnp.clip(jnp.rint(probe_axis).astype(jnp.int32), 0, lim)
         sy = jnp.where(probe_valid, sy_probe, sy)
     idx = jnp.minimum(sy, matrix_count - 1)
+    return x, y, idx
 
-    uv, valid = rotate_and_distort(jnp.stack([x, y], axis=-1), idx, matrices, cfg, dyn)
-    u, v = uv[..., 0], uv[..., 1]
 
+def coords_post(u, v, valid, cfg: KernelConfig):
+    """Stages AFTER the matrix projection: input rotation, edge background
+    modes, source-rect mapping (cpu_undistort.rs:485-516)."""
     # ---- input rotation (cpu_undistort.rs:485-491) ----
     frame_w, frame_h = float(cfg.width), float(cfg.height)
     if cfg.input_rotation != 0.0:
@@ -225,6 +239,18 @@ def undistort_coord(out_pos, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         v = map_coord(v, 0.0, frame_h, float(sy_), float(sy_ + sh))
 
     return jnp.stack([u, v], axis=-1), valid
+
+
+def undistort_coord(out_pos, matrices, cfg: KernelConfig, dyn: KernelDynamics,
+                    out_c, out_f):
+    """Output pixel -> source uv, before background-mode / sampling.
+
+    Mirrors undistort_coord (cpu_undistort.rs:421-517). Returns (uv, valid);
+    where invalid the caller paints background.
+    """
+    x, y, idx = coords_pre(out_pos, matrices, cfg, dyn, out_c, out_f)
+    uv, valid = rotate_and_distort(jnp.stack([x, y], axis=-1), idx, matrices, cfg, dyn)
+    return coords_post(uv[..., 0], uv[..., 1], valid, cfg)
 
 
 def sample_input(img, uv, bg, cfg: KernelConfig, dyn: KernelDynamics):
@@ -351,3 +377,117 @@ def remap_plane(img, matrices, cfg: KernelConfig, dyn: KernelDynamics):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def remap_plane_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics):
     return remap_plane(img, matrices, cfg, dyn)
+
+
+# ---------------------------------------------------------------------------
+# Pallas-accelerated path: XLA computes coords (measured ~0.2ms @1080p), the
+# gather-free Pallas kernel does the sampling (see pallas_sampler.py).
+# ---------------------------------------------------------------------------
+
+def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
+                       win_h: int = 64, win_w: int = 512):
+    """Drop-in replacement for remap_plane using the Pallas sampling kernel.
+
+    Returns (output, overflow) — overflow True means some tile's source bbox
+    exceeded the configured window (caller should retry with a larger window
+    or fall back to remap_plane).
+    """
+    from . import pallas_sampler as ps
+
+    C = img.shape[-1]
+    bg_full = dyn.background * dyn.max_pixel_value
+    bg = bg_full[:C]
+
+    oh, ow = cfg.output_height, cfg.output_width
+    if cfg.has(FILL_WITH_BACKGROUND):
+        return jnp.broadcast_to(bg, (oh, ow, C)).astype(jnp.float32), jnp.asarray(False)
+
+    ys = jnp.arange(oh, dtype=jnp.float32)
+    xs = jnp.arange(ow, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    out_pos = jnp.stack([gx, gy], axis=-1)
+
+    factor = jnp.maximum(1.0 - dyn.lens_correction_amount, 0.001)
+    out_c = (float(cfg.output_width) / 2.0, float(cfg.output_height) / 2.0)
+    out_f = (dyn.f[0] / dyn.fov / factor, dyn.f[1] / dyn.fov / factor)
+
+    coords_overflow = jnp.asarray(False)
+    if matrices.shape[0] > 1:
+        # RS path: per-pixel matrix projection in the Pallas coords kernel
+        from . import pallas_coords as pc
+        x, y, idx = coords_pre(out_pos, matrices, cfg, dyn, out_c, out_f)
+        tspec = ps.SamplerSpec.create(
+            height=img.shape[0], width=img.shape[1], out_height=oh, out_width=ow,
+            interpolation=cfg.interpolation)
+        ntile_shape = lambda a: ps._tileize(tspec, ps._pad_to(a, tspec.tile_h, tspec.tile_w))
+        P = tspec.tile_h * tspec.tile_w
+        x_t = ntile_shape(x).reshape(-1, 1, P)
+        y_t = ntile_shape(y).reshape(-1, 1, P)
+        idx_t = ntile_shape(idx).reshape(-1, 1, P)
+        u_t, v_t, valid_t, coords_overflow = pc.project_tiles(cfg, dyn, matrices, x_t, y_t, idx_t)
+        unt = lambda a: ps._out_untileize(tspec, a)[:oh, :ow]
+        u = unt(u_t)
+        v = unt(v_t)
+        valid = unt(valid_t) > 0.5
+        uv, valid = coords_post(u, v, valid, cfg)
+    else:
+        uv, valid = undistort_coord(out_pos, matrices, cfg, dyn, out_c, out_f)
+
+    spec = ps.SamplerSpec.create(
+        height=img.shape[0], width=img.shape[1], out_height=oh, out_width=ow,
+        interpolation=cfg.interpolation, win_h=win_h, win_w=win_w,
+        source_rect=cfg.src_rect)
+
+    def sample_all(uvq):
+        chans = []
+        overflow = jnp.asarray(False)
+        for ci in range(C):
+            s, ov = ps.sample_plane(spec, img[..., ci], uvq[..., 0], uvq[..., 1], valid, bg[ci])
+            chans.append(jnp.minimum(s, dyn.pixel_value_limit))
+            overflow = overflow | ov
+        return jnp.stack(chans, axis=-1), overflow
+
+    if cfg.background_mode == 3:
+        fw, fh = float(cfg.width), float(cfg.height)
+        widthf, heightf = fw - 1.0, fh - 1.0
+        feather = jnp.maximum(dyn.background_margin_feather * heightf, 0.0001)
+        u, v = uv[..., 0], uv[..., 1]
+        near_edge = (u > widthf - feather) | (u < feather) | (v > heightf - feather) | (v < feather)
+        alpha = jnp.where(
+            near_edge,
+            jnp.clip(jnp.minimum(jnp.minimum(widthf - u, heightf - v), jnp.minimum(u, v)) / feather, 0.0, 1.0),
+            1.0)
+        pt2u = jnp.where(near_edge, ((u / fw - 0.5) * (1.0 - dyn.background_margin) + 0.5) * fw, u)
+        pt2v = jnp.where(near_edge, ((v / fh - 0.5) * (1.0 - dyn.background_margin) + 0.5) * fh, v)
+        frame_w, frame_h = (float(cfg.width), float(cfg.height)) if cfg.input_rotation == 0.0 \
+            else _rotated_frame_size(cfg)
+        srx, sry, srw, srh = cfg.src_rect
+        m1 = jnp.stack([map_coord(u, 0.0, frame_w, float(srx), float(srx + srw)),
+                        map_coord(v, 0.0, frame_h, float(sry), float(sry + srh))], axis=-1)
+        m2 = jnp.stack([map_coord(pt2u, 0.0, frame_w, float(srx), float(srx + srw)),
+                        map_coord(pt2v, 0.0, frame_h, float(sry), float(sry + srh))], axis=-1)
+        c1, ov1 = sample_all(m1)
+        c2, ov2 = sample_all(m2)
+        pixel = c1 * alpha[..., None] + c2 * (1.0 - alpha[..., None])
+        overflow = ov1 | ov2 | coords_overflow
+    else:
+        pixel, overflow = sample_all(uv)
+        overflow = overflow | coords_overflow
+
+    pixel = jnp.where(valid[..., None], pixel, bg)
+
+    orx, ory, orw, orh = cfg.out_rect
+    lx = map_coord(out_pos[..., 0], float(orx), float(orx + orw), 0.0, float(cfg.output_width))
+    ly = map_coord(out_pos[..., 1], float(ory), float(ory + orh), 0.0, float(cfg.output_height))
+    in_bounds = (lx >= 0.0) & (ly >= 0.0) & (lx < cfg.output_width) & (ly < cfg.output_height)
+    pixel = jnp.where(in_bounds[..., None], pixel, bg)
+
+    if cfg.has(FIX_COLOR_RANGE):
+        pixel = _remap_colorrange(pixel, cfg.plane_index == 0)
+    return pixel, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "win_h", "win_w"))
+def remap_plane_pallas_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
+                           win_h: int = 64, win_w: int = 512):
+    return remap_plane_pallas(img, matrices, cfg, dyn, win_h, win_w)
