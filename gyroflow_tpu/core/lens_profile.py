@@ -1,0 +1,189 @@
+"""Lens calibration profile.
+
+Port of /root/reference/src/core/lens_profile.rs. The JSON schema is preserved
+verbatim so the reference's lens-profile database files load directly.
+"""
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class Dimensions:
+    w: int = 0
+    h: int = 0
+
+
+@dataclass
+class CameraParams:
+    """lens_profile.rs:21."""
+    RMS_error: float = 0.0
+    camera_matrix: List[List[float]] = field(default_factory=list)
+    distortion_coeffs: List[float] = field(default_factory=list)
+    radial_distortion_limit: Optional[float] = None
+
+
+@dataclass
+class LensProfile:
+    """lens_profile.rs:25-83 (field names match serde)."""
+    name: str = ""
+    note: str = ""
+    calibrated_by: str = ""
+    camera_brand: str = ""
+    camera_model: str = ""
+    lens_model: str = ""
+    camera_setting: str = ""
+    calib_dimension: Dimensions = field(default_factory=Dimensions)
+    orig_dimension: Dimensions = field(default_factory=Dimensions)
+    output_dimension: Optional[Dimensions] = None
+    frame_readout_time: Optional[float] = None
+    frame_readout_direction: Optional[object] = None
+    gyro_lpf: Optional[float] = None
+    input_horizontal_stretch: float = 0.0
+    input_vertical_stretch: float = 0.0
+    num_images: int = 0
+    fps: float = 0.0
+    crop: Optional[float] = None
+    official: bool = False
+    asymmetrical: bool = False
+    fisheye_params: CameraParams = field(default_factory=CameraParams)
+    identifier: str = ""
+    calibrator_version: str = ""
+    date: str = ""
+    compatible_settings: List[dict] = field(default_factory=list)
+    sync_settings: Optional[dict] = None
+    distortion_model: Optional[str] = None
+    digital_lens: Optional[str] = None
+    digital_lens_params: Optional[List[float]] = None
+    interpolations: Optional[dict] = None
+    focal_length: Optional[float] = None
+    crop_factor: Optional[float] = None
+    global_shutter: bool = False
+    path_to_file: str = ""
+    optimal_fov: Optional[float] = None
+    is_copy: bool = False
+    rating: Optional[float] = None
+    checksum: Optional[str] = None
+    _parsed_interpolations: Dict[int, "LensProfile"] = field(default_factory=dict, repr=False)
+
+    def init(self):
+        """lens_profile.rs:86-91: compute radial distortion limit."""
+        if self.fisheye_params.distortion_coeffs and self.distortion_model != "gopro":
+            from ..ops.distortion_models import get_model, radial_distortion_limit
+            model = get_model(self.distortion_model or "opencv_fisheye")
+            self.fisheye_params.radial_distortion_limit = \
+                radial_distortion_limit(model, self.get_distortion_coeffs())
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LensProfile":
+        p = cls()
+        for k, v in d.items():
+            if k in ("calib_dimension", "orig_dimension", "output_dimension") and isinstance(v, dict):
+                v = Dimensions(int(v.get("w", 0)), int(v.get("h", 0)))
+            elif k == "fisheye_params" and isinstance(v, dict):
+                v = CameraParams(
+                    RMS_error=float(v.get("RMS_error", 0.0)),
+                    camera_matrix=v.get("camera_matrix", []),
+                    distortion_coeffs=v.get("distortion_coeffs", []),
+                    radial_distortion_limit=v.get("radial_distortion_limit"))
+            if hasattr(p, k):
+                setattr(p, k, v)
+        p.init()
+        return p
+
+    @classmethod
+    def from_json(cls, text: str) -> "LensProfile":
+        return cls.from_dict(json.loads(text))
+
+    @classmethod
+    def load_from_file(cls, path: str) -> "LensProfile":
+        with open(path) as f:
+            p = cls.from_json(f.read())
+        p.official = True
+        p.path_to_file = path
+        return p
+
+    def to_dict(self) -> dict:
+        d = {}
+        for k in ("name", "note", "calibrated_by", "camera_brand", "camera_model",
+                  "lens_model", "camera_setting", "identifier", "calibrator_version",
+                  "date", "official", "asymmetrical", "input_horizontal_stretch",
+                  "input_vertical_stretch", "num_images", "fps", "crop",
+                  "frame_readout_time", "gyro_lpf", "distortion_model", "digital_lens",
+                  "digital_lens_params", "focal_length", "crop_factor", "global_shutter",
+                  "sync_settings", "compatible_settings"):
+            v = getattr(self, k)
+            if v not in (None, "", [], {}):
+                d[k] = v
+        d["calib_dimension"] = {"w": self.calib_dimension.w, "h": self.calib_dimension.h}
+        d["orig_dimension"] = {"w": self.orig_dimension.w, "h": self.orig_dimension.h}
+        d["fisheye_params"] = {
+            "RMS_error": self.fisheye_params.RMS_error,
+            "camera_matrix": self.fisheye_params.camera_matrix,
+            "distortion_coeffs": self.fisheye_params.distortion_coeffs,
+            "radial_distortion_limit": self.fisheye_params.radial_distortion_limit,
+        }
+        return d
+
+    # ---- geometry ----------------------------------------------------------
+
+    def get_camera_matrix_internal(self, invert_h: bool) -> Optional[np.ndarray]:
+        """lens_profile.rs:268-288."""
+        if len(self.fisheye_params.camera_matrix) != 3:
+            return None
+        mat = np.asarray(self.fisheye_params.camera_matrix, dtype=np.float64).copy()
+        if not self.asymmetrical:
+            mat[0, 2] = self.calib_dimension.w / 2.0
+            mat[1, 2] = self.calib_dimension.h / 2.0
+        elif invert_h:
+            mat[1, 2] = self.calib_dimension.h - mat[1, 2]
+        if self.crop:
+            mat[0, 0] /= self.crop
+            mat[1, 1] /= self.crop
+        return mat
+
+    def get_camera_matrix(self, size, invert_h: bool = False) -> np.ndarray:
+        """lens_profile.rs:289-308 (default: f = 0.8*w centered)."""
+        mat = self.get_camera_matrix_internal(invert_h)
+        if mat is not None:
+            return mat
+        out = np.eye(3)
+        out[0, 0] = size[0] * 0.8
+        out[1, 1] = size[0] * 0.8
+        out[0, 2] = size[0] / 2.0
+        out[1, 2] = size[1] / 2.0
+        return out
+
+    def get_distortion_coeffs(self) -> np.ndarray:
+        out = np.zeros(12)
+        for i, x in enumerate(self.fisheye_params.distortion_coeffs[:12]):
+            out[i] = x
+        return out
+
+    def get_aspect_ratio(self) -> float:
+        if self.calib_dimension.h == 0:
+            return 0.0
+        return self.calib_dimension.w / self.calib_dimension.h
+
+    def is_valid(self) -> bool:
+        return (len(self.fisheye_params.camera_matrix) == 3 and
+                self.calib_dimension.w > 0 and self.calib_dimension.h > 0)
+
+    def get_interpolated_lens_at(self, position: float) -> "LensProfile":
+        """Per-focal-length interpolation (lens_profile.rs). Falls back to self
+        until the profile-database interpolation chain lands."""
+        if not self._parsed_interpolations:
+            return self
+        keys = sorted(self._parsed_interpolations)
+        key = int(round(position))
+        best = min(keys, key=lambda k: abs(k - key))
+        return self._parsed_interpolations[best]
+
+    def set_from_telemetry(self, lens_data: dict):
+        """Apply a telemetry-embedded profile (Sony etc.)."""
+        self.__dict__.update(LensProfile.from_dict(lens_data).__dict__)

@@ -1,0 +1,32 @@
+"""Telemetry ingestion front-end.
+
+The reference delegates to the external `telemetry-parser` crate
+(src/core/Cargo.toml:14) for ~40 camera formats. We implement parsers natively,
+starting with the documented open formats; MP4-embedded formats (GPMF etc.)
+follow. Entry point mirrors GyroSource::parse_telemetry_file
+(gyro_source/mod.rs:110).
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+from ..file_metadata import FileMetadata
+from .gcsv import parse_gcsv
+
+
+class TelemetryError(Exception):
+    pass
+
+
+def parse_telemetry_file(path: str, options: Optional[dict] = None,
+                         size=(0, 0), fps: float = 0.0,
+                         progress_cb: Optional[Callable[[float], None]] = None) -> FileMetadata:
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".gcsv", ".csv"):
+        return parse_gcsv(path, progress_cb=progress_cb)
+    if ext in (".bbl", ".bfl", ".txt"):
+        from .blackbox_csv import parse_blackbox_csv
+        return parse_blackbox_csv(path, progress_cb=progress_cb)
+    raise TelemetryError(f"Unsupported telemetry format: {ext} "
+                         f"(supported: .gcsv, .csv, betaflight blackbox csv)")
