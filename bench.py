@@ -1,0 +1,100 @@
+"""Benchmark: 4K60 10-bit stabilized frames/sec/chip.
+
+BASELINE.json north star: stabilize 4K 10-bit footage (YUV420: 3840x2160 luma +
+2x 1920x1080 chroma) with per-row rolling-shutter correction, fisheye lens
+model and lanczos4 resampling, at >= 2x the reference GPU path on one v5e chip.
+The reference publishes no numbers (BASELINE.md), so `vs_baseline` reports the
+multiple of 4K60 real-time (value / 60).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}.
+"""
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def make_matrices(W, H, f, fov, n_rows):
+    def rotm(rx, ry, rz):
+        cx, sx, cy, sy, cz, sz = (math.cos(rx), math.sin(rx), math.cos(ry),
+                                  math.sin(ry), math.cos(rz), math.sin(rz))
+        Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+        return Rz @ Ry @ Rx
+
+    new_k = np.array([[f[0] / fov, 0, W / 2], [0, f[1] / fov, H / 2], [0, 0, 1.0]])
+    rows = []
+    for i in range(n_rows):
+        r = rotm(0.012 + 1.5e-5 * i, -0.018, 0.006)
+        r[0, 1] *= -1; r[0, 2] *= -1; r[1, 0] *= -1; r[2, 0] *= -1
+        rows.append(list(np.linalg.pinv(new_k @ r).flatten()) + [0.0] * 5)
+    return np.asarray(rows, np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gyroflow_tpu.ops import remap
+    from gyroflow_tpu.ops.kernel_params import FIX_COLOR_RANGE, KernelConfig, KernelDynamics
+
+    rng = np.random.default_rng(0)
+
+    # 4K 10-bit YUV420 planes (values 0..1023 as f32, limited-range remap on)
+    planes = []
+    for (W, H, plane_index, kchan) in ((3840, 2160, 0, 1), (1920, 1080, 1, 2)):
+        f = (W * 0.62, W * 0.62)
+        fov = 0.92
+        cfg = KernelConfig(
+            width=W, height=H, output_width=W, output_height=H,
+            interpolation=8, distortion_model="opencv_fisheye",
+            plane_index=plane_index, flags=FIX_COLOR_RANGE)
+        dyn = KernelDynamics.make(
+            f=f, c=(W / 2, H / 2), k=[0.25, -0.07, 0.02, -0.003], fov=fov,
+            max_pixel_value=1023.0, pixel_value_limit=1023.0,
+            background=(0, 0, 0, 1))
+        img = jnp.asarray(rng.uniform(0, 1023, (H, W, kchan)).astype(np.float32))
+        mats = jnp.asarray(make_matrices(W, H, f, fov, H))
+        planes.append((cfg, dyn, img, mats))
+
+    @jax.jit
+    def run_frame(y, yl, uv, uvm, salt):
+        cfg0, dyn0 = planes[0][0], planes[0][1]
+        cfg1, dyn1 = planes[1][0], planes[1][1]
+        out_y, _ = remap.remap_plane_pallas(y + salt, yl, cfg0, dyn0)
+        out_uv, _ = remap.remap_plane_pallas(uv + salt, uvm, cfg1, dyn1)
+        return jnp.sum(out_y) + jnp.sum(out_uv) + salt
+
+    y_img, y_mats = planes[0][2], planes[0][3]
+    uv_img, uv_mats = planes[1][2], planes[1][3]
+
+    # warm up / compile
+    v = float(run_frame(y_img, y_mats, uv_img, uv_mats, jnp.float32(0.0)))
+    assert math.isfinite(v)
+
+    best = None
+    B = 24
+    for _ in range(3):
+        t0 = time.time()
+        outs = [run_frame(y_img, y_mats, uv_img, uv_mats, jnp.float32(i * 1e-6))
+                for i in range(B)]
+        float(outs[-1])  # in-order device queue: last done => all done
+        dt = (time.time() - t0) / B
+        best = dt if best is None else min(best, dt)
+
+    fps = 1.0 / best
+    print(json.dumps({
+        "metric": "4K60 10-bit YUV420 stabilized frames/sec/chip (lanczos4, per-row RS, fisheye)",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
