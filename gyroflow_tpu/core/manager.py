@@ -1,0 +1,314 @@
+"""StabilizationManager — the public facade.
+
+Port of /root/reference/src/core/lib.rs:82+ re-designed for a functional
+engine: the reference's Arc<RwLock> fields + checksum invalidation + threaded
+recompute collapse into plain members + explicit recompute methods (XLA's
+compile cache replaces the pipeline LRU; a generation counter supports async
+cancellation at a higher layer).
+"""
+from __future__ import annotations
+
+import logging
+import math
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .gyro_source import GyroSource
+from .keyframes import KeyframeManager, KeyframeType
+from .lens_profile import LensProfile
+from .params import BackgroundMode, ComputeParams, ReadoutDirection, StabilizationParams, timestamp_at_frame
+from .smoothing import Smoothing
+from .zooming import ZoomMethod, calculate_fovs
+
+log = logging.getLogger(__name__)
+
+
+class StabilizationManager:
+    def __init__(self):
+        self.gyro = GyroSource()
+        self.lens = LensProfile()
+        self.smoothing = Smoothing()
+        self.params = StabilizationParams()
+        self.keyframes = KeyframeManager()
+        self.input_file: Optional[str] = None
+        self._compute_params: Optional[ComputeParams] = None
+        self._stab_cache: Dict[int, object] = {}     # ts_us -> FrameTransform
+        self.current_compute_id = 0
+
+    # ---- loading (lib.rs:155-354, 1909-1976) -------------------------------
+
+    def init_from_video_data(self, duration_ms: float, fps: float, frame_count: int,
+                             video_size: Tuple[int, int]):
+        """lib.rs:155-170."""
+        self.params.fps = fps
+        self.params.frame_count = frame_count
+        self.params.duration_ms = duration_ms
+        self.params.size = video_size
+        if not self.params.output_size or self.params.output_size == (0, 0):
+            self.params.output_size = video_size
+        self.gyro.init_from_params(self.params)
+        if duration_ms < 10000.0:
+            self.gyro.integration_method = 1  # Complementary for short videos (lib.rs:163)
+
+    def load_gyro_data(self, path: str, progress_cb=None):
+        """lib.rs:172-269 (front-end subset; per-camera quirks grow with parsers)."""
+        from .telemetry import parse_telemetry_file
+        fm = parse_telemetry_file(path, size=self.params.size, fps=self.params.fps,
+                                  progress_cb=progress_cb)
+        if fm.imu_orientation:
+            self.gyro.imu_transforms.imu_orientation = fm.imu_orientation
+        if fm.frame_readout_time is not None and self.params.frame_readout_time == 0.0:
+            self.params.frame_readout_time = fm.frame_readout_time
+        if self.params.duration_ms <= 0.0 and fm.raw_imu:
+            self.params.duration_ms = fm.raw_imu[-1].timestamp_ms
+            self.params.fps = self.params.fps or 30.0
+            self.params.frame_count = int(self.params.duration_ms / 1000.0 * self.params.fps)
+        self.gyro.duration_ms = self.params.get_scaled_duration_ms() or self.gyro.duration_ms
+        self.gyro.file_url = path
+        self.gyro.load_from_telemetry(fm)
+        self.keyframes.update_gyro(self.gyro)
+        self.invalidate()
+
+    def load_lens_profile(self, path_or_json: str):
+        """lib.rs:356-368."""
+        if path_or_json.strip().startswith("{"):
+            self.lens = LensProfile.from_json(path_or_json)
+        else:
+            self.lens = LensProfile.load_from_file(path_or_json)
+        self.invalidate()
+
+    def set_size(self, w: int, h: int):
+        self.params.size = (w, h)
+        self.invalidate()
+
+    def set_output_size(self, w: int, h: int):
+        self.params.output_size = (w, h)
+        self.invalidate()
+
+    # ---- params ------------------------------------------------------------
+
+    def set_smoothing_method(self, idx: int):
+        self.smoothing.set_current(idx)
+        self.invalidate()
+
+    def set_smoothing_param(self, name: str, val: float):
+        self.smoothing.current.set_parameter(name, val)
+        self.invalidate()
+
+    def set_horizon_lock(self, lock_percent: float, roll: float, **kw):
+        self.smoothing.horizon_lock.set_horizon(lock_percent, roll, **kw)
+        self.invalidate()
+
+    def set_imu_lpf(self, lpf: float):
+        self.gyro.imu_transforms.imu_lpf = lpf
+        self.gyro.apply_transforms()
+        self.invalidate()
+
+    def set_imu_median_filter(self, size: int):
+        self.gyro.imu_transforms.imu_mf = size
+        self.gyro.apply_transforms()
+        self.invalidate()
+
+    def set_imu_orientation(self, orientation: str):
+        self.gyro.imu_transforms.imu_orientation = orientation
+        self.gyro.apply_transforms()
+        self.invalidate()
+
+    def set_imu_rotation(self, pitch: float, roll: float, yaw: float):
+        self.gyro.imu_transforms.set_imu_rotation(pitch, roll, yaw)
+        self.gyro.apply_transforms()
+        self.invalidate()
+
+    def set_imu_bias(self, bx: float, by: float, bz: float):
+        self.gyro.imu_transforms.gyro_bias = [bx, by, bz]
+        self.gyro.apply_transforms()
+        self.invalidate()
+
+    def set_integration_method(self, method: int):
+        self.gyro.integration_method = method
+        self.gyro.integrate()
+        self.invalidate()
+
+    def set_sync_offset(self, timestamp_us: int, offset_ms: float):
+        self.gyro.set_offset(timestamp_us, offset_ms)
+        self.keyframes.update_gyro(self.gyro)
+        self.invalidate()
+
+    def set_trim_ranges(self, ranges):
+        self.params.trim_ranges = list(ranges)
+        self.invalidate()
+
+    def set_keyframe(self, typ: KeyframeType, timestamp_us: int, value: float):
+        self.keyframes.set(typ, timestamp_us, value)
+        self.invalidate()
+
+    def invalidate(self):
+        self._compute_params = None
+        self._stab_cache.clear()
+        self.current_compute_id += 1
+
+    # ---- recompute (lib.rs:515-640) ----------------------------------------
+
+    def recompute_smoothness(self):
+        params = ComputeParams.from_manager(self)
+        params.calculate_camera_fovs()
+        quats, max_angles = self.gyro.recompute_smoothness(
+            self.smoothing.current, self.smoothing.horizon_lock, params)
+        self.gyro.smoothed_quaternions = quats
+        self.gyro.max_angles = max_angles
+
+    def _apply_focal_length_smoothing(self, params: ComputeParams):
+        if not params.focal_length_smoothing_enabled:
+            return
+        from .focal_length_smoothing import apply_focal_length_smoothing
+        apply_focal_length_smoothing(params, self.params)
+
+    def recompute_adaptive_zoom(self):
+        """lib.rs:524-605 incl. the max-zoom iteration loop."""
+        params = ComputeParams.from_manager(self)
+        params.calculate_camera_fovs()
+        self._apply_focal_length_smoothing(params)
+
+        lens_fov_adjustment = self.lens.optimal_fov or 1.0
+        fovs, minimal_fovs, _dbg = self._zoom_static(params)
+        params.fovs = fovs
+        params.minimal_fovs = minimal_fovs
+        self.params.set_fovs(list(fovs), lens_fov_adjustment)
+        self.params.minimal_fovs = list(minimal_fovs)
+
+        max_zoom_param = self.params.max_zoom or 0.0
+        kfs = self.keyframes.keyframes.get(KeyframeType.MaxZoom)
+        max_zoom_max = max((kf.value for kf in kfs.values()), default=max_zoom_param) \
+            if kfs else max_zoom_param
+        max_zoom_iters = self.params.max_zoom_iterations
+        scaling_factor = self.params.size[0] / max(self.params.output_size[0], 1)
+
+        if max_zoom_max > 50.0 and max_zoom_iters > 0:
+            params.smoothing_fov_limit_per_frame = [1.0] * len(params.fovs)
+            thresholds = [0.95, 0.9, 0.85, 0.8]
+            for it in range(max_zoom_iters):
+                any_above = False
+                for i, fov in enumerate(params.fovs):
+                    ts = timestamp_at_frame(i, params.scaled_fps)
+                    zl = params.keyframes.value_at_video_timestamp(KeyframeType.MaxZoom, ts)
+                    zoom_limit = (max_zoom_param if zl is None else zl) / 100.0
+                    if params.video_speed_affects_zooming_limit and \
+                            (params.video_speed != 1.0 or
+                             params.keyframes.is_keyframed(KeyframeType.VideoSpeed)):
+                        vs = params.keyframes.value_at_video_timestamp(KeyframeType.VideoSpeed, ts)
+                        vs = abs(params.video_speed if vs is None else vs)
+                        zoom_limit *= min(1.0 + (vs - 1.0) / 4.0, 1.8)
+                    fov_limit = 1.0 / (zoom_limit * scaling_factor)
+                    if fov < fov_limit:
+                        any_above = True
+                        th = thresholds[it] if it < len(thresholds) else thresholds[-1]
+                        params.smoothing_fov_limit_per_frame[i] *= min(fov / fov_limit, th)
+                if not any_above:
+                    if it == 0:
+                        params.smoothing_fov_limit_per_frame = []
+                    break
+                quats, max_angles = self.gyro.recompute_smoothness(
+                    self.smoothing.current, self.smoothing.horizon_lock, params)
+                self.gyro.smoothed_quaternions = quats
+                self.gyro.max_angles = max_angles
+                self._apply_focal_length_smoothing(params)
+                fovs, minimal_fovs, _dbg = self._zoom_static(params)
+                params.fovs = fovs
+                params.minimal_fovs = minimal_fovs
+                self.params.set_fovs(list(fovs), lens_fov_adjustment)
+                self.params.minimal_fovs = list(minimal_fovs)
+
+    def _zoom_static(self, params: ComputeParams):
+        frames = self.params.frame_count
+        fps = self.params.get_scaled_fps()
+        timestamps = [(i, i * 1000.0 / fps) for i in range(frames)]
+        return calculate_fovs(params, timestamps, ZoomMethod(self.params.adaptive_zoom_method))
+
+    def recompute_undistortion(self):
+        self._compute_params = ComputeParams.from_manager(self)
+        self._stab_cache.clear()
+
+    def recompute_blocking(self):
+        """lib.rs:625-629."""
+        self.recompute_smoothness()
+        self.recompute_adaptive_zoom()
+        self.recompute_undistortion()
+
+    # ---- processing (lib.rs:889-936 + stabilization/mod.rs) ----------------
+
+    def get_compute_params(self) -> ComputeParams:
+        if self._compute_params is None:
+            self.recompute_undistortion()
+        return self._compute_params
+
+    def frame_transform_at(self, timestamp_ms: float, frame: Optional[int] = None):
+        from ..ops.frame_transform import frame_transform_at
+        from .params import frame_at_timestamp
+        cp = self.get_compute_params()
+        if frame is None:
+            frame = frame_at_timestamp(timestamp_ms, cp.scaled_fps)
+        key = int(round(timestamp_ms * 1000.0))
+        if key not in self._stab_cache:
+            self._stab_cache[key] = frame_transform_at(cp, timestamp_ms, frame)
+        return self._stab_cache[key]
+
+    def process_pixels(self, timestamp_us: int, frame_plane: np.ndarray,
+                       interpolation: int = 8, use_pallas: Optional[bool] = None,
+                       plane_index: int = 0, max_pixel_value: float = 255.0):
+        """Stabilize one plane (H, W, C) f32 at the given video timestamp.
+
+        Returns (output plane, info dict) like ProcessedInfo
+        (stabilization/mod.rs:195-201)."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops import remap
+
+        ts_ms = timestamp_us / 1000.0
+        # fps_scale timestamp adjustment (lib.rs:893-902)
+        if self.params.fps_scale:
+            ts_ms /= self.params.fps_scale
+        if self.params.frame_offset:
+            ts_ms += self.params.frame_offset * 1000.0 / max(self.params.get_scaled_fps(), 1e-9)
+
+        if not self.params.stab_enabled:
+            return frame_plane, {"fov": 1.0, "backend": "none"}
+
+        ft = self.frame_transform_at(ts_ms)
+        cfg = ft.kernel_cfg._replace(
+            interpolation=interpolation, plane_index=plane_index,
+            width=frame_plane.shape[1], height=frame_plane.shape[0])
+        dyn = ft.kernel_dyn._replace(
+            max_pixel_value=jnp.float32(max_pixel_value),
+            pixel_value_limit=jnp.float32(max_pixel_value))
+
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        img = jnp.asarray(np.asarray(frame_plane, dtype=np.float32))
+        mats = jnp.asarray(ft.matrices)
+        if use_pallas:
+            out, overflow = remap.remap_plane_pallas_jit(img, mats, cfg, dyn)
+            backend = "pallas-tpu"
+        else:
+            out = remap.remap_plane_jit(img, mats, cfg, dyn)
+            backend = "xla"
+        info = {"fov": ft.fov, "minimal_fov": ft.minimal_fov,
+                "focal_length": ft.focal_length, "backend": backend}
+        return out, info
+
+    # ---- misc --------------------------------------------------------------
+
+    def get_cloned(self) -> "StabilizationManager":
+        """lib.rs:1168 (render-queue per-job clone)."""
+        import copy
+        m = StabilizationManager()
+        m.gyro = self.gyro.clone()
+        m.lens = copy.deepcopy(self.lens)
+        m.smoothing = self.smoothing.clone()
+        m.params = copy.deepcopy(self.params)
+        m.keyframes = self.keyframes.clone()
+        m.input_file = self.input_file
+        return m
+
+    def offset_at_video_timestamp(self, timestamp_ms: float) -> float:
+        return float(self.gyro.offset_at_video_timestamp(timestamp_ms))

@@ -1,0 +1,133 @@
+"""Manager facade + adaptive zoom + points path tests."""
+import numpy as np
+import pytest
+
+from gyroflow_tpu.core.keyframes import KeyframeType
+from gyroflow_tpu.core.lens_profile import CameraParams, Dimensions, LensProfile
+from gyroflow_tpu.core.manager import StabilizationManager
+from gyroflow_tpu.core.zooming import ZoomMethod
+from gyroflow_tpu.ops.undistort_points import (undistort_points_for_optical_flow,
+                                               undistort_points_with_rolling_shutter)
+
+from test_end_to_end import gcsv_path, DUR_S, W, H  # reuse fixture
+
+
+@pytest.fixture(scope="module")
+def manager(gcsv_path):
+    m = StabilizationManager()
+    m.init_from_video_data(DUR_S * 1000.0, 30.0, int(DUR_S * 30), (W, H))
+    m.lens = LensProfile(
+        calib_dimension=Dimensions(W, H),
+        fisheye_params=CameraParams(
+            camera_matrix=[[W * 0.6, 0, W / 2], [0, W * 0.6, H / 2], [0, 0, 1]],
+            distortion_coeffs=[0.25, -0.05, 0.01, -0.001]),
+        distortion_model="opencv_fisheye")
+    m.lens.init()
+    m.params.frame_readout_time = 8.0
+    m.load_gyro_data(gcsv_path)
+    m.recompute_blocking()
+    return m
+
+
+class TestManager:
+    def test_short_video_selects_complementary(self, manager):
+        assert manager.gyro.integration_method == 1  # lib.rs:163 for <10s
+
+    def test_fovs_computed(self, manager):
+        assert len(manager.params.fovs) == manager.params.frame_count
+        assert all(np.isfinite(manager.params.fovs))
+        # the smoothed curve tracks the windowed MINIMUM of the per-frame fovs:
+        # it can never exceed the raw minimal fov at any frame (envelope property)
+        mins = manager.params.minimal_fovs
+        assert len(mins) == manager.params.frame_count
+        assert all(f <= m + 1e-9 for f, m in zip(manager.params.fovs, mins))
+
+    def test_envelope_never_exceeds_input_min(self, manager):
+        # zoom property (SURVEY §4.3): smoothed curve <= minimal per window
+        assert min(manager.params.fovs) >= 0.0
+        assert manager.params.min_fov > 0.0
+
+    def test_process_pixels(self, manager):
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 255, (H, W, 1)).astype(np.float32)
+        out, info = manager.process_pixels(500_000, img, interpolation=2, use_pallas=False)
+        out = np.asarray(out)
+        assert out.shape == img.shape
+        assert np.isfinite(out).all()
+        assert info["backend"] == "xla"
+        assert info["fov"] > 0
+
+    def test_stab_disabled_passthrough(self, manager):
+        img = np.zeros((H, W, 1), np.float32)
+        manager.params.stab_enabled = False
+        out, info = manager.process_pixels(0, img)
+        manager.params.stab_enabled = True
+        assert info["backend"] == "none"
+
+    def test_transform_cache(self, manager):
+        manager._stab_cache.clear()
+        manager.frame_transform_at(100.0)
+        manager.frame_transform_at(100.0)
+        assert len(manager._stab_cache) == 1
+
+    def test_invalidation(self, manager):
+        manager.frame_transform_at(100.0)
+        gen = manager.current_compute_id
+        manager.set_trim_ranges([(0.1, 0.9)])
+        assert manager.current_compute_id > gen
+        assert not manager._stab_cache
+        manager.set_trim_ranges([])
+        manager.recompute_blocking()
+
+    def test_clone_independent(self, manager):
+        c = manager.get_cloned()
+        c.params.fov = 2.0
+        assert manager.params.fov != 2.0
+
+
+class TestPointsPath:
+    def test_round_trip_identity_rotation(self, manager):
+        cp = manager.get_compute_params()
+        pts = np.array([[W * 0.25, H * 0.25], [W * 0.75, H * 0.6]], np.float64)
+        out = undistort_points_with_rolling_shutter(pts, 500.0, 15, cp, 1.0, False)
+        assert out.shape == (2, 2)
+        assert np.isfinite(out).all()
+        assert (np.abs(out) < 1e6).all()  # no rejection sentinel
+
+    def test_optical_flow_variant(self, manager):
+        cp = manager.get_compute_params()
+        pts = np.array([[30.0, 30.0]], np.float64)
+        out = undistort_points_for_optical_flow(pts, 500_000, cp, (W, H))
+        assert np.isfinite(out).all()
+
+    def test_lens_correction_newton(self, manager):
+        cp = manager.get_compute_params()
+        pts = np.array([[W * 0.4, H * 0.4]], np.float64)
+        out_full = undistort_points_with_rolling_shutter(pts, 500.0, 15, cp, 1.0, False)
+        out_half = undistort_points_with_rolling_shutter(pts, 500.0, 15, cp, 0.5, False)
+        assert np.isfinite(out_half).all()
+        assert not np.allclose(out_full, out_half)  # blend changes the result
+
+
+class TestMaxZoom:
+    def test_max_zoom_limits_fov(self, gcsv_path):
+        m = StabilizationManager()
+        m.init_from_video_data(DUR_S * 1000.0, 30.0, int(DUR_S * 30), (W, H))
+        m.lens = LensProfile(
+            calib_dimension=Dimensions(W, H),
+            fisheye_params=CameraParams(
+                camera_matrix=[[W * 0.6, 0, W / 2], [0, W * 0.6, H / 2], [0, 0, 1]],
+                distortion_coeffs=[0.25, -0.05, 0.01, -0.001]),
+            distortion_model="opencv_fisheye")
+        m.load_gyro_data(gcsv_path)
+        m.params.max_zoom = 110.0  # aggressive limit
+        m.recompute_blocking()
+        scaling = m.params.size[0] / m.params.output_size[0]
+        limit = 1.0 / (1.10 * scaling)
+        # after the loop most frames respect the limit (within iteration tolerance)
+        viol = sum(1 for f in m.params.fovs if f < limit * 0.85)
+        assert viol / max(len(m.params.fovs), 1) < 0.25
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
