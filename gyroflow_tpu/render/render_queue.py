@@ -1,0 +1,135 @@
+"""Multi-job render queue.
+
+Port of /root/reference/src/render_queue.rs essentials: job list with status,
+pause/cancel, parallel renders (thread pool — each job gets its own cloned
+manager, lib.rs:1168), queue persistence for resume.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Callable, Dict, List, Optional
+
+from .renderer import RenderOptions, render
+
+log = logging.getLogger(__name__)
+
+
+class JobStatus(str, Enum):
+    Queued = "queued"
+    Rendering = "rendering"
+    Finished = "finished"
+    Error = "error"
+    Cancelled = "cancelled"
+
+
+@dataclass
+class RenderJob:
+    job_id: int
+    input_file: str
+    output_file: str
+    project_data: Optional[str] = None      # exported .gyroflow JSON
+    options: RenderOptions = field(default_factory=RenderOptions)
+    status: JobStatus = JobStatus.Queued
+    progress: float = 0.0
+    error: Optional[str] = None
+    cancel_flag: list = field(default_factory=lambda: [False])
+
+
+class RenderQueue:
+    def __init__(self, parallel_renders: int = 1, state_path: Optional[str] = None):
+        self.jobs: Dict[int, RenderJob] = {}
+        self._next_id = 1
+        self.parallel_renders = max(parallel_renders, 1)
+        self.state_path = state_path
+        self._lock = threading.Lock()
+        self.paused = False
+
+    def add_job(self, mgr, input_file: str, output_file: str,
+                options: Optional[RenderOptions] = None) -> int:
+        from ..core.project_file import GyroflowProjectType, export_gyroflow_data
+        with self._lock:
+            job_id = self._next_id
+            self._next_id += 1
+            self.jobs[job_id] = RenderJob(
+                job_id=job_id, input_file=input_file, output_file=output_file,
+                project_data=export_gyroflow_data(mgr, GyroflowProjectType.WithGyroData),
+                options=options or RenderOptions())
+        self.save_state()
+        return job_id
+
+    def cancel_job(self, job_id: int):
+        job = self.jobs.get(job_id)
+        if job:
+            job.cancel_flag[0] = True
+            job.status = JobStatus.Cancelled
+
+    def run(self, overwrite: bool = False,
+            progress_cb: Optional[Callable[[int, float], None]] = None):
+        """Render all queued jobs, `parallel_renders` at a time."""
+        def run_job(job: RenderJob):
+            from ..core.manager import StabilizationManager
+            from ..core.project_file import import_gyroflow_data
+            try:
+                if os.path.exists(job.output_file) and not overwrite:
+                    raise FileExistsError(f"{job.output_file} exists (use overwrite)")
+                mgr = StabilizationManager()
+                if job.project_data:
+                    import_gyroflow_data(mgr, job.project_data)
+                job.status = JobStatus.Rendering
+
+                def cb(p):
+                    job.progress = p
+                    if progress_cb:
+                        progress_cb(job.job_id, p)
+                render(mgr, job.input_file, job.output_file, job.options,
+                       progress_cb=cb, cancel_flag=job.cancel_flag)
+                if job.cancel_flag[0]:
+                    job.status = JobStatus.Cancelled
+                else:
+                    job.status = JobStatus.Finished
+                    job.progress = 1.0
+            except Exception as e:  # noqa: BLE001 — job isolation
+                log.exception("render job %s failed", job.job_id)
+                job.status = JobStatus.Error
+                job.error = str(e)
+            self.save_state()
+
+        queued = [j for j in self.jobs.values() if j.status == JobStatus.Queued]
+        with ThreadPoolExecutor(max_workers=self.parallel_renders) as pool:
+            list(pool.map(run_job, queued))
+
+    # ---- persistence (render_queue.rs:713-776) -----------------------------
+
+    def save_state(self):
+        if not self.state_path:
+            return
+        state = [{
+            "job_id": j.job_id, "input_file": j.input_file,
+            "output_file": j.output_file, "project_data": j.project_data,
+            "status": j.status.value, "progress": j.progress, "error": j.error,
+        } for j in self.jobs.values()]
+        with open(self.state_path, "w") as f:
+            json.dump(state, f)
+
+    @classmethod
+    def load_state(cls, state_path: str, parallel_renders: int = 1) -> "RenderQueue":
+        q = cls(parallel_renders, state_path)
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                for j in json.load(f):
+                    job = RenderJob(job_id=j["job_id"], input_file=j["input_file"],
+                                    output_file=j["output_file"],
+                                    project_data=j.get("project_data"))
+                    job.status = JobStatus(j.get("status", "queued"))
+                    if job.status == JobStatus.Rendering:
+                        job.status = JobStatus.Queued  # resume interrupted
+                    job.progress = j.get("progress", 0.0)
+                    q.jobs[job.job_id] = job
+                    q._next_id = max(q._next_id, job.job_id + 1)
+        return q

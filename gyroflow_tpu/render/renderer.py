@@ -1,0 +1,89 @@
+"""Export render loop.
+
+Port of the pipeline in /root/reference/src/rendering/mod.rs:187-679: trim
+ranges, video-speed frame drop/duplicate rate control, per-frame stabilization,
+encode. Audio passthrough needs an ffmpeg binary (absent in this image) and is
+deferred behind the same interface.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from .video_io import VideoReader, VideoWriter
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class RenderOptions:
+    """Subset of rendering/render_queue RenderOptions."""
+    codec: str = "mp4v"
+    output_width: int = 0
+    output_height: int = 0
+    bitrate: float = 0.0
+    use_gpu: bool = True
+    audio: bool = False
+    trim_start: float = 0.0     # fraction 0..1
+    trim_end: float = 1.0
+    interpolation: int = 8
+
+
+def render(mgr, input_path: str, output_path: str,
+           options: Optional[RenderOptions] = None,
+           progress_cb: Optional[Callable[[float], None]] = None,
+           cancel_flag: Optional[list] = None) -> dict:
+    """Stabilize input video into output. Returns summary stats."""
+    import jax
+
+    options = options or RenderOptions()
+    reader = VideoReader(input_path)
+    ow = options.output_width or mgr.params.output_size[0] or reader.width
+    oh = options.output_height or mgr.params.output_size[1] or reader.height
+    writer = VideoWriter(output_path, ow, oh, reader.fps, options.codec)
+
+    n = reader.frame_count or 1
+    first = int(options.trim_start * n)
+    last = int(options.trim_end * n)
+    if first > 0:
+        reader.seek_frame(first)
+
+    use_pallas = jax.default_backend() not in ("cpu",)
+    frames_done = 0
+    video_speed = mgr.params.video_speed
+    speed_acc = 0.0
+
+    try:
+        for ts_us, rgb in reader:
+            idx = first + frames_done
+            if idx > last:
+                break
+            if cancel_flag and cancel_flag[0]:
+                break
+            # video-speed rate control (rendering/mod.rs:460-479): drop or
+            # duplicate frames so output duration scales by 1/speed
+            emit = 1
+            if video_speed != 1.0:
+                speed_acc += 1.0 / video_speed
+                emit = int(speed_acc)
+                speed_acc -= emit
+            if emit > 0:
+                out, info = mgr.process_pixels(ts_us, rgb,
+                                               interpolation=options.interpolation,
+                                               use_pallas=use_pallas)
+                out_np = np.asarray(out)
+                for _ in range(emit):
+                    writer.write_rgb(out_np)
+            frames_done += 1
+            if progress_cb:
+                progress_cb(min(frames_done / max(last - first + 1, 1), 1.0))
+    finally:
+        reader.close()
+        writer.close()
+
+    return {"frames": frames_done, "output": output_path,
+            "backend": "pallas-tpu" if use_pallas else "xla"}

@@ -1,0 +1,167 @@
+"""Automatic gyro-video offset estimation.
+
+Port of AutosyncProcess (synchronization/autosync.rs) + the essential-matrix
+offset search (find_offset/essential_matrix.rs): pick sync points (high-motion
+regions, like OptimSync's FFT point picker), run optical flow around them,
+brute-force the offset at 1 ms steps then refine at 0.01 ms, accept if inside
+90% of the search window.
+"""
+from __future__ import annotations
+
+import logging
+import math
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core.file_metadata import TimeIMU
+from ..core.filtering import lowpass_gyro_forward_backward
+from .pose_estimator import PoseEstimator
+
+log = logging.getLogger(__name__)
+
+
+def pick_sync_points(mgr, count: int = 2, chunk_ms: float = 2500.0) -> List[float]:
+    """Choose timestamps with the most gyro activity (OptimSync's goal,
+    synchronization/optimsync.rs, without the FFT machinery)."""
+    raw = mgr.gyro.get_raw_imu()
+    dur = mgr.params.duration_ms
+    if not raw or dur <= 0:
+        return [dur * (i + 1) / (count + 1) for i in range(count)]
+    mags = np.asarray([np.linalg.norm(v.gyro) if v.gyro is not None else 0.0 for v in raw])
+    ts = np.asarray([v.timestamp_ms for v in raw])
+    n_chunks = max(int(dur / chunk_ms), 1)
+    scores = []
+    for c in range(n_chunks):
+        a, b = c * chunk_ms, (c + 1) * chunk_ms
+        m = (ts >= a) & (ts < b)
+        scores.append((float(mags[m].mean()) if m.any() else 0.0, (a + b) / 2.0))
+    # margin: avoid the first/last chunk (seeking + settle)
+    scores = scores[1:-1] or scores
+    scores.sort(reverse=True)
+    return sorted(t for _s, t in scores[:count])
+
+
+def calculate_cost(offs_ms: float, of_items: List[TimeIMU],
+                   gyro_ts: np.ndarray, gyro_vals: np.ndarray) -> float:
+    """essential_matrix.rs:104-124 (weights 70/70/100, next-sample lookup)."""
+    total = 0.0
+    matches = 0
+    for o in of_items:
+        if o.gyro is None:
+            continue
+        t = o.timestamp_ms - offs_ms
+        i = np.searchsorted(gyro_ts, t, side="left")
+        if i >= len(gyro_ts):
+            continue
+        g = gyro_vals[i]
+        og = o.gyro
+        matches += 1
+        total += (g[0] - og[0]) ** 2 * 70.0
+        total += (g[1] - og[1]) ** 2 * 70.0
+        total += (g[2] - og[2]) ** 2 * 100.0
+    if of_items and matches > len(of_items) // 2:
+        return total / matches
+    return math.inf
+
+
+def find_offset_for_range(mgr, of_items: List[TimeIMU], initial_offset: float,
+                          search_size: float) -> Optional[Tuple[float, float]]:
+    """essential_matrix.rs:20-88. Returns (offset_ms, cost) or None."""
+    if not of_items:
+        return None
+    max_angle = max((max(abs(v.gyro[0]), abs(v.gyro[1]), abs(v.gyro[2]))
+                     for v in of_items if v.gyro is not None), default=0.0)
+    if max_angle < 3.0:
+        log.info("No movement detected (max %.1f deg/s), skipping sync point", max_angle)
+        return None
+
+    raw = mgr.gyro.get_raw_imu()
+    if not raw:
+        return None
+    first_ts = of_items[0].timestamp_ms
+    last_ts = of_items[-1].timestamp_ms
+    gyro_items = [TimeIMU(v.timestamp_ms, None if v.gyro is None else v.gyro.copy(),
+                          None if v.accl is None else v.accl.copy())
+                  for v in raw
+                  if first_ts - search_size <= v.timestamp_ms + initial_offset <= last_ts + search_size]
+    if not gyro_items:
+        return None
+
+    sample_rate = len(raw) / (mgr.gyro.duration_ms / 1000.0)
+    of_f = [TimeIMU(v.timestamp_ms, v.gyro.copy() if v.gyro is not None else None)
+            for v in of_items]
+    fps = mgr.params.get_scaled_fps()
+    try:
+        lowpass_gyro_forward_backward(20.0, fps, of_f)
+    except ValueError:
+        pass
+    try:
+        lowpass_gyro_forward_backward(20.0, sample_rate, gyro_items)
+    except ValueError:
+        pass
+
+    g_ts = np.asarray([v.timestamp_ms for v in gyro_items])
+    g_vals = np.asarray([v.gyro if v.gyro is not None else np.zeros(3) for v in gyro_items])
+
+    # coarse: 1ms steps over +-search_size
+    best = (None, math.inf)
+    for i in range(int(search_size) * 2):
+        offs = initial_offset - search_size + i
+        c = calculate_cost(offs, of_f, g_ts, g_vals)
+        if c < best[1]:
+            best = (offs, c)
+    if best[0] is None:
+        return None
+    # refine: 0.01ms steps over +-2ms
+    center = best[0]
+    for i in range(400):
+        offs = center - 2.0 + i * 0.01
+        c = calculate_cost(offs, of_f, g_ts, g_vals)
+        if c < best[1]:
+            best = (offs, c)
+    if abs(best[0] - initial_offset) < search_size * 0.9:
+        return best
+    log.warning("Sync point out of acceptable range")
+    return None
+
+
+def run_autosync(mgr, video_path: str, search_size: float = 3000.0,
+                 initial_offset: float = 0.0, sync_points: int = 2,
+                 processing_resolution: int = 720,
+                 time_per_syncpoint: float = 1.5) -> List[Tuple[float, float]]:
+    """AutosyncProcess (autosync.rs:15-130). Returns [(ts_ms, offset_ms)] and
+    applies them to the manager's gyro offsets."""
+    import cv2
+    from ..render.video_io import VideoReader
+
+    cp = mgr.get_compute_params()
+    points = pick_sync_points(mgr, sync_points)
+    reader = VideoReader(video_path)
+    fps = reader.fps
+    scale = min(processing_resolution / max(reader.height, 1), 1.0)
+    size = (int(reader.width * scale), int(reader.height * scale))
+
+    applied = []
+    for ts_mid in points:
+        frame0 = max(int((ts_mid - time_per_syncpoint * 500.0) / 1000.0 * fps), 0)
+        frame1 = int((ts_mid + time_per_syncpoint * 500.0) / 1000.0 * fps)
+        est = PoseEstimator(cp, size)
+        reader.seek_frame(frame0)
+        for idx in range(frame0, frame1 + 1):
+            try:
+                ts_us, rgb = next(reader)
+            except StopIteration:
+                break
+            gray = cv2.cvtColor(rgb.astype(np.uint8), cv2.COLOR_RGB2GRAY)
+            if scale < 1.0:
+                gray = cv2.resize(gray, size)
+            est.feed_frame(ts_us, gray, fps)
+        of_items = est.recalculate_gyro_data(fps)
+        res = find_offset_for_range(mgr, of_items, initial_offset, search_size)
+        if res is not None:
+            offset_ms, _cost = res
+            mgr.set_sync_offset(int(ts_mid * 1000.0), offset_ms)
+            applied.append((ts_mid, offset_ms))
+    reader.close()
+    return applied

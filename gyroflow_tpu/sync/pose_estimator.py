@@ -1,0 +1,97 @@
+"""Camera pose estimation from frame pairs (gyro-video sync).
+
+Port of /root/reference/src/core/synchronization/: optical flow (PyrLK via
+OpenCV — optical_flow/pyrlk.rs) -> undistorted point pairs -> essential-matrix
+pose (find_essential_mat.rs) -> per-pair rotation vector scaled to rad/s
+(mod.rs:146), then the synthetic-gyro assembly of recalculate_gyro_data
+(mod.rs:269-361: mid-frame timestamps, X/Y swap, deg/s).
+"""
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.file_metadata import TimeIMU
+from ..core.filtering import lowpass_gyro_forward_backward
+
+log = logging.getLogger(__name__)
+
+RAD2DEG = 180.0 / math.pi
+
+
+@dataclass
+class FrameResult:
+    """sync/mod.rs:52-64 (SyncResult)."""
+    timestamp_us: int
+    rotvec: Optional[np.ndarray] = None     # rad/s (already fps-scaled)
+    points: int = 0
+
+
+class PoseEstimator:
+    def __init__(self, compute_params, processing_size: Tuple[int, int]):
+        self.cp = compute_params
+        self.size = processing_size
+        self.results: Dict[int, FrameResult] = {}
+        self.estimated_gyro: List[TimeIMU] = []
+        self._prev = None  # (timestamp_us, gray, pts)
+
+    def feed_frame(self, timestamp_us: int, gray: np.ndarray, fps: float):
+        """Track features from the previous frame and estimate the pair pose."""
+        import cv2
+        from ..ops.undistort_points import undistort_points_for_optical_flow
+
+        pts = cv2.goodFeaturesToTrack(gray, maxCorners=200, qualityLevel=0.01,
+                                      minDistance=16)
+        if self._prev is not None and self._prev[2] is not None:
+            prev_ts, prev_gray, prev_pts = self._prev
+            nxt, st, _err = cv2.calcOpticalFlowPyrLK(prev_gray, gray, prev_pts, None,
+                                                     winSize=(21, 21), maxLevel=3)
+            if nxt is not None and st is not None:
+                ok = st.reshape(-1) == 1
+                p0 = prev_pts.reshape(-1, 2)[ok]
+                p1 = nxt.reshape(-1, 2)[ok]
+                if len(p0) >= 8:
+                    u0 = np.asarray(undistort_points_for_optical_flow(
+                        p0.astype(np.float64), prev_ts, self.cp, self.size), np.float64)
+                    u1 = np.asarray(undistort_points_for_optical_flow(
+                        p1.astype(np.float64), timestamp_us, self.cp, self.size), np.float64)
+                    good = (np.abs(u0) < 100).all(axis=1) & (np.abs(u1) < 100).all(axis=1)
+                    u0, u1 = u0[good], u1[good]
+                    if len(u0) >= 8:
+                        E, mask = cv2.findEssentialMat(
+                            u0, u1, focal=1.0, pp=(0.0, 0.0),
+                            method=cv2.RANSAC, prob=0.999, threshold=0.001)
+                        if E is not None and E.shape == (3, 3):
+                            _n, R, _t, _m = cv2.recoverPose(E, u0, u1, focal=1.0,
+                                                            pp=(0.0, 0.0), mask=mask)
+                            rv, _ = cv2.Rodrigues(R)
+                            dt_s = (timestamp_us - prev_ts) / 1e6
+                            if dt_s > 0:
+                                self.results[prev_ts] = FrameResult(
+                                    prev_ts, rotvec=rv.reshape(3) / dt_s,
+                                    points=int(len(u0)))
+        self._prev = (timestamp_us, gray, pts)
+
+    def recalculate_gyro_data(self, fps: float, lpf_hz: float = 0.0):
+        """mod.rs:269-361: mid-frame timestamps, X/Y swap, deg/s, optional LPF."""
+        gyro = []
+        keys = sorted(self.results)
+        for i, k in enumerate(keys):
+            r = self.results[k]
+            if r.rotvec is None:
+                continue
+            ts_ms = k / 1000.0
+            if i + 1 < len(keys):
+                ts_ms += (keys[i + 1] / 1000.0 - ts_ms) / 2.0
+            e = r.rotvec
+            gyro.append(TimeIMU(timestamp_ms=ts_ms,
+                                gyro=np.array([e[1] * RAD2DEG, e[0] * RAD2DEG,
+                                               e[2] * RAD2DEG])))
+        if lpf_hz > 0.0 and fps > 0.0:
+            lowpass_gyro_forward_backward(lpf_hz, fps, gyro)
+        self.estimated_gyro = gyro
+        return gyro

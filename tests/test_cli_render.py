@@ -1,0 +1,142 @@
+"""CLI + render pipeline + stmap/metadata export end-to-end (synthetic video)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from gyroflow_tpu import cli
+from test_end_to_end import gcsv_path, DUR_S  # noqa: F401
+
+VW, VH, VFPS, VFRAMES = 320, 240, 30.0, 30
+
+
+@pytest.fixture(scope="module")
+def video_path(tmp_path_factory):
+    import cv2
+    p = str(tmp_path_factory.mktemp("video") / "test.mp4")
+    w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), VFPS, (VW, VH))
+    assert w.isOpened()
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 255, (VH * 2, VW * 2, 3)).astype(np.uint8)
+    for i in range(VFRAMES):
+        ox = VH // 2 + int(20 * np.sin(i / 5.0))
+        oy = VW // 2 + int(20 * np.cos(i / 7.0))
+        w.write(base[ox:ox + VH, oy:oy + VW])
+    w.release()
+    return p
+
+
+class TestCLI:
+    def test_version(self, capsys):
+        assert cli.main(["--version"]) == 0
+        assert "gyroflow-tpu" in capsys.readouterr().out
+
+    def test_no_input_shows_help(self):
+        assert cli.main([]) == 1
+
+    def test_render_with_gyro(self, video_path, gcsv_path, capsys):  # noqa: F811
+        rc = cli.main([video_path, "-g", gcsv_path, "-f", "-t", "_stab",
+                       "-p", json.dumps({"interpolation": 2})])
+        assert rc == 0
+        out = os.path.splitext(video_path)[0] + "_stab.mp4"
+        assert os.path.exists(out) and os.path.getsize(out) > 1000
+        from gyroflow_tpu.render.video_io import probe_video
+        info = probe_video(out)
+        assert info.width == VW and info.frame_count == VFRAMES
+
+    def test_no_overwrite(self, video_path, gcsv_path):  # noqa: F811
+        out = os.path.splitext(video_path)[0] + "_stab.mp4"
+        assert os.path.exists(out)
+        rc = cli.main([video_path, "-g", gcsv_path, "-t", "_stab"])
+        assert rc == 2  # refuses without -f
+
+    def test_export_project_then_import_render(self, video_path, gcsv_path, tmp_path):  # noqa: F811
+        rc = cli.main([video_path, "-g", gcsv_path, "-f", "--export-project", "2"])
+        assert rc == 0
+        proj = os.path.splitext(video_path)[0] + ".gyroflow"
+        assert os.path.exists(proj)
+        obj = json.loads(open(proj).read())
+        assert obj["version"] == 4
+        # render straight from the project file
+        rc = cli.main([proj, "-f", "-t", "_fromproj",
+                       "-p", json.dumps({"interpolation": 2})])
+        assert rc == 0
+        assert os.path.exists(os.path.splitext(video_path)[0] + "_fromproj.mp4")
+
+    def test_export_metadata(self, video_path, gcsv_path, tmp_path):  # noqa: F811
+        meta = str(tmp_path / "camera.json")
+        rc = cli.main([video_path, "-g", gcsv_path, "-f",
+                       "--export-metadata", f"3:{meta}"])
+        assert rc == 0
+        data = json.loads(open(meta).read())
+        assert "original" in data and "stabilized" in data and "zooming" in data
+        assert len(data["zooming"]["fovs"]) > 0
+
+    def test_export_stmap(self, video_path, gcsv_path, tmp_path):  # noqa: F811
+        folder = str(tmp_path / "stmaps")
+        rc = cli.main([video_path, "-g", gcsv_path, "-f",
+                       "--export-stmap", f"1:{folder}"])
+        assert rc == 0
+        files = os.listdir(folder)
+        assert len(files) == 1
+
+    def test_preset(self, video_path, gcsv_path):  # noqa: F811
+        rc = cli.main([video_path, "-g", gcsv_path, "-f", "-t", "_preset",
+                       "--preset", json.dumps({"stabilization": {"fov": 1.4}}),
+                       "-p", json.dumps({"interpolation": 2})])
+        assert rc == 0
+
+
+class TestRenderQueue:
+    def test_queue_two_jobs(self, video_path, gcsv_path, tmp_path):  # noqa: F811
+        from gyroflow_tpu.core.manager import StabilizationManager
+        from gyroflow_tpu.render.render_queue import JobStatus, RenderQueue
+        from gyroflow_tpu.render.renderer import RenderOptions
+        from gyroflow_tpu.render.video_io import probe_video
+
+        mgr = StabilizationManager()
+        info = probe_video(video_path)
+        mgr.init_from_video_data(info.duration_ms, info.fps, info.frame_count,
+                                 (info.width, info.height))
+        mgr.input_file = video_path
+        mgr.load_gyro_data(gcsv_path)
+        mgr.recompute_blocking()
+
+        state = str(tmp_path / "queue.json")
+        q = RenderQueue(parallel_renders=2, state_path=state)
+        opts = RenderOptions(interpolation=2)
+        q.add_job(mgr, video_path, str(tmp_path / "out1.mp4"), opts)
+        q.add_job(mgr, video_path, str(tmp_path / "out2.mp4"), opts)
+        q.run(overwrite=True)
+        assert all(j.status == JobStatus.Finished for j in q.jobs.values()), \
+            {j.job_id: (j.status, j.error) for j in q.jobs.values()}
+        assert os.path.exists(str(tmp_path / "out1.mp4"))
+
+        # queue state persists and reloads
+        q2 = RenderQueue.load_state(state)
+        assert len(q2.jobs) == 2
+
+
+class TestAutosync:
+    def test_autosync_smoke(self, video_path, gcsv_path):  # noqa: F811
+        from gyroflow_tpu.core.manager import StabilizationManager
+        from gyroflow_tpu.render.video_io import probe_video
+        from gyroflow_tpu.sync.autosync import run_autosync
+
+        mgr = StabilizationManager()
+        info = probe_video(video_path)
+        mgr.init_from_video_data(info.duration_ms, info.fps, info.frame_count,
+                                 (info.width, info.height))
+        mgr.load_gyro_data(gcsv_path)
+        mgr.recompute_blocking()
+        # translation-only synthetic video won't truly sync; this verifies the
+        # whole OF->pose->cost pipeline runs and rejects gracefully
+        offsets = run_autosync(mgr, video_path, search_size=200.0, sync_points=1)
+        assert isinstance(offsets, list)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
