@@ -3,8 +3,8 @@
 Port of /root/reference/src/core/imu_integration/mod.rs: method ids match
 GyroSource::integrate (gyro_source/mod.rs:616-653):
   0 = camera quaternions (handled by GyroSource), 1 = Complementary,
-  2 = VQF (full port pending — currently aliased to Complementary with a
-  warning), 3 = SimpleGyro, 4 = SimpleGyroAccel, 5 = Mahony, 6 = Madgwick.
+  2 = VQF (offline variant, vqf.py), 3 = SimpleGyro, 4 = SimpleGyroAccel,
+  5 = Mahony, 6 = Madgwick.
 
 Axis convention: sensor (x,y,z) -> body (-y, x, z), angles deg/s -> rad/s
 (mod.rs:163, 199, 246). Initial orientation = from_euler_angles(pi/2, 0, 0).

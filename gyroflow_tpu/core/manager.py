@@ -286,11 +286,12 @@ class StabilizationManager:
             use_pallas = jax.default_backend() not in ("cpu",)
         img = jnp.asarray(np.asarray(frame_plane, dtype=np.float32))
         mats = jnp.asarray(ft.matrices)
+        mesh = jnp.asarray(ft.mesh_data) if ft.mesh_data is not None else None
         if use_pallas:
-            out, overflow = remap.remap_plane_pallas_jit(img, mats, cfg, dyn)
+            out, overflow = remap.remap_plane_pallas_jit(img, mats, cfg, dyn, mesh)
             backend = "pallas-tpu"
         else:
-            out = remap.remap_plane_jit(img, mats, cfg, dyn)
+            out = remap.remap_plane_jit(img, mats, cfg, dyn, mesh)
             backend = "xla"
         info = {"fov": ft.fov, "minimal_fov": ft.minimal_fov,
                 "focal_length": ft.focal_length, "backend": backend}

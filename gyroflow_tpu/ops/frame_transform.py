@@ -17,7 +17,8 @@ from ..core import quaternion as quat
 from ..core.keyframes import KeyframeType
 from ..core.params import ComputeParams, frame_at_timestamp
 from .kernel_params import (ANY_UNDERWATER, FRAMEBUFFER_INVERTED, HAS_DIGITAL_LENS,
-                            HAS_IBIS_DATA, HORIZONTAL_RS, KernelConfig, KernelDynamics)
+                            HAS_FPD_DATA, HAS_IBIS_DATA, HAS_MESH_DATA, HORIZONTAL_RS,
+                            KernelConfig, KernelDynamics)
 
 
 def _get_closest(d: dict, key_us: int, max_dist_us: int):
@@ -313,6 +314,21 @@ def frame_transform_at(params: ComputeParams, timestamp_ms: float, frame: int) -
     if lrc != 1.0 and lrc > 0.0:
         flags |= ANY_UNDERWATER
 
+    # mesh flag semantics from cpu_undistort.rs:169,188
+    mesh_grid = None
+    if mesh_data is not None and len(mesh_data) > 9:
+        o = int(mesh_data[0])
+        if mesh_data[0] > 10.0:
+            flags |= HAS_MESH_DATA
+        if mesh_data[0] > 0.0 and o < len(mesh_data) and mesh_data[o] > 0.0:
+            flags |= HAS_FPD_DATA
+        if flags & (HAS_MESH_DATA | HAS_FPD_DATA):
+            mesh_grid = (int(mesh_data[1]), int(mesh_data[2]))
+        else:
+            mesh_data = None
+    else:
+        mesh_data = None
+
     dl_params = list(params.digital_lens_params or [])
 
     cfg = KernelConfig(
@@ -325,6 +341,7 @@ def frame_transform_at(params: ComputeParams, timestamp_ms: float, frame: int) -
         lens_correction=lens_correction_amount < 1.0 or
         kf.is_keyframed(KeyframeType.LensCorrectionStrength),
         input_rotation=0.0,
+        mesh_grid=mesh_grid,
     )
     dyn = KernelDynamics.make(
         f=(scaled_k[0, 0], scaled_k[1, 1]), c=(scaled_k[0, 2], scaled_k[1, 2]),
@@ -339,9 +356,10 @@ def frame_transform_at(params: ComputeParams, timestamp_ms: float, frame: int) -
     )
 
     minimal_fov = params.minimal_fovs[frame] if frame < len(params.minimal_fovs) else 1.0
+    mesh_arr = np.asarray(mesh_data, dtype=np.float32) if mesh_data is not None else None
     return FrameTransform(matrices=matrices, kernel_cfg=cfg, kernel_dyn=dyn,
                           fov=ui_fov, minimal_fov=minimal_fov,
-                          focal_length=reported_fl, mesh_data=mesh_data)
+                          focal_length=reported_fl, mesh_data=mesh_arr)
 
 
 def frame_transform_for_points(params: ComputeParams, points: np.ndarray,

@@ -50,6 +50,7 @@ class KernelConfig(NamedTuple):
     lens_correction: bool = False
     source_rect: Optional[Tuple[int, int, int, int]] = None  # x, y, w, h
     output_rect: Optional[Tuple[int, int, int, int]] = None
+    mesh_grid: Optional[Tuple[int, int]] = None  # (gw, gh) when HAS_MESH_DATA
 
     @property
     def src_rect(self) -> Tuple[int, int, int, int]:

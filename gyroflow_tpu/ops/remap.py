@@ -68,7 +68,7 @@ def _inverse_refraction(pt, lrc):
 
 
 def rotate_and_distort_core(px, py, m, cfg: KernelConfig, dyn: KernelDynamics,
-                            lp: dm.LensParams):
+                            lp: dm.LensParams, mesh=None):
     """Shared tuple-based core of rotate_and_distort.
 
     ``m`` is a length-14 sequence of broadcastable arrays/scalars (matrix row
@@ -109,8 +109,14 @@ def rotate_and_distort_core(px, py, m, cfg: KernelConfig, dyn: KernelDynamics,
     u = u + dyn.c[0]
     v = v + dyn.c[1]
 
-    if cfg.has(HAS_MESH_DATA) or cfg.has(HAS_FPD_DATA):
-        raise NotImplementedError("Sony mesh/focal-plane correction lands with the IBIS milestone")
+    if cfg.has(HAS_MESH_DATA):
+        from .mesh import apply_mesh_correction
+        u, v = apply_mesh_correction(u, v, mesh, cfg)
+    if cfg.has(HAS_FPD_DATA):
+        from .mesh import apply_focal_plane_distortion
+        gw, gh = cfg.mesh_grid
+        fpd_offset = 9 + gw * gh * 2 + 2 * gh * 36
+        u, v = apply_focal_plane_distortion(u, v, mesh, fpd_offset, cfg)
 
     if cfg.has(HAS_DIGITAL_LENS) and digital is not None:
         u, v = digital.distort_xy(u, v, jnp.ones_like(u), lp)
@@ -122,7 +128,8 @@ def rotate_and_distort_core(px, py, m, cfg: KernelConfig, dyn: KernelDynamics,
     return u, v, valid
 
 
-def rotate_and_distort(pos, idx, matrices, cfg: KernelConfig, dyn: KernelDynamics):
+def rotate_and_distort(pos, idx, matrices, cfg: KernelConfig, dyn: KernelDynamics,
+                       mesh=None):
     """Project output-space point(s) through row matrix idx into source uv.
 
     Mirrors Stabilization::rotate_and_distort (cpu_undistort.rs:133-228).
@@ -134,7 +141,8 @@ def rotate_and_distort(pos, idx, matrices, cfg: KernelConfig, dyn: KernelDynamic
     else:
         mg = jnp.take(matrices, idx, axis=0)  # (...,14)
         m = [mg[..., i] for i in range(14)]
-    u, v, valid = rotate_and_distort_core(pos[..., 0], pos[..., 1], m, cfg, dyn, lp)
+    u, v, valid = rotate_and_distort_core(pos[..., 0], pos[..., 1], m, cfg, dyn, lp,
+                                          mesh=mesh)
     return jnp.stack([u, v], axis=-1), valid
 
 
@@ -152,7 +160,7 @@ def _rotated_frame_size(cfg: KernelConfig) -> Tuple[float, float]:
 
 
 def coords_pre(out_pos, matrices, cfg: KernelConfig, dyn: KernelDynamics,
-               out_c, out_f):
+               out_c, out_f, mesh=None):
     """Stages of undistort_coord BEFORE the per-pixel matrix projection:
     output-rect map, translation2d, lens-correction blend, RS row select.
     Returns (x, y, idx)."""
@@ -200,7 +208,7 @@ def coords_pre(out_pos, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         center = matrix_count // 2
         probe_uv, probe_valid = rotate_and_distort(
             jnp.stack([x, y], axis=-1), jnp.full(x.shape, center, jnp.int32),
-            matrices, cfg, dyn)
+            matrices, cfg, dyn, mesh=mesh)
         probe_axis = probe_uv[..., 0] if horizontal_rs else probe_uv[..., 1]
         sy_probe = jnp.clip(jnp.rint(probe_axis).astype(jnp.int32), 0, lim)
         sy = jnp.where(probe_valid, sy_probe, sy)
@@ -242,14 +250,15 @@ def coords_post(u, v, valid, cfg: KernelConfig):
 
 
 def undistort_coord(out_pos, matrices, cfg: KernelConfig, dyn: KernelDynamics,
-                    out_c, out_f):
+                    out_c, out_f, mesh=None):
     """Output pixel -> source uv, before background-mode / sampling.
 
     Mirrors undistort_coord (cpu_undistort.rs:421-517). Returns (uv, valid);
     where invalid the caller paints background.
     """
-    x, y, idx = coords_pre(out_pos, matrices, cfg, dyn, out_c, out_f)
-    uv, valid = rotate_and_distort(jnp.stack([x, y], axis=-1), idx, matrices, cfg, dyn)
+    x, y, idx = coords_pre(out_pos, matrices, cfg, dyn, out_c, out_f, mesh=mesh)
+    uv, valid = rotate_and_distort(jnp.stack([x, y], axis=-1), idx, matrices, cfg, dyn,
+                                   mesh=mesh)
     return coords_post(uv[..., 0], uv[..., 1], valid, cfg)
 
 
@@ -306,7 +315,7 @@ def _remap_colorrange(px, is_y: bool):
     return px + bump
 
 
-def remap_plane(img, matrices, cfg: KernelConfig, dyn: KernelDynamics):
+def remap_plane(img, matrices, cfg: KernelConfig, dyn: KernelDynamics, mesh=None):
     """Remap one plane: (H, W, C) f32 -> (output_height, output_width, C) f32.
 
     Mirrors undistort_image_cpu's per-pixel driver (cpu_undistort.rs:519-625),
@@ -330,7 +339,7 @@ def remap_plane(img, matrices, cfg: KernelConfig, dyn: KernelDynamics):
     out_c = (float(cfg.output_width) / 2.0, float(cfg.output_height) / 2.0)
     out_f = (dyn.f[0] / dyn.fov / factor, dyn.f[1] / dyn.fov / factor)
 
-    uv, valid = undistort_coord(out_pos, matrices, cfg, dyn, out_c, out_f)
+    uv, valid = undistort_coord(out_pos, matrices, cfg, dyn, out_c, out_f, mesh=mesh)
 
     if cfg.background_mode == 3:
         # margin with feather (cpu_undistort.rs:576-613)
@@ -375,8 +384,8 @@ def remap_plane(img, matrices, cfg: KernelConfig, dyn: KernelDynamics):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def remap_plane_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics):
-    return remap_plane(img, matrices, cfg, dyn)
+def remap_plane_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics, mesh=None):
+    return remap_plane(img, matrices, cfg, dyn, mesh=mesh)
 
 
 # ---------------------------------------------------------------------------
@@ -385,7 +394,7 @@ def remap_plane_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics):
 # ---------------------------------------------------------------------------
 
 def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
-                       win_h: int = 64, win_w: int = 512):
+                       mesh=None, win_h: int = 64, win_w: int = 512):
     """Drop-in replacement for remap_plane using the Pallas sampling kernel.
 
     Returns (output, overflow) — overflow True means some tile's source bbox
@@ -393,6 +402,11 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     or fall back to remap_plane).
     """
     from . import pallas_sampler as ps
+
+    if cfg.has(HAS_MESH_DATA) or cfg.has(HAS_FPD_DATA):
+        # mesh path runs through the XLA pipeline until the coords kernel
+        # grows a mesh operand
+        return remap_plane(img, matrices, cfg, dyn, mesh=mesh), jnp.asarray(False)
 
     C = img.shape[-1]
     bg_full = dyn.background * dyn.max_pixel_value
@@ -489,5 +503,5 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "win_h", "win_w"))
 def remap_plane_pallas_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
-                           win_h: int = 64, win_w: int = 512):
-    return remap_plane_pallas(img, matrices, cfg, dyn, win_h, win_w)
+                           mesh=None, win_h: int = 64, win_w: int = 512):
+    return remap_plane_pallas(img, matrices, cfg, dyn, mesh, win_h, win_w)

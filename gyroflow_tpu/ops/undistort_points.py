@@ -61,6 +61,32 @@ def undistort_points(distorted: np.ndarray, camera_matrix: np.ndarray,
         x = np.where(dvalid, dpt[:, 0], x)
         y = np.where(dvalid, dpt[:, 1], y)
 
+    if mesh is not None and len(mesh) > 9:
+        # FPD with += then distorting mesh (cpu_undistort.rs:712-751)
+        from ..core.splines import interpolate_mesh
+        size = (mesh[3], mesh[4])
+        ox, oy = mesh[5], mesh[6]
+        cw, ch = mesh[7], mesh[8]
+        o = int(mesh[0])
+        if mesh[0] > 0.0 and o < len(mesh) and mesh[o] > 0.0:
+            stblz_grid = mesh[4] / 8.0
+            mu = (x - 0.0) * cw / params.width + ox
+            mv = (y - 0.0) * ch / params.height + oy
+            idx = np.clip(np.floor(mv / stblz_grid), 0, 7).astype(int)
+            delta = mv - stblz_grid * idx
+            sh = np.asarray(mesh[o + 4:o + 4 + 16]).reshape(8, 2)
+            prefix = np.concatenate([[0.0, 0.0], np.cumsum(sh, axis=0).reshape(-1)])[:16].reshape(8, 2)
+            mu = mu + sh[idx, 0] * delta + prefix[idx, 0] * stblz_grid
+            mv = mv + sh[idx, 1] * delta + prefix[idx, 1] * stblz_grid
+            x = (mu - ox) * params.width / cw
+            y = (mv - oy) * params.height / ch
+        if mesh[0] > 10.0:
+            mu = (x - 0.0) * cw / params.width + ox
+            mv = (y - 0.0) * ch / params.height + oy
+            pos = interpolate_mesh(mu, mv, size, np.asarray(mesh, np.float64))
+            x = (pos[:, 0] - ox) * params.width / cw
+            y = (pos[:, 1] - oy) * params.height / ch
+
     if shift_per_point is not None:
         # IBIS/OIS shift removal (cpu_undistort.rs:752-760) — note the reference
         # reuses the partially-updated x for y (kept bit-faithfully)

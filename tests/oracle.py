@@ -145,8 +145,51 @@ def default_params(width, height, output_width, output_height):
     )
 
 
-def rotate_and_distort(pos, idx, p, matrices):
-    """cpu_undistort.rs:133-228 (mesh/FPD omitted, matching the JAX path's flags)."""
+def _oracle_mesh(uv, p, mesh):
+    """Mesh + FPD stages (cpu_undistort.rs:169-214) via core/splines.py."""
+    from gyroflow_tpu.core.splines import interpolate_mesh
+    u, v = uv
+    if mesh is not None and mesh[0] > 10.0:
+        size = (mesh[3], mesh[4])
+        ox, oy = mesh[5], mesh[6]
+        cw, ch = mesh[7], mesh[8]
+        inv = (p["flags"] & 128) == 128
+        if inv:
+            v = p["height"] - v
+        mu = map_coord(u, 0.0, p["width"], ox, ox + cw)
+        mv = map_coord(v, 0.0, p["height"], oy, oy + ch)
+        np2 = interpolate_mesh(mu, mv, size, mesh)[0]
+        u = map_coord(np2[0], ox, ox + cw, 0.0, p["width"])
+        v = map_coord(np2[1], oy, oy + ch, 0.0, p["height"])
+        if inv:
+            v = p["height"] - v
+    if mesh is not None and mesh[0] > 0.0 and mesh[int(mesh[0])] > 0.0:
+        o = int(mesh[0])
+        size = (mesh[3], mesh[4])
+        ox, oy = mesh[5], mesh[6]
+        cw, ch = mesh[7], mesh[8]
+        stblz_grid = mesh[4] / 8.0
+        inv = (p["flags"] & 128) == 128
+        if inv:
+            v = p["height"] - v
+        u = map_coord(u, 0.0, p["width"], ox, ox + cw)
+        v = map_coord(v, 0.0, p["height"], oy, oy + ch)
+        idx = int(min(max(math.floor(v / stblz_grid), 0.0), 7.0))
+        delta = v - stblz_grid * idx
+        u -= mesh[o + 4 + idx * 2 + 0] * delta
+        v -= mesh[o + 4 + idx * 2 + 1] * delta
+        for j in range(idx):
+            u -= mesh[o + 4 + j * 2 + 0] * stblz_grid
+            v -= mesh[o + 4 + j * 2 + 1] * stblz_grid
+        u = map_coord(u, ox, ox + cw, 0.0, p["width"])
+        v = map_coord(v, oy, oy + ch, 0.0, p["height"])
+        if inv:
+            v = p["height"] - v
+    return (u, v)
+
+
+def rotate_and_distort(pos, idx, p, matrices, mesh=None):
+    """cpu_undistort.rs:133-228."""
     m = matrices[idx]
     _x = pos[0] * m[0] + pos[1] * m[1] + m[2] + p["translation3d"][0]
     _y = pos[0] * m[3] + pos[1] * m[4] + m[5] + p["translation3d"][1]
@@ -173,6 +216,7 @@ def rotate_and_distort(pos, idx, p, matrices):
         u, v = (ca * u - sa * v - m[9] + m[12], sa * u + ca * v - m[10] + m[13])
     u += p["c"][0]
     v += p["c"][1]
+    u, v = _oracle_mesh((u, v), p, mesh)
     if p["digital_lens"] is not None:
         u, v = MODELS[p["digital_lens"]][1](u, v, 1.0, p)
     if p["input_horizontal_stretch"] > 0.001:
@@ -187,7 +231,7 @@ def rotate_point(pos, angle, origin, origin2):
             math.sin(angle) * (pos[0] - origin[0]) + math.cos(angle) * (pos[1] - origin[1]) + origin2[1])
 
 
-def undistort_coord(x, y, p, matrices, out_c, out_f):
+def undistort_coord(x, y, p, matrices, out_c, out_f, mesh=None):
     """cpu_undistort.rs:421-517."""
     orx, ory, orw, orh = p["output_rect"]
     x = map_coord(x, orx, orx + orw, 0.0, p["output_width"])
@@ -232,14 +276,14 @@ def undistort_coord(x, y, p, matrices, out_c, out_f):
     matrix_count = len(matrices)
     if matrix_count > 1:
         idx = matrix_count // 2
-        pt = rotate_and_distort((x, y), idx, p, matrices)
+        pt = rotate_and_distort((x, y), idx, p, matrices, mesh)
         if pt is not None:
             if horizontal:
                 sy = min(max(int(round(pt[0])), 0), p["width"])
             else:
                 sy = min(max(int(round(pt[1])), 0), p["height"])
     idx = min(sy, matrix_count - 1)
-    uv = rotate_and_distort((x, y), idx, p, matrices)
+    uv = rotate_and_distort((x, y), idx, p, matrices, mesh)
     if uv is None:
         return None
     u, v = uv
@@ -303,7 +347,7 @@ def sample_input_at(u, v, img, p, bg):
     return np.minimum(total, p["pixel_value_limit"])
 
 
-def undistort_image(img, p, matrices):
+def undistort_image(img, p, matrices, mesh=None):
     """cpu_undistort.rs:519-625 (scalar loops)."""
     H, W, C = img.shape
     oh, ow = p["output_height"], p["output_width"]
@@ -337,7 +381,7 @@ def undistort_image(img, p, matrices):
             if fill_bg:
                 out[y, x] = bg
                 continue
-            uv = undistort_coord(float(x), float(y), p, matrices, out_c, out_f)
+            uv = undistort_coord(float(x), float(y), p, matrices, out_c, out_f, mesh)
             if uv is not None:
                 u, v = uv
                 if p["background_mode"] == 3:
@@ -371,7 +415,7 @@ def undistort_image(img, p, matrices):
     return out
 
 
-def undistort_coord_map(p, matrices):
+def undistort_coord_map(p, matrices, mesh=None):
     """Map of uv coords (oh, ow, 2) with NaN where rejected (geometry compare)."""
     oh, ow = p["output_height"], p["output_width"]
     factor = max(1.0 - p["lens_correction_amount"], 0.001)
@@ -380,7 +424,7 @@ def undistort_coord_map(p, matrices):
     out = np.full((oh, ow, 2), np.nan)
     for y in range(oh):
         for x in range(ow):
-            uv = undistort_coord(float(x), float(y), p, matrices, out_c, out_f)
+            uv = undistort_coord(float(x), float(y), p, matrices, out_c, out_f, mesh)
             if uv is not None:
                 out[y, x] = uv
     return out
