@@ -451,7 +451,18 @@ def integrate_vqf(imu_data, duration_ms):
         acc[i] = [-a[1], a[0], a[2]]
 
     params = VQFParams(tau_acc=40.0, tau_mag=40.0)
-    quat6d = offline_vqf(gyr, acc, n, sample_time, params)
+    from ... import native as _native
+    if _native.available():
+        pv = np.asarray([params.tau_acc, params.bias_sigma_init,
+                         params.bias_forgetting_time, params.bias_clip,
+                         params.bias_sigma_motion, params.bias_vertical_forgetting_factor,
+                         params.bias_sigma_rest, params.rest_min_t,
+                         params.rest_filter_tau, params.rest_th_gyr, params.rest_th_acc,
+                         1.0 if params.motion_bias_est_enabled else 0.0,
+                         1.0 if params.rest_bias_est_enabled else 0.0])
+        quat6d = _native.vqf_offline(gyr, acc, sample_time, pv)
+    else:
+        quat6d = offline_vqf(gyr, acc, n, sample_time, params)
 
     ts_out = np.asarray([int(v.timestamp_ms * 1000.0) for v in imu_data], np.int64)
     return TimeQuat(ts_out, quat_np.normalize(quat6d))

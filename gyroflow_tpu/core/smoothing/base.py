@@ -45,6 +45,9 @@ def ema_scan_f(values: np.ndarray, alphas, reverse: bool = False) -> np.ndarray:
     values: (N,) or (N,C); alphas: scalar or (N,). Matches the reference's
     forward/backward velocity+distance smoothing loops (default_algo.rs:282-291).
     """
+    from ... import native as _native
+    if _native.available() and np.asarray(values).shape[0] > 2:
+        return _native.ema_scan(np.asarray(values, dtype=np.float64), alphas, reverse)
     v = np.array(values, dtype=np.float64, copy=True)
     n = v.shape[0]
     if n == 0:
@@ -63,6 +66,9 @@ def slerp_scan(quats: np.ndarray, alphas, reverse: bool = False) -> np.ndarray:
 
     quats: (N,4) f64. alphas: scalar or (N,) (clamped to <=1 by callers).
     """
+    from ... import native as _native
+    if _native.available() and np.asarray(quats).shape[0] > 2:
+        return _native.slerp_scan(np.asarray(quats, dtype=np.float64), alphas, reverse)
     out = np.array(quats, dtype=np.float64, copy=True)
     n = out.shape[0]
     if n == 0:
@@ -82,6 +88,10 @@ def per_axis_scan(quats: np.ndarray, factors: np.ndarray, reverse: bool = False)
     factors: (N,3) pitch/yaw/roll multipliers (already min'ed with 1).
     Matches default_algo.rs per_axis branches.
     """
+    from ... import native as _native
+    if _native.available() and np.asarray(quats).shape[0] > 2:
+        return _native.per_axis_scan(np.asarray(quats, dtype=np.float64),
+                                     np.asarray(factors, dtype=np.float64), reverse)
     out = np.array(quats, dtype=np.float64, copy=True)
     n = out.shape[0]
     if n == 0:

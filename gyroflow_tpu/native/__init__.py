@@ -1,0 +1,105 @@
+"""Native (C++) hot-loop acceleration with transparent Python fallback.
+
+Compiles gyroflow_native.cpp with g++ at first import (cached next to the
+source as a versioned .so) and exposes ctypes wrappers. Every entry point has
+a pure-Python equivalent; tests assert bit-level agreement.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_LIB = None
+_TRIED = False
+
+
+def _build_and_load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("GYROFLOW_TPU_NO_NATIVE"):
+        return None
+    src = os.path.join(os.path.dirname(__file__), "gyroflow_native.cpp")
+    try:
+        with open(src, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        cache_dir = os.environ.get("GYROFLOW_TPU_NATIVE_CACHE",
+                                   os.path.join(tempfile.gettempdir(), "gyroflow_tpu_native"))
+        os.makedirs(cache_dir, exist_ok=True)
+        so_path = os.path.join(cache_dir, f"gyroflow_native_{digest}.so")
+        if not os.path.exists(so_path):
+            tmp = so_path + f".build{os.getpid()}"
+            cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                   "-o", tmp, src]
+            res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+            if res.returncode != 0:
+                log.warning("native build failed, using Python fallbacks:\n%s",
+                            res.stderr[:2000])
+                return None
+            os.replace(tmp, so_path)
+        lib = ctypes.CDLL(so_path)
+        dptr = ctypes.POINTER(ctypes.c_double)
+        lib.slerp_scan.argtypes = [dptr, ctypes.c_int64, dptr, ctypes.c_int]
+        lib.ema_scan.argtypes = [dptr, ctypes.c_int64, ctypes.c_int64, dptr, ctypes.c_int]
+        lib.per_axis_scan.argtypes = [dptr, ctypes.c_int64, dptr, ctypes.c_int]
+        lib.vqf_offline.argtypes = [dptr, dptr, ctypes.c_int64, ctypes.c_double,
+                                    dptr, dptr]
+        _LIB = lib
+        log.debug("native library loaded: %s", so_path)
+    except Exception as e:  # noqa: BLE001 — any failure -> Python fallback
+        log.warning("native library unavailable (%s); using Python fallbacks", e)
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _build_and_load() is not None
+
+
+def _as_c(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def slerp_scan(quats: np.ndarray, alphas: np.ndarray, reverse: bool) -> np.ndarray:
+    lib = _build_and_load()
+    out = np.ascontiguousarray(quats, dtype=np.float64).copy()
+    a = np.ascontiguousarray(np.broadcast_to(alphas, (out.shape[0],)), dtype=np.float64)
+    lib.slerp_scan(_as_c(out), out.shape[0], _as_c(a), 1 if reverse else 0)
+    return out
+
+
+def ema_scan(vals: np.ndarray, alphas: np.ndarray, reverse: bool) -> np.ndarray:
+    lib = _build_and_load()
+    v = np.ascontiguousarray(vals, dtype=np.float64).copy()
+    flat = v.reshape(v.shape[0], -1)
+    a = np.ascontiguousarray(np.broadcast_to(alphas, (v.shape[0],)), dtype=np.float64)
+    lib.ema_scan(_as_c(flat), flat.shape[0], flat.shape[1], _as_c(a),
+                 1 if reverse else 0)
+    return v
+
+
+def per_axis_scan(quats: np.ndarray, factors: np.ndarray, reverse: bool) -> np.ndarray:
+    lib = _build_and_load()
+    out = np.ascontiguousarray(quats, dtype=np.float64).copy()
+    f = np.ascontiguousarray(factors, dtype=np.float64)
+    lib.per_axis_scan(_as_c(out), out.shape[0], _as_c(f), 1 if reverse else 0)
+    return out
+
+
+def vqf_offline(gyr: np.ndarray, acc: np.ndarray, ts: float, params_vec: np.ndarray) -> np.ndarray:
+    lib = _build_and_load()
+    g = np.ascontiguousarray(gyr, dtype=np.float64)
+    a = np.ascontiguousarray(acc, dtype=np.float64)
+    pp = np.ascontiguousarray(params_vec, dtype=np.float64)
+    out = np.empty((g.shape[0], 4), dtype=np.float64)
+    lib.vqf_offline(_as_c(g), _as_c(a), g.shape[0], ts, _as_c(pp), _as_c(out))
+    return out

@@ -1,0 +1,531 @@
+// Native hot loops for the host-side orientation engine.
+//
+// The smoothing slerp-EMA chains and the VQF filter are inherently sequential
+// scans over ~1kHz x minutes of samples (default_algo.rs:338-387, vqf.rs) —
+// the only parts of the rebuilt engine where Python-loop overhead matters.
+// Compiled at import time by gyroflow_tpu.native (ctypes); every function has
+// a Python fallback with identical semantics (tested for equality).
+//
+// Quaternion layout: (w, x, y, z) f64, matching core/quaternion.py.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// slerp (nalgebra semantics: no hemisphere flip, nlerp fallback)
+// ---------------------------------------------------------------------------
+
+static void slerp1(const double* a, const double* b, double t, double* out) {
+    double d = a[0]*b[0] + a[1]*b[1] + a[2]*b[2] + a[3]*b[3];
+    if (d > 1.0) d = 1.0;
+    if (d < -1.0) d = -1.0;
+    double theta = std::acos(d);
+    double s = std::sin(theta);
+    double wa, wb;
+    if (std::fabs(s) < 1e-9) {
+        wa = 1.0 - t;
+        wb = t;
+    } else {
+        wa = std::sin((1.0 - t) * theta) / s;
+        wb = std::sin(t * theta) / s;
+    }
+    double q0 = a[0]*wa + b[0]*wb;
+    double q1 = a[1]*wa + b[1]*wb;
+    double q2 = a[2]*wa + b[2]*wb;
+    double q3 = a[3]*wa + b[3]*wb;
+    double n = std::sqrt(q0*q0 + q1*q1 + q2*q2 + q3*q3);
+    if (n == 0.0) n = 1.0;
+    out[0] = q0/n; out[1] = q1/n; out[2] = q2/n; out[3] = q3/n;
+}
+
+// q = slerp(q, x[i], alpha[i]) scan, in place; first element kept
+void slerp_scan(double* quats, int64_t n, const double* alphas, int reverse) {
+    if (n == 0) return;
+    double q[4];
+    if (reverse) {
+        std::memcpy(q, quats + 4*(n-1), 4*sizeof(double));
+        for (int64_t i = n-2; i >= 0; i--) {
+            slerp1(q, quats + 4*i, alphas[i], q);
+            std::memcpy(quats + 4*i, q, 4*sizeof(double));
+        }
+    } else {
+        std::memcpy(q, quats, 4*sizeof(double));
+        for (int64_t i = 1; i < n; i++) {
+            slerp1(q, quats + 4*i, alphas[i], q);
+            std::memcpy(quats + 4*i, q, 4*sizeof(double));
+        }
+    }
+}
+
+// v[i] = v[prev]*(1-a[i]) + v[i]*a[i] scan over (n, c) array, in place
+void ema_scan(double* vals, int64_t n, int64_t c, const double* alphas, int reverse) {
+    if (n == 0) return;
+    if (reverse) {
+        for (int64_t i = n-2; i >= 0; i--) {
+            double a = alphas[i];
+            for (int64_t k = 0; k < c; k++)
+                vals[i*c+k] = vals[(i+1)*c+k]*(1.0-a) + vals[i*c+k]*a;
+        }
+    } else {
+        for (int64_t i = 1; i < n; i++) {
+            double a = alphas[i];
+            for (int64_t k = 0; k < c; k++)
+                vals[i*c+k] = vals[(i-1)*c+k]*(1.0-a) + vals[i*c+k]*a;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// per-axis scan (default_algo.rs per_axis branches)
+// ---------------------------------------------------------------------------
+
+static void quat_mul(const double* a, const double* b, double* out) {
+    double w = a[0]*b[0] - a[1]*b[1] - a[2]*b[2] - a[3]*b[3];
+    double x = a[0]*b[1] + a[1]*b[0] + a[2]*b[3] - a[3]*b[2];
+    double y = a[0]*b[2] - a[1]*b[3] + a[2]*b[0] + a[3]*b[1];
+    double z = a[0]*b[3] + a[1]*b[2] - a[2]*b[1] + a[3]*b[0];
+    out[0]=w; out[1]=x; out[2]=y; out[3]=z;
+}
+
+// euler (roll_x, pitch_y, yaw_z) with R = Rz yaw * Ry pitch * Rx roll
+static void euler_of(const double* q, double* rpy) {
+    double w=q[0], x=q[1], y=q[2], z=q[3];
+    double m20 = 2.0*(x*z - w*y);
+    if (m20 > 1.0) m20 = 1.0;
+    if (m20 < -1.0) m20 = -1.0;
+    double m21 = 2.0*(y*z + w*x);
+    double m22 = 1.0 - 2.0*(x*x + y*y);
+    double m10 = 2.0*(x*y + w*z);
+    double m00 = 1.0 - 2.0*(y*y + z*z);
+    if (std::fabs(m20) >= 1.0 - 1e-12) {
+        double m12 = 2.0*(y*z - w*x);
+        double m11 = 1.0 - 2.0*(x*x + z*z);
+        rpy[0] = std::atan2(-m12, m11);
+        rpy[1] = (m20 < 0) ? M_PI/2 : -M_PI/2;
+        rpy[2] = 0.0;
+    } else {
+        rpy[0] = std::atan2(m21, m22);
+        rpy[1] = -std::asin(m20);
+        rpy[2] = std::atan2(m10, m00);
+    }
+}
+
+static void quat_from_axis_z(double angle, double* out) {
+    out[0] = std::cos(angle/2); out[1] = 0; out[2] = 0; out[3] = std::sin(angle/2);
+}
+
+static void from_euler(double roll, double pitch, double yaw, double* out) {
+    // Rz(yaw)*Ry(pitch)*Rx(roll)
+    double cr = std::cos(roll/2), sr = std::sin(roll/2);
+    double cp = std::cos(pitch/2), sp = std::sin(pitch/2);
+    double cy = std::cos(yaw/2), sy = std::sin(yaw/2);
+    double qx[4] = {cr, sr, 0, 0};
+    double qy[4] = {cp, 0, sp, 0};
+    double qz[4] = {cy, 0, 0, sy};
+    double t[4];
+    quat_mul(qy, qx, t);
+    quat_mul(qz, t, out);
+}
+
+// q = q * from_euler(euler(q^-1 * x) * factors[i]) scan
+void per_axis_scan(double* quats, int64_t n, const double* factors, int reverse) {
+    if (n == 0) return;
+    double q[4];
+    int64_t start, step, count;
+    if (reverse) { std::memcpy(q, quats + 4*(n-1), 4*sizeof(double)); start = n-2; step = -1; count = n-1; }
+    else { std::memcpy(q, quats, 4*sizeof(double)); start = 1; step = 1; count = n-1; }
+    for (int64_t c = 0; c < count; c++) {
+        int64_t i = start + c*step;
+        double qinv[4] = {q[0], -q[1], -q[2], -q[3]};
+        double d[4];
+        quat_mul(qinv, quats + 4*i, d);
+        double rpy[3];
+        euler_of(d, rpy);
+        double rot[4];
+        from_euler(rpy[0]*factors[3*i+0], rpy[1]*factors[3*i+1], rpy[2]*factors[3*i+2], rot);
+        double nq[4];
+        quat_mul(q, rot, nq);
+        double nn = std::sqrt(nq[0]*nq[0]+nq[1]*nq[1]+nq[2]*nq[2]+nq[3]*nq[3]);
+        if (nn == 0.0) nn = 1.0;
+        for (int k = 0; k < 4; k++) q[k] = nq[k]/nn;
+        std::memcpy(quats + 4*i, q, 4*sizeof(double));
+    }
+}
+
+// ---------------------------------------------------------------------------
+// VQF realtime + offline (port of gyroflow_tpu/core/imu_integration/vqf.py,
+// itself a port of imu_integration/vqf.rs)
+// ---------------------------------------------------------------------------
+
+static const double VEPS = 2.220446049250313e-16;
+static const double D2R = M_PI / 180.0;
+
+struct VQFP {
+    double tau_acc, bias_sigma_init, bias_forgetting_time, bias_clip;
+    double bias_sigma_motion, bias_vertical_forgetting_factor, bias_sigma_rest;
+    double rest_min_t, rest_filter_tau, rest_th_gyr, rest_th_acc;
+    int motion_bias_est, rest_bias_est;
+};
+
+static void fcoeffs(double tau, double ts, double* b, double* a) {
+    double fc = (M_SQRT2 / (2.0*M_PI)) / tau;
+    double c = std::tan(M_PI*fc*ts);
+    double d = c*c + M_SQRT2*c + 1.0;
+    double b0 = c*c/d;
+    b[0]=b0; b[1]=2*b0; b[2]=b0;
+    a[0] = 2.0*(c*c-1.0)/d;
+    a[1] = (1.0-M_SQRT2*c+c*c)/d;
+}
+
+static void finit(double x0, const double* b, const double* a, double* st) {
+    st[0] = x0*(1.0-b[0]);
+    st[1] = x0*(b[2]-a[1]);
+}
+
+static double fstep(double x, const double* b, const double* a, double* st) {
+    double y = b[0]*x + st[0];
+    st[0] = b[1]*x - a[0]*y + st[1];
+    st[1] = b[2]*x - a[1]*y;
+    return y;
+}
+
+static void fvec(const double* x, int n, double tau, double ts, const double* b,
+                 const double* a, double* state, double* out) {
+    if (std::isnan(state[0])) {
+        if (std::isnan(state[1])) {
+            state[1] = 0.0;
+            for (int i = 0; i < n; i++) state[2+i] = 0.0;
+        }
+        state[1] += 1.0;
+        for (int i = 0; i < n; i++) {
+            state[2+i] += x[i];
+            out[i] = state[2+i]/state[1];
+        }
+        if (state[1]*ts >= tau)
+            for (int i = 0; i < n; i++) finit(out[i], b, a, state + 2*i);
+        return;
+    }
+    for (int i = 0; i < n; i++) out[i] = fstep(x[i], b, a, state + 2*i);
+}
+
+static void m3mul(const double* m1, const double* m2, double* o) {
+    double r[9];
+    for (int i = 0; i < 3; i++)
+        for (int j = 0; j < 3; j++)
+            r[i*3+j] = m1[i*3]*m2[j] + m1[i*3+1]*m2[3+j] + m1[i*3+2]*m2[6+j];
+    std::memcpy(o, r, sizeof(r));
+}
+
+static void m3mul_t1(const double* m1, const double* m2, double* o) {
+    double r[9];
+    for (int i = 0; i < 3; i++)
+        for (int j = 0; j < 3; j++)
+            r[i*3+j] = m1[i]*m2[j] + m1[3+i]*m2[3+j] + m1[6+i]*m2[6+j];
+    std::memcpy(o, r, sizeof(r));
+}
+
+static void m3mul_t2(const double* m1, const double* m2, double* o) {
+    double r[9];
+    for (int i = 0; i < 3; i++)
+        for (int j = 0; j < 3; j++)
+            r[i*3+j] = m1[i*3]*m2[j*3] + m1[i*3+1]*m2[j*3+1] + m1[i*3+2]*m2[j*3+2];
+    std::memcpy(o, r, sizeof(r));
+}
+
+static void m3inv(const double* m, double* o) {
+    double a = m[4]*m[8]-m[5]*m[7], d = m[2]*m[7]-m[1]*m[8], g = m[1]*m[5]-m[2]*m[4];
+    double b = m[5]*m[6]-m[3]*m[8], e = m[0]*m[8]-m[2]*m[6], h = m[2]*m[3]-m[0]*m[5];
+    double c = m[3]*m[7]-m[4]*m[6], f = m[1]*m[6]-m[0]*m[7], i = m[0]*m[4]-m[1]*m[3];
+    double det = m[0]*a + m[1]*b + m[2]*c;
+    if (det >= -VEPS && det <= VEPS) { std::memset(o, 0, 9*sizeof(double)); return; }
+    o[0]=a/det; o[1]=d/det; o[2]=g/det; o[3]=b/det; o[4]=e/det;
+    o[5]=h/det; o[6]=c/det; o[7]=f/det; o[8]=i/det;
+}
+
+static void qrot(const double* q, const double* v, double* o) {
+    o[0] = (1-2*q[2]*q[2]-2*q[3]*q[3])*v[0] + 2*v[1]*(q[2]*q[1]-q[0]*q[3]) + 2*v[2]*(q[0]*q[2]+q[3]*q[1]);
+    o[1] = 2*v[0]*(q[0]*q[3]+q[2]*q[1]) + v[1]*(1-2*q[1]*q[1]-2*q[3]*q[3]) + 2*v[2]*(q[2]*q[3]-q[1]*q[0]);
+    o[2] = 2*v[0]*(q[3]*q[1]-q[0]*q[2]) + 2*v[1]*(q[0]*q[1]+q[3]*q[2]) + v[2]*(1-2*q[1]*q[1]-2*q[2]*q[2]);
+}
+
+static void qnorm(double* q, int n) {
+    double l = 0;
+    for (int i = 0; i < n; i++) l += q[i]*q[i];
+    l = std::sqrt(l);
+    if (l < VEPS) return;
+    for (int i = 0; i < n; i++) q[i] /= l;
+}
+
+struct VQFState {
+    double gyr_quat[4], acc_quat[4];
+    int rest_detected;
+    double last_acc_lp[3], acc_lp_state[8];
+    double bias[3], bias_p[9];
+    double mb_r_lp_state[20], mb_bias_lp_state[6];
+    double rest_sq_dev[2], rest_t;
+    double rest_last_gyr_lp[3], rest_gyr_lp_state[8];
+    double rest_last_acc_lp[3], rest_acc_lp_state[8];
+};
+
+struct VQFFilter {
+    VQFP p;
+    double gyr_ts, acc_ts;
+    double acc_lp_b[3], acc_lp_a[2];
+    double bias_p0, bias_v, bias_motion_w, bias_vertical_w, bias_rest_w;
+    double rg_b[3], rg_a[2], ra_b[3], ra_a[2];
+    VQFState s;
+};
+
+static void vqf_reset(VQFFilter* f) {
+    VQFState* s = &f->s;
+    std::memset(s, 0, sizeof(VQFState));
+    s->gyr_quat[0] = 1.0; s->acc_quat[0] = 1.0;
+    for (int i = 0; i < 8; i++) { s->acc_lp_state[i] = NAN; s->rest_gyr_lp_state[i] = NAN; s->rest_acc_lp_state[i] = NAN; }
+    for (int i = 0; i < 20; i++) s->mb_r_lp_state[i] = NAN;
+    for (int i = 0; i < 6; i++) s->mb_bias_lp_state[i] = NAN;
+    for (int i = 0; i < 3; i++) s->rest_last_gyr_lp[i] = NAN;
+    s->bias_p[0] = s->bias_p[4] = s->bias_p[8] = f->bias_p0;
+}
+
+static void vqf_init(VQFFilter* f, const VQFP* p, double ts) {
+    f->p = *p;
+    f->gyr_ts = ts;
+    f->acc_ts = ts;
+    fcoeffs(p->tau_acc, ts, f->acc_lp_b, f->acc_lp_a);
+    f->bias_p0 = (p->bias_sigma_init*100.0)*(p->bias_sigma_init*100.0);
+    f->bias_v = (0.1*100.0)*(0.1*100.0)*ts/p->bias_forgetting_time;
+    double pm = (p->bias_sigma_motion*100.0)*(p->bias_sigma_motion*100.0);
+    f->bias_motion_w = pm*pm/f->bias_v + pm;
+    double vf = p->bias_vertical_forgetting_factor;
+    f->bias_vertical_w = f->bias_motion_w / (vf > 1e-10 ? vf : 1e-10);
+    double pr = (p->bias_sigma_rest*100.0)*(p->bias_sigma_rest*100.0);
+    f->bias_rest_w = pr*pr/f->bias_v + pr;
+    fcoeffs(p->rest_filter_tau, ts, f->rg_b, f->rg_a);
+    fcoeffs(p->rest_filter_tau, ts, f->ra_b, f->ra_a);
+    vqf_reset(f);
+}
+
+static void vqf_update(VQFFilter* f, const double* gyr, const double* acc) {
+    VQFP* p = &f->p;
+    VQFState* s = &f->s;
+
+    // ---- gyr ----
+    if (p->rest_bias_est) {
+        fvec(gyr, 3, p->rest_filter_tau, f->gyr_ts, f->rg_b, f->rg_a, s->rest_gyr_lp_state, s->rest_last_gyr_lp);
+        double* lp = s->rest_last_gyr_lp;
+        s->rest_sq_dev[0] = (gyr[0]-lp[0])*(gyr[0]-lp[0]) + (gyr[1]-lp[1])*(gyr[1]-lp[1]) + (gyr[2]-lp[2])*(gyr[2]-lp[2]);
+        double bclip = p->bias_clip * D2R;
+        double th = p->rest_th_gyr * D2R;
+        if (s->rest_sq_dev[0] >= th*th || std::fabs(lp[0]) > bclip || std::fabs(lp[1]) > bclip || std::fabs(lp[2]) > bclip) {
+            s->rest_t = 0.0;
+            s->rest_detected = 0;
+        }
+    }
+    double g[3] = {gyr[0]-s->bias[0], gyr[1]-s->bias[1], gyr[2]-s->bias[2]};
+    double gn = std::sqrt(g[0]*g[0]+g[1]*g[1]+g[2]*g[2]);
+    if (gn > VEPS) {
+        double angle = gn * f->gyr_ts;
+        double c = std::cos(angle/2), sn = std::sin(angle/2)/gn;
+        double dq[4] = {c, sn*g[0], sn*g[1], sn*g[2]};
+        double nq[4];
+        quat_mul(s->gyr_quat, dq, nq);
+        std::memcpy(s->gyr_quat, nq, sizeof(nq));
+        qnorm(s->gyr_quat, 4);
+    }
+
+    // ---- acc ----
+    if (acc[0] == 0.0 && acc[1] == 0.0 && acc[2] == 0.0) return;
+    if (p->rest_bias_est) {
+        fvec(acc, 3, p->rest_filter_tau, f->acc_ts, f->ra_b, f->ra_a, s->rest_acc_lp_state, s->rest_last_acc_lp);
+        double* lp = s->rest_last_acc_lp;
+        s->rest_sq_dev[1] = (acc[0]-lp[0])*(acc[0]-lp[0]) + (acc[1]-lp[1])*(acc[1]-lp[1]) + (acc[2]-lp[2])*(acc[2]-lp[2]);
+        if (s->rest_sq_dev[1] >= p->rest_th_acc*p->rest_th_acc) {
+            s->rest_t = 0.0;
+            s->rest_detected = 0;
+        } else {
+            s->rest_t += f->acc_ts;
+            if (s->rest_t >= p->rest_min_t) s->rest_detected = 1;
+        }
+    }
+    double acc_earth[3];
+    qrot(s->gyr_quat, acc, acc_earth);
+    fvec(acc_earth, 3, p->tau_acc, f->acc_ts, f->acc_lp_b, f->acc_lp_a, s->acc_lp_state, s->last_acc_lp);
+    qrot(s->acc_quat, s->last_acc_lp, acc_earth);
+    qnorm(acc_earth, 3);
+    double q_w = std::sqrt(std::max((acc_earth[2]+1.0)/2.0, 0.0));
+    double corr[4];
+    if (q_w > 1e-6) { corr[0]=q_w; corr[1]=0.5*acc_earth[1]/q_w; corr[2]=-0.5*acc_earth[0]/q_w; corr[3]=0.0; }
+    else { corr[0]=0.0; corr[1]=1.0; corr[2]=0.0; corr[3]=0.0; }
+    double nq[4];
+    quat_mul(corr, s->acc_quat, nq);
+    std::memcpy(s->acc_quat, nq, sizeof(nq));
+    qnorm(s->acc_quat, 4);
+
+    if (p->motion_bias_est || p->rest_bias_est) {
+        double bclip = p->bias_clip * D2R;
+        double q6[4];
+        quat_mul(s->acc_quat, s->gyr_quat, q6);
+        double r[9] = {
+            1-2*q6[2]*q6[2]-2*q6[3]*q6[3], 2*(q6[2]*q6[1]-q6[0]*q6[3]), 2*(q6[0]*q6[2]+q6[3]*q6[1]),
+            2*(q6[0]*q6[3]+q6[2]*q6[1]), 1-2*q6[1]*q6[1]-2*q6[3]*q6[3], 2*(q6[2]*q6[3]-q6[1]*q6[0]),
+            2*(q6[3]*q6[1]-q6[0]*q6[2]), 2*(q6[0]*q6[1]+q6[3]*q6[2]), 1-2*q6[1]*q6[1]-2*q6[2]*q6[2]};
+        double bias_lp[2] = {
+            r[0]*s->bias[0]+r[1]*s->bias[1]+r[2]*s->bias[2],
+            r[3]*s->bias[0]+r[4]*s->bias[1]+r[5]*s->bias[2]};
+        double r_in[9];
+        std::memcpy(r_in, r, sizeof(r));
+        fvec(r_in, 9, p->tau_acc, f->acc_ts, f->acc_lp_b, f->acc_lp_a, s->mb_r_lp_state, r);
+        double b_in[2] = {bias_lp[0], bias_lp[1]};
+        fvec(b_in, 2, p->tau_acc, f->acc_ts, f->acc_lp_b, f->acc_lp_a, s->mb_bias_lp_state, bias_lp);
+
+        double w[3], e[3] = {0, 0, 0};
+        if (s->rest_detected && p->rest_bias_est) {
+            for (int i = 0; i < 3; i++) e[i] = s->rest_last_gyr_lp[i] - s->bias[i];
+            double ident[9] = {1,0,0, 0,1,0, 0,0,1};
+            std::memcpy(r, ident, sizeof(ident));
+            w[0] = w[1] = w[2] = f->bias_rest_w;
+        } else if (p->motion_bias_est) {
+            e[0] = -acc_earth[1]/f->acc_ts + bias_lp[0] - r[0]*s->bias[0] - r[1]*s->bias[1] - r[2]*s->bias[2];
+            e[1] = acc_earth[0]/f->acc_ts + bias_lp[1] - r[3]*s->bias[0] - r[4]*s->bias[1] - r[5]*s->bias[2];
+            e[2] = -r[6]*s->bias[0] - r[7]*s->bias[1] - r[8]*s->bias[2];
+            w[0] = w[1] = f->bias_motion_w;
+            w[2] = f->bias_vertical_w;
+        } else {
+            w[0] = w[1] = w[2] = -1.0;
+        }
+        if (s->bias_p[0] < f->bias_p0) s->bias_p[0] += f->bias_v;
+        if (s->bias_p[4] < f->bias_p0) s->bias_p[4] += f->bias_v;
+        if (s->bias_p[8] < f->bias_p0) s->bias_p[8] += f->bias_v;
+        if (w[0] >= 0.0) {
+            for (int i = 0; i < 3; i++) e[i] = std::min(std::max(e[i], -bclip), bclip);
+            double k[9];
+            m3mul_t2(s->bias_p, r, k);
+            m3mul(r, k, k);
+            k[0] += w[0]; k[4] += w[1]; k[8] += w[2];
+            m3inv(k, k);
+            m3mul_t1(r, k, k);
+            m3mul(s->bias_p, k, k);
+            s->bias[0] += k[0]*e[0]+k[1]*e[1]+k[2]*e[2];
+            s->bias[1] += k[3]*e[0]+k[4]*e[1]+k[5]*e[2];
+            s->bias[2] += k[6]*e[0]+k[7]*e[1]+k[8]*e[2];
+            m3mul(k, r, k);
+            m3mul(k, s->bias_p, k);
+            for (int i = 0; i < 9; i++) s->bias_p[i] -= k[i];
+            for (int i = 0; i < 3; i++) s->bias[i] = std::min(std::max(s->bias[i], -bclip), bclip);
+        }
+    }
+}
+
+// offline VQF: gyr/acc (n,3) f64 -> quat6d (n,4). params packed as doubles:
+// [tau_acc, bias_sigma_init, bias_forgetting_time, bias_clip, bias_sigma_motion,
+//  bias_vertical_ff, bias_sigma_rest, rest_min_t, rest_filter_tau, rest_th_gyr,
+//  rest_th_acc, motion_bias_est, rest_bias_est]
+void vqf_offline(const double* gyr, const double* acc, int64_t n, double ts,
+                 const double* pp, double* out_quat6d) {
+    VQFP p;
+    p.tau_acc = pp[0]; p.bias_sigma_init = pp[1]; p.bias_forgetting_time = pp[2];
+    p.bias_clip = pp[3]; p.bias_sigma_motion = pp[4]; p.bias_vertical_forgetting_factor = pp[5];
+    p.bias_sigma_rest = pp[6]; p.rest_min_t = pp[7]; p.rest_filter_tau = pp[8];
+    p.rest_th_gyr = pp[9]; p.rest_th_acc = pp[10];
+    p.motion_bias_est = pp[11] != 0.0; p.rest_bias_est = pp[12] != 0.0;
+
+    VQFFilter* f = new VQFFilter();
+    vqf_init(f, &p, ts);
+
+    double* bias = new double[n*3];
+    double* bias_p_inv1 = new double[n*9];
+
+    for (int64_t i = 0; i < n; i++) {
+        vqf_update(f, gyr + 3*i, acc + 3*i);
+        std::memcpy(bias + 3*i, f->s.bias, 3*sizeof(double));
+        m3inv(f->s.bias_p, bias_p_inv1 + 9*i);
+    }
+    vqf_reset(f);
+    for (int64_t i = n-1; i >= 0; i--) {
+        double tg[3] = {-gyr[3*i], -gyr[3*i+1], -gyr[3*i+2]};
+        vqf_update(f, tg, acc + 3*i);
+        double bpi2[9];
+        m3inv(f->s.bias_p, bpi2);
+        double b1[3] = {
+            bias_p_inv1[9*i+0]*bias[3*i]+bias_p_inv1[9*i+1]*bias[3*i+1]+bias_p_inv1[9*i+2]*bias[3*i+2],
+            bias_p_inv1[9*i+3]*bias[3*i]+bias_p_inv1[9*i+4]*bias[3*i+1]+bias_p_inv1[9*i+5]*bias[3*i+2],
+            bias_p_inv1[9*i+6]*bias[3*i]+bias_p_inv1[9*i+7]*bias[3*i+1]+bias_p_inv1[9*i+8]*bias[3*i+2]};
+        double b2[3] = {
+            bpi2[0]*f->s.bias[0]+bpi2[1]*f->s.bias[1]+bpi2[2]*f->s.bias[2],
+            bpi2[3]*f->s.bias[0]+bpi2[4]*f->s.bias[1]+bpi2[5]*f->s.bias[2],
+            bpi2[6]*f->s.bias[0]+bpi2[7]*f->s.bias[1]+bpi2[8]*f->s.bias[2]};
+        double diff[3] = {b1[0]-b2[0], b1[1]-b2[1], b1[2]-b2[2]};
+        double psum[9];
+        for (int j = 0; j < 9; j++) psum[j] = bias_p_inv1[9*i+j] + bpi2[j];
+        double pinv[9];
+        m3inv(psum, pinv);
+        bias[3*i]   = pinv[0]*diff[0]+pinv[1]*diff[1]+pinv[2]*diff[2];
+        bias[3*i+1] = pinv[3]*diff[0]+pinv[4]*diff[1]+pinv[5]*diff[2];
+        bias[3*i+2] = pinv[6]*diff[0]+pinv[7]*diff[1]+pinv[8]*diff[2];
+    }
+
+    // gyro integration with blended bias
+    double* quat3d = new double[n*4];
+    double q[4] = {1, 0, 0, 0};
+    for (int64_t i = 0; i < n; i++) {
+        double g[3] = {gyr[3*i]-bias[3*i], gyr[3*i+1]-bias[3*i+1], gyr[3*i+2]-bias[3*i+2]};
+        double gn = std::sqrt(g[0]*g[0]+g[1]*g[1]+g[2]*g[2]);
+        if (gn > VEPS) {
+            double angle = gn*ts;
+            double c = std::cos(angle/2), sn = std::sin(angle/2)/gn;
+            double dq[4] = {c, sn*g[0], sn*g[1], sn*g[2]};
+            double nq[4];
+            quat_mul(q, dq, nq);
+            std::memcpy(q, nq, sizeof(nq));
+            qnorm(q, 4);
+        }
+        std::memcpy(quat3d + 4*i, q, 4*sizeof(double));
+    }
+
+    // acc to inertial frame + zero-phase filter
+    double* acc_i = new double[n*3];
+    for (int64_t i = 0; i < n; i++) qrot(quat3d + 4*i, acc + 3*i, acc_i + 3*i);
+    {
+        double b[3], a[2], state[8];
+        for (int i = 0; i < 8; i++) state[i] = NAN;
+        fcoeffs(p.tau_acc, ts, b, a);
+        double y[3];
+        for (int64_t i = 0; i < n; i++) {
+            fvec(acc_i + 3*i, 3, p.tau_acc, ts, b, a, state, y);
+            std::memcpy(acc_i + 3*i, y, 3*sizeof(double));
+        }
+        for (int j = 0; j < 3; j++) finit(acc_i[3*(n-1)+j], b, a, state + 2*j);
+        for (int64_t i = n-1; i >= 0; i--) {
+            fvec(acc_i + 3*i, 3, p.tau_acc, ts, b, a, state, y);
+            std::memcpy(acc_i + 3*i, y, 3*sizeof(double));
+        }
+    }
+
+    // inclination correction
+    double aq[4] = {1, 0, 0, 0};
+    for (int64_t i = 0; i < n; i++) {
+        double ae[3];
+        qrot(aq, acc_i + 3*i, ae);
+        qnorm(ae, 3);
+        double q_w = std::sqrt(std::max((ae[2]+1.0)/2.0, 0.0));
+        double corr[4];
+        if (q_w > 1e-6) { corr[0]=q_w; corr[1]=0.5*ae[1]/q_w; corr[2]=-0.5*ae[0]/q_w; corr[3]=0.0; }
+        else { corr[0]=0.0; corr[1]=1.0; corr[2]=0.0; corr[3]=0.0; }
+        double nq[4];
+        quat_mul(corr, aq, nq);
+        std::memcpy(aq, nq, sizeof(nq));
+        qnorm(aq, 4);
+        quat_mul(aq, quat3d + 4*i, out_quat6d + 4*i);
+    }
+
+    delete[] bias;
+    delete[] bias_p_inv1;
+    delete[] quat3d;
+    delete[] acc_i;
+    delete f;
+}
+
+}  // extern "C"
