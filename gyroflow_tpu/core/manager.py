@@ -68,7 +68,27 @@ class StabilizationManager:
         self.gyro.file_url = path
         self.gyro.load_from_telemetry(fm)
         self.keyframes.update_gyro(self.gyro)
+        self._try_lens_autoload(fm)
         self.invalidate()
+
+    def _try_lens_autoload(self, fm):
+        """Lens autoload by camera identifier (lib.rs:1929-1956)."""
+        if self.lens.is_valid():
+            return
+        try:
+            from .camera_identifier import CameraIdentifier
+            from .lens_profile_database import LensProfileDatabase
+            cid = CameraIdentifier.from_metadata(
+                fm, self.params.size[0], self.params.size[1], self.params.fps)
+            if not cid.identifier:
+                return
+            db = LensProfileDatabase()
+            prof = db.find_by_identifier(cid.get_identifier_for_autoload())
+            if prof is not None:
+                self.lens = prof
+                log.info("lens profile autoloaded: %s", prof.name)
+        except Exception as e:  # noqa: BLE001 — autoload is best-effort
+            log.debug("lens autoload failed: %s", e)
 
     def load_lens_profile(self, path_or_json: str):
         """lib.rs:356-368."""
