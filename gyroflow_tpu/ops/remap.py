@@ -308,6 +308,112 @@ def sample_input(img, uv, bg, cfg: KernelConfig, dyn: KernelDynamics):
     return jnp.minimum(total, dyn.pixel_value_limit)
 
 
+EWA_BC = {
+    10: (0.2620145, 0.3689927),   # RobidouxSharp (stabilization/mod.rs:281-285)
+    11: (0.3782157, 0.3108921),   # Robidoux
+    12: (0.3333333, 0.3333333),   # Mitchell
+    13: (0.0, 0.5),               # CatmullRom
+}
+EWA_CAP = 4  # static tap-radius cap; reference bbox is 2*max(|jac|..,1) ~ 2-4
+
+
+def ewa_coeffs(interpolation: int):
+    """Keys cubic BC coefficients (stabilization/mod.rs:279-295)."""
+    b, c = EWA_BC[interpolation]
+    p = ((6.0 - 2.0 * b) / 6.0, 0.0, (-18.0 + 12.0 * b + 6.0 * c) / 6.0,
+         (12.0 - 9.0 * b - 6.0 * c) / 6.0)
+    q = ((8.0 * b + 24.0 * c) / 6.0, (-12.0 * b - 48.0 * c) / 6.0,
+         (6.0 * b + 30.0 * c) / 6.0, (-1.0 * b - 6.0 * c) / 6.0)
+    return p, q
+
+
+def sample_ewa(img, uv, jac, bg, cfg: KernelConfig, dyn: KernelDynamics):
+    """EWA elliptical sampling (cpu_undistort.rs:267-369), fixed-window masked.
+
+    jac: (...,4) finite-difference Jacobian. The data-dependent bbox becomes a
+    static (2*EWA_CAP+2)^2 window; taps outside the reference bbox are masked.
+    """
+    H, W, C = img.shape
+    flat = img.reshape(H * W, C)
+    srx, sry, srw, srh = cfg.src_rect
+    u = jnp.clip(jnp.where(jnp.isfinite(uv[..., 0]), uv[..., 0], 0.0), -32768.0, 32768.0)
+    v = jnp.clip(jnp.where(jnp.isfinite(uv[..., 1]), uv[..., 1], 0.0), -32768.0, 32768.0)
+    jx, jy, jz, jw = jac[..., 0], jac[..., 1], jac[..., 2], jac[..., 3]
+
+    # affine_bbox (cpu_undistort.rs:272-277)
+    tx = 2.0 * jnp.maximum(jnp.maximum(jnp.abs(jx + jy), jnp.abs(jx - jy)), 1.0)
+    ty = 2.0 * jnp.maximum(jnp.maximum(jnp.abs(jz + jw), jnp.abs(jz - jw)), 1.0)
+    x0 = jnp.floor(u - tx).astype(jnp.int32)
+    x1 = jnp.ceil(u + tx).astype(jnp.int32)
+    y0 = jnp.floor(v - ty).astype(jnp.int32)
+    y1 = jnp.ceil(v + ty).astype(jnp.int32)
+
+    # clamped_ellipse (cpu_undistort.rs:279-314)
+    f0 = jnp.abs(jx * jw - jy * jz)
+    f = jnp.maximum(f0 * f0, 0.1)
+    a = (jz * jz + jw * jw) / f
+    b = -2.0 * (jx * jz + jy * jw) / f
+    c = (jx * jx + jy * jy) / f
+    vx = c - a
+    vy = -b
+    lv = jnp.sqrt(vx * vx + vy * vy)
+    v0 = jnp.where(lv > 0.01, vx / jnp.where(lv == 0, 1.0, lv), 1.0)
+    cc = jnp.sqrt(jnp.maximum(1.0 + v0, 0.0) / 2.0)
+    s_ = jnp.sqrt(jnp.maximum(1.0 - v0, 0.0) / 2.0)
+    a0 = a * cc * cc - b * cc * s_ + c * s_ * s_
+    c0 = a * s_ * s_ + b * cc * s_ + c * cc * cc
+    bt1 = b * (cc * cc - s_ * s_)
+    bt2 = 2.0 * (a - c) * cc * s_
+    b0 = bt1 + bt2
+    b0v2 = bt1 - bt2
+    flip = jnp.abs(b0) > jnp.abs(b0v2)
+    s_ = jnp.where(flip, -s_, s_)
+    b0 = jnp.where(flip, b0v2, b0)
+    a0 = jnp.minimum(a0, 1.0)
+    c0 = jnp.minimum(c0, 1.0)
+    sn = -s_
+    abc_x = a0 * cc * cc - b0 * cc * sn + c0 * sn * sn
+    abc_y = 2.0 * a0 * cc * sn + b0 * cc * cc - b0 * sn * sn - 2.0 * c0 * cc * sn
+    abc_z = a0 * sn * sn + b0 * cc * sn + c0 * cc * cc
+
+    pw = dyn.ewa_coeffs_p
+    qw = dyn.ewa_coeffs_q
+
+    def bc2(x):
+        x = jnp.abs(x)
+        x2 = x * x
+        pr = pw[0] + pw[1] * x + pw[2] * x2 + pw[3] * x2 * x
+        qr = qw[0] + qw[1] * x + qw[2] * x2 + qw[3] * x2 * x
+        return jnp.where(x < 1.0, pr, jnp.where(x < 2.0, qr, 0.0))
+
+    base_x = jnp.floor(u).astype(jnp.int32) - EWA_CAP
+    base_y = jnp.floor(v).astype(jnp.int32) - EWA_CAP
+    taps = 2 * EWA_CAP + 2
+    total = jnp.zeros(u.shape + (C,), jnp.float32)
+    sum_div = jnp.zeros_like(u)
+    for typ in range(taps):
+        in_y = base_y + typ
+        fy = in_y.astype(jnp.float32) - v
+        fy2 = fy * abc_y
+        fy3 = fy * fy * abc_z
+        y_in_bbox = (in_y >= y0) & (in_y <= y1)
+        yy_c = jnp.clip(in_y, 0, H - 1)
+        for txp in range(taps):
+            in_x = base_x + txp
+            fx = in_x.astype(jnp.float32) - u
+            dr = fx * fx * abc_x + fx * fy2 + fy3
+            k = bc2(jnp.sqrt(jnp.maximum(dr, 0.0)))
+            k = jnp.where(y_in_bbox & (in_x >= x0) & (in_x <= x1), k, 0.0)
+            in_rect = (in_y >= sry) & (in_y < sry + srh) &                       (in_x >= srx) & (in_x < srx + srw)
+            xx_c = jnp.clip(in_x, 0, W - 1)
+            px = jnp.take(flat, yy_c * W + xx_c, axis=0, mode="clip")
+            px = jnp.where(in_rect[..., None], px, bg)
+            total = total + k[..., None] * px
+            sum_div = sum_div + k
+    total = total / jnp.where(sum_div == 0.0, 1.0, sum_div)[..., None]
+    return jnp.minimum(total, dyn.pixel_value_limit)
+
+
 def _remap_colorrange(px, is_y: bool):
     """Full->limited range (cpu_undistort.rs:253-260)."""
     px = px * (0.85882352 if is_y else 0.87843137)
@@ -341,6 +447,24 @@ def remap_plane(img, matrices, cfg: KernelConfig, dyn: KernelDynamics, mesh=None
 
     uv, valid = undistort_coord(out_pos, matrices, cfg, dyn, out_c, out_f, mesh=mesh)
 
+    jac = None
+    if cfg.interpolation > 8:
+        # finite-difference Jacobian, eps=0.01 (cpu_undistort.rs:566-571)
+        eps = 0.01
+        uv_x, _vx = undistort_coord(out_pos + jnp.asarray([eps, 0.0], jnp.float32),
+                                    matrices, cfg, dyn, out_c, out_f, mesh=mesh)
+        uv_y, _vy = undistort_coord(out_pos + jnp.asarray([0.0, eps], jnp.float32),
+                                    matrices, cfg, dyn, out_c, out_f, mesh=mesh)
+        dx = jnp.where(_vx[..., None], uv_x, 0.0) - uv
+        dy = jnp.where(_vy[..., None], uv_y, 0.0) - uv
+        jac = jnp.stack([dx[..., 0] / eps, dy[..., 0] / eps,
+                         dx[..., 1] / eps, dy[..., 1] / eps], axis=-1)
+
+    def _sample(image, uvq):
+        if cfg.interpolation > 8:
+            return sample_ewa(image, uvq, jac, bg, cfg, dyn)
+        return sample_input(image, uvq, bg, cfg, dyn)
+
     if cfg.background_mode == 3:
         # margin with feather (cpu_undistort.rs:576-613)
         fw, fh = float(cfg.width), float(cfg.height)
@@ -363,11 +487,11 @@ def remap_plane(img, matrices, cfg: KernelConfig, dyn: KernelDynamics, mesh=None
         m2u = map_coord(pt2u, 0.0, frame_w, float(srx), float(srx + srw))
         m2v = map_coord(pt2v, 0.0, frame_h, float(sry), float(sry + srh))
 
-        c1 = sample_input(img, jnp.stack([mu, mv], axis=-1), bg, cfg, dyn)
-        c2 = sample_input(img, jnp.stack([m2u, m2v], axis=-1), bg, cfg, dyn)
+        c1 = _sample(img, jnp.stack([mu, mv], axis=-1))
+        c2 = _sample(img, jnp.stack([m2u, m2v], axis=-1))
         pixel = c1 * alpha[..., None] + c2 * (1.0 - alpha[..., None])
     else:
-        pixel = sample_input(img, uv, bg, cfg, dyn)
+        pixel = _sample(img, uv)
 
     pixel = jnp.where(valid[..., None], pixel, bg)
 
@@ -403,9 +527,9 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     """
     from . import pallas_sampler as ps
 
-    if cfg.has(HAS_MESH_DATA) or cfg.has(HAS_FPD_DATA):
-        # mesh path runs through the XLA pipeline until the coords kernel
-        # grows a mesh operand
+    if cfg.has(HAS_MESH_DATA) or cfg.has(HAS_FPD_DATA) or cfg.interpolation > 8:
+        # mesh and EWA paths run through the XLA pipeline until the kernels
+        # grow mesh operands / elliptical windows
         return remap_plane(img, matrices, cfg, dyn, mesh=mesh), jnp.asarray(False)
 
     C = img.shape[-1]

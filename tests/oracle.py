@@ -138,6 +138,7 @@ def default_params(width, height, output_width, output_height):
         translation2d=(0.0, 0.0), translation3d=(0.0, 0.0, 0.0, 0.0),
         digital_lens_params=[0.0] * 16, light_refraction_coefficient=1.0,
         max_pixel_value=255.0, pixel_value_limit=255.0,
+        ewa_coeffs_p=[0.0] * 4, ewa_coeffs_q=[0.0] * 4,
         distortion_model="opencv_fisheye", digital_lens=None,
         flags=0, plane_index=0, input_rotation=0.0,
         source_rect=(0, 0, width, height), output_rect=(0, 0, output_width, output_height),
@@ -313,8 +314,81 @@ def undistort_coord(x, y, p, matrices, out_c, out_f, mesh=None):
     return (u, v)
 
 
-def sample_input_at(u, v, img, p, bg):
-    """LUT sampling, cpu_undistort.rs:370-418."""
+def _ewa_bc2(x, p):
+    x = abs(x)
+    x2 = x * x
+    pw = p["ewa_coeffs_p"]
+    qw = p["ewa_coeffs_q"]
+    if x < 1.0:
+        return pw[0] + pw[1] * x + pw[2] * x2 + pw[3] * x2 * x
+    if x < 2.0:
+        return qw[0] + qw[1] * x + qw[2] * x2 + qw[3] * x2 * x
+    return 0.0
+
+
+def sample_ewa_at(u, v, jac, img, p, bg):
+    """EWA elliptical sampling (cpu_undistort.rs:329-369), literal port."""
+    H, W, C = img.shape
+    srx, sry, srw, srh = p["source_rect"]
+    jx, jy, jz, jw = jac
+    tx = 2.0 * max(abs(jx + jy), abs(jx - jy), 1.0)
+    ty = 2.0 * max(abs(jz + jw), abs(jz - jw), 1.0)
+    x0 = math.floor(u - tx)
+    x1 = math.ceil(u + tx)
+    y0 = math.floor(v - ty)
+    y1 = math.ceil(v + ty)
+    # clamped_ellipse
+    f0 = abs(jx * jw - jy * jz)
+    f = max(f0 * f0, 0.1)
+    a = (jz * jz + jw * jw) / f
+    b = -2.0 * (jx * jz + jy * jw) / f
+    c = (jx * jx + jy * jy) / f
+    vx, vy = c - a, -b
+    lv = math.sqrt(vx * vx + vy * vy)
+    v0 = vx / lv if lv > 0.01 else 1.0
+    cc = math.sqrt(max(1.0 + v0, 0.0) / 2.0)
+    s = math.sqrt(max(1.0 - v0, 0.0) / 2.0)
+    a0 = a * cc * cc - b * cc * s + c * s * s
+    c0 = a * s * s + b * cc * s + c * cc * cc
+    bt1 = b * (cc * cc - s * s)
+    bt2 = 2.0 * (a - c) * cc * s
+    b0 = bt1 + bt2
+    b0v2 = bt1 - bt2
+    if abs(b0) > abs(b0v2):
+        s = -s
+        b0 = b0v2
+    a0 = min(a0, 1.0)
+    c0 = min(c0, 1.0)
+    sn = -s
+    abc = (a0 * cc * cc - b0 * cc * sn + c0 * sn * sn,
+           2.0 * a0 * cc * sn + b0 * cc * cc - b0 * sn * sn - 2.0 * c0 * cc * sn,
+           a0 * sn * sn + b0 * cc * sn + c0 * cc * cc)
+    total = np.zeros(C, np.float64)
+    sum_div = 0.0
+    for in_y in range(y0, y1 + 1):
+        fy = in_y - v
+        fy2 = fy * abc[1]
+        fy3 = fy * fy * abc[2]
+        for in_x in range(x0, x1 + 1):
+            fx = in_x - u
+            dr = fx * fx * abc[0] + fx * fy2 + fy3
+            k = _ewa_bc2(math.sqrt(max(dr, 0.0)), p)
+            if k == 0.0:
+                continue
+            if sry <= in_y < sry + srh and srx <= in_x < srx + srw:
+                px = img[in_y, in_x].astype(np.float64)
+            else:
+                px = bg
+            total = total + k * px
+            sum_div += k
+    if sum_div != 0.0:
+        total /= sum_div
+    return np.minimum(total, p["pixel_value_limit"])
+
+
+def sample_input_at(u, v, img, p, bg, jac=(1.0, 0.0, 0.0, 1.0)):
+    if p["interpolation"] > 8:
+        return sample_ewa_at(u, v, jac, img, p, bg)
     info = INTERP_INFO[p["interpolation"]]
     taps, ind, shift, offset = info["taps"], info["ind"], info["shift"], info["offset"]
     H, W, C = img.shape
@@ -384,6 +458,13 @@ def undistort_image(img, p, matrices, mesh=None):
             uv = undistort_coord(float(x), float(y), p, matrices, out_c, out_f, mesh)
             if uv is not None:
                 u, v = uv
+                jac = (1.0, 0.0, 0.0, 1.0)
+                if p["interpolation"] > 8:
+                    eps = 0.01
+                    xyx = undistort_coord(float(x) + eps, float(y), p, matrices, out_c, out_f, mesh) or (0.0, 0.0)
+                    xyy = undistort_coord(float(x), float(y) + eps, p, matrices, out_c, out_f, mesh) or (0.0, 0.0)
+                    jac = ((xyx[0] - u) / eps, (xyy[0] - u) / eps,
+                           (xyx[1] - v) / eps, (xyy[1] - v) / eps)
                 if p["background_mode"] == 3:
                     fw, fh = float(p["width"]), float(p["height"])
                     widthf, heightf = fw - 1.0, fh - 1.0
@@ -404,11 +485,11 @@ def undistort_image(img, p, matrices, mesh=None):
                     mv = map_coord(v, 0.0, frame_h, sry, sry + srh)
                     m2u = map_coord(p2u, 0.0, frame_w, srx, srx + srw)
                     m2v = map_coord(p2v, 0.0, frame_h, sry, sry + srh)
-                    c1 = sample_input_at(mu, mv, img, p, bg)
-                    c2 = sample_input_at(m2u, m2v, img, p, bg)
+                    c1 = sample_input_at(mu, mv, img, p, bg, jac)
+                    c2 = sample_input_at(m2u, m2v, img, p, bg, jac)
                     pixel = c1 * alpha + c2 * (1.0 - alpha)
                 else:
-                    pixel = sample_input_at(u, v, img, p, bg)
+                    pixel = sample_input_at(u, v, img, p, bg, jac)
             if fix_range:
                 pixel = remap_colorrange(pixel)
             out[y, x] = pixel

@@ -216,3 +216,33 @@ class TestGoldenRemap:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestEWA:
+    @pytest.mark.parametrize("interp", [10, 11, 12, 13])
+    def test_ewa_modes(self, interp):
+        from gyroflow_tpu.ops.remap import ewa_coeffs
+        img = make_image()
+        cfg, dyn, p, matrices = make_pair()
+        cfg = cfg._replace(interpolation=interp)
+        pw, qw = ewa_coeffs(interp)
+        dyn = dyn._replace(ewa_coeffs_p=jnp.asarray(pw, jnp.float32),
+                           ewa_coeffs_q=jnp.asarray(qw, jnp.float32))
+        p.update(interpolation=interp, ewa_coeffs_p=list(pw), ewa_coeffs_q=list(qw))
+        got = np.asarray(remap.remap_plane_jit(jnp.asarray(img), jnp.asarray(matrices), cfg, dyn))
+        want = oracle.undistort_image(img, p, matrices)
+        diff = np.abs(got - want)
+        assert diff.max() < 1.0, f"EWA {interp} diff {diff.max()}"
+
+    def test_ewa_feather_mode(self):
+        from gyroflow_tpu.ops.remap import ewa_coeffs
+        img = make_image()
+        cfg, dyn, p, matrices = make_pair(background_mode=3, fov=1.2)
+        cfg = cfg._replace(interpolation=13)
+        pw, qw = ewa_coeffs(13)
+        dyn = dyn._replace(ewa_coeffs_p=jnp.asarray(pw, jnp.float32),
+                           ewa_coeffs_q=jnp.asarray(qw, jnp.float32))
+        p.update(interpolation=13, ewa_coeffs_p=list(pw), ewa_coeffs_q=list(qw))
+        got = np.asarray(remap.remap_plane_jit(jnp.asarray(img), jnp.asarray(matrices), cfg, dyn))
+        want = oracle.undistort_image(img, p, matrices)
+        assert np.abs(got - want).max() < 1.5
