@@ -62,12 +62,26 @@ def main():
         mats = jnp.asarray(make_matrices(W, H, f, fov, H))
         planes.append((cfg, dyn, img, mats))
 
+    # probe the smallest non-overflowing sampler window per plane
+    def pick_window(cfg, dyn, img, mats):
+        for cand in ((32, 256), (40, 384), (64, 512), (96, 768)):
+            out, ov = remap.remap_plane_pallas_jit(img, mats, cfg, dyn, None,
+                                                   win_h=cand[0], win_w=cand[1])
+            if not bool(ov):
+                return cand
+        return (96, 768)
+
+    win_y = pick_window(planes[0][0], planes[0][1], planes[0][2], planes[0][3])
+    win_uv = pick_window(planes[1][0], planes[1][1], planes[1][2], planes[1][3])
+
     @jax.jit
     def run_frame(y, yl, uv, uvm, salt):
         cfg0, dyn0 = planes[0][0], planes[0][1]
         cfg1, dyn1 = planes[1][0], planes[1][1]
-        out_y, _ = remap.remap_plane_pallas(y + salt, yl, cfg0, dyn0)
-        out_uv, _ = remap.remap_plane_pallas(uv + salt, uvm, cfg1, dyn1)
+        out_y, _ = remap.remap_plane_pallas(y + salt, yl, cfg0, dyn0,
+                                            win_h=win_y[0], win_w=win_y[1])
+        out_uv, _ = remap.remap_plane_pallas(uv + salt, uvm, cfg1, dyn1,
+                                             win_h=win_uv[0], win_w=win_uv[1])
         return jnp.sum(out_y) + jnp.sum(out_uv) + salt
 
     y_img, y_mats = planes[0][2], planes[0][3]

@@ -34,6 +34,7 @@ class StabilizationManager:
         self.input_file: Optional[str] = None
         self._compute_params: Optional[ComputeParams] = None
         self._stab_cache: Dict[int, object] = {}     # ts_us -> FrameTransform
+        self._win_cache: Dict[object, tuple] = {}    # cfg -> sampler window size
         self.current_compute_id = 0
 
     # ---- loading (lib.rs:155-354, 1909-1976) -------------------------------
@@ -308,7 +309,23 @@ class StabilizationManager:
         mats = jnp.asarray(ft.matrices)
         mesh = jnp.asarray(ft.mesh_data) if ft.mesh_data is not None else None
         if use_pallas:
-            out, overflow = remap.remap_plane_pallas_jit(img, mats, cfg, dyn, mesh)
+            # auto window sizing: probe small->large once per config, cache
+            wkey = (cfg, img.shape)
+            win = self._win_cache.get(wkey)
+            if win is not None:
+                out, _ov = remap.remap_plane_pallas_jit(img, mats, cfg, dyn, mesh,
+                                                        win_h=win[0], win_w=win[1])
+            else:
+                out = None
+                for cand in ((32, 256), (40, 384), (64, 512), (96, 768)):
+                    out, ov = remap.remap_plane_pallas_jit(img, mats, cfg, dyn, mesh,
+                                                           win_h=cand[0], win_w=cand[1])
+                    if not bool(ov):
+                        self._win_cache[wkey] = cand
+                        break
+                else:
+                    log.warning("all sampler windows overflow; using XLA path")
+                    out = remap.remap_plane_jit(img, mats, cfg, dyn, mesh)
             backend = "pallas-tpu"
         else:
             out = remap.remap_plane_jit(img, mats, cfg, dyn, mesh)
