@@ -131,6 +131,13 @@ class GyroSource:
                     fm.image_orientations or TimeQuat(), self.get_raw_imu(), self.duration_ms)
             else:
                 self.quaternions = fm.quaternions.copy()
+            if self.imu_transforms.glitch_filter and len(self.quaternions) >= 8:
+                from .filtering import GlitchRepairParams, repair_quats
+                patched = repair_quats(self.quaternions,
+                                       GlitchRepairParams.from_strength(
+                                           self.imu_transforms.glitch_strength))
+                if patched:
+                    log.info("Glitch filter: repaired %d sample(s)", patched)
             if self.imu_transforms.imu_lpf > 0.0 and len(self.quaternions) > 0 and self.duration_ms > 0.0:
                 sample_rate = len(self.quaternions) / (self.duration_ms / 1000.0)
                 try:

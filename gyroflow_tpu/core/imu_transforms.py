@@ -23,7 +23,7 @@ class IMUTransforms:
     imu_lpf: float = 0.0                        # Hz
     imu_mf: int = 0                             # median filter size
     glitch_filter: bool = False
-    glitch_strength: float = 0.5
+    glitch_strength: float = 0.0
     gyro_bias: Optional[list] = None
 
     _imu_rotation: Optional[np.ndarray] = field(default=None, repr=False)

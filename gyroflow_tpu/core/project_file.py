@@ -296,7 +296,7 @@ def import_gyroflow_data(mgr, data: str, blocking: bool = True):
     gyro.imu_transforms.imu_lpf = float(gs.get("lpf", 0.0))
     gyro.imu_transforms.imu_mf = int(gs.get("mf", 0))
     gyro.imu_transforms.glitch_filter = bool(gs.get("glitch_filter", False))
-    gyro.imu_transforms.glitch_strength = float(gs.get("glitch_strength", 0.5))
+    gyro.imu_transforms.glitch_strength = float(gs.get("glitch_strength", 0.0))
     if gs.get("rotation"):
         gyro.imu_transforms.set_imu_rotation(*gs["rotation"])
     if gs.get("acc_rotation"):

@@ -174,3 +174,26 @@ class TestFacade:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestGlitchRepair:
+    def test_repairs_spike(self):
+        from gyroflow_tpu.core.filtering import GlitchRepairParams, repair_quats
+        tq, dur = shaky_path(3000, rate_hz=1000.0)
+        # inject a violent glitch: a few samples rotated far off the path
+        bad = quat.multiply(tq.quats[1500], quat.from_axis_angle(np.array([0.0, 0, 1]), 2.5))
+        orig = tq.quats[1498:1504].copy()
+        tq.quats[1499:1502] = bad
+        patched = repair_quats(tq, GlitchRepairParams.from_strength(50.0))
+        assert patched >= 3
+        # repaired samples interpolate smoothly: small angle to neighbors
+        d = quat.angle_of(quat.multiply(quat.inverse(tq.quats[1498]), tq.quats[1501]))
+        assert d < 0.1, d
+
+    def test_no_false_positive_on_smooth_path(self):
+        from gyroflow_tpu.core.filtering import GlitchRepairParams, repair_quats
+        tq, dur = shaky_path(2000, rate_hz=1000.0)
+        before = tq.quats.copy()
+        patched = repair_quats(tq, GlitchRepairParams.from_strength(50.0))
+        assert patched == 0
+        assert np.allclose(tq.quats, before)
