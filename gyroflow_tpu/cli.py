@@ -83,7 +83,19 @@ def _load_inputs(args):
                                  (info.width, info.height))
         mgr.input_file = video
     if args.gyro_file:
-        mgr.load_gyro_data(args.gyro_file)
+        from .core.telemetry import TelemetryError
+        try:
+            mgr.load_gyro_data(args.gyro_file)
+        except TelemetryError as e:
+            log.error("failed to load gyro data from %s: %s", args.gyro_file, e)
+            raise SystemExit(2)
+    elif video and not mgr.gyro.has_motion():
+        # lib.rs:172-269: telemetry embedded in the video itself (GPMF etc.)
+        try:
+            mgr.load_gyro_data(video)
+            log.info("loaded embedded telemetry: %s", mgr.gyro.file_metadata.detected_source)
+        except Exception as e:  # decode is best-effort; plain videos have no telemetry
+            log.debug("no embedded telemetry: %s", e)
     return mgr, video
 
 

@@ -28,5 +28,8 @@ def parse_telemetry_file(path: str, options: Optional[dict] = None,
     if ext in (".bbl", ".bfl", ".txt"):
         from .blackbox_csv import parse_blackbox_csv
         return parse_blackbox_csv(path, progress_cb=progress_cb)
+    if ext in (".mp4", ".mov", ".360"):
+        from .gpmf import parse_gpmf_mp4
+        return parse_gpmf_mp4(path, progress_cb=progress_cb)
     raise TelemetryError(f"Unsupported telemetry format: {ext} "
-                         f"(supported: .gcsv, .csv, betaflight blackbox csv)")
+                         f"(supported: .gcsv, .csv, blackbox csv, GPMF .mp4/.mov)")
