@@ -22,12 +22,16 @@ log = logging.getLogger(__name__)
 
 
 def pick_sync_points(mgr, count: int = 2, chunk_ms: float = 2500.0) -> List[float]:
-    """Choose timestamps with the most gyro activity (OptimSync's goal,
-    synchronization/optimsync.rs, without the FFT machinery)."""
+    """Choose sync timestamps: OptimSync's STFT rank (optimsync.rs) when the
+    gyro signal supports it, else a chunked activity heuristic."""
     raw = mgr.gyro.get_raw_imu()
     dur = mgr.params.duration_ms
     if not raw or dur <= 0:
         return [dur * (i + 1) / (count + 1) for i in range(count)]
+    from .optimsync import pick_sync_points_fft
+    pts = pick_sync_points_fft(raw, dur, count, mgr.params.trim_ranges or None)
+    if pts:
+        return sorted(pts)
     mags = np.asarray([np.linalg.norm(v.gyro) if v.gyro is not None else 0.0 for v in raw])
     ts = np.asarray([v.timestamp_ms for v in raw])
     n_chunks = max(int(dur / chunk_ms), 1)
@@ -129,7 +133,8 @@ def find_offset_for_range(mgr, of_items: List[TimeIMU], initial_offset: float,
 def run_autosync(mgr, video_path: str, search_size: float = 3000.0,
                  initial_offset: float = 0.0, sync_points: int = 2,
                  processing_resolution: int = 720,
-                 time_per_syncpoint: float = 1.5) -> List[Tuple[float, float]]:
+                 time_per_syncpoint: float = 1.5,
+                 of_method: str = "pyrlk") -> List[Tuple[float, float]]:
     """AutosyncProcess (autosync.rs:15-130). Returns [(ts_ms, offset_ms)] and
     applies them to the manager's gyro offsets."""
     import cv2
@@ -146,7 +151,7 @@ def run_autosync(mgr, video_path: str, search_size: float = 3000.0,
     for ts_mid in points:
         frame0 = max(int((ts_mid - time_per_syncpoint * 500.0) / 1000.0 * fps), 0)
         frame1 = int((ts_mid + time_per_syncpoint * 500.0) / 1000.0 * fps)
-        est = PoseEstimator(cp, size)
+        est = PoseEstimator(cp, size, of_method=of_method)
         reader.seek_frame(frame0)
         for idx in range(frame0, frame1 + 1):
             try:
