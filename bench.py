@@ -64,7 +64,8 @@ def main():
 
     # probe the smallest non-overflowing sampler window per plane
     def pick_window(cfg, dyn, img, mats):
-        for cand in ((32, 256), (40, 384), (64, 512), (96, 768)):
+        for cand in ((24, 256), (32, 256), (40, 256), (40, 384), (48, 384),
+                     (64, 512), (96, 768)):
             out, ov = remap.remap_plane_pallas_jit(img, mats, cfg, dyn, None,
                                                    win_h=cand[0], win_w=cand[1])
             if not bool(ov):

@@ -317,7 +317,8 @@ class StabilizationManager:
                                                         win_h=win[0], win_w=win[1])
             else:
                 out = None
-                for cand in ((32, 256), (40, 384), (64, 512), (96, 768)):
+                for cand in ((24, 256), (32, 256), (40, 256), (40, 384),
+                             (48, 384), (64, 512), (96, 768)):
                     out, ov = remap.remap_plane_pallas_jit(img, mats, cfg, dyn, mesh,
                                                            win_h=cand[0], win_w=cand[1])
                     if not bool(ov):
