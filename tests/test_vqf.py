@@ -77,3 +77,46 @@ class TestOfflineVQF:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestAhrsIntegrators:
+    """Mahony/Madgwick (imu_integration/mod.rs:234-330)."""
+
+    @staticmethod
+    def _imu(n=2000, rate=500.0, rate_deg=10.0):
+        from gyroflow_tpu.core.file_metadata import TimeIMU
+        # Rotation about the gravity axis: after the integrators' axis remap
+        # (-a1, a0, a2), accel (9.81, 0, 0) lands on the estimated-gravity
+        # direction of the FRAC_PI_2-about-x init attitude, and a gyro about
+        # that same axis keeps it invariant — so the gravity correction term
+        # is identically zero and pure gyro tracking can be asserted.
+        return [TimeIMU(timestamp_ms=i * 1000.0 / rate,
+                        gyro=np.array([rate_deg, 0.0, 0.0]),
+                        accl=np.array([9.81, 0.0, 0.0]))
+                for i in range(n)]
+
+    @pytest.mark.parametrize("method", [5, 6])
+    def test_tracks_constant_rate(self, method):
+        from gyroflow_tpu.core.imu_integration import INTEGRATORS
+        from gyroflow_tpu.core import quaternion as quat
+        imu = self._imu()
+        tq = INTEGRATORS[method](imu, 4000.0)
+        assert len(tq) == len(imu)
+        np.testing.assert_allclose(np.linalg.norm(tq.quats, axis=-1), 1.0)
+        # relative rotation over the last 2s ≈ 20° (gravity correction may
+        # bend the start; the steady state must track the gyro)
+        i0 = len(tq) // 2
+        rel = quat.multiply(quat.inverse(tq.quats[i0]), tq.quats[-1])
+        ang = math.degrees(quat.angle_of(rel))
+        assert ang == pytest.approx(20.0, abs=3.0), ang
+
+    @pytest.mark.parametrize("method", [5, 6])
+    def test_zero_accel_nudge(self, method):
+        # all-zero accel gets the reference's 1e-7 nudge instead of erroring
+        from gyroflow_tpu.core.file_metadata import TimeIMU
+        from gyroflow_tpu.core.imu_integration import INTEGRATORS
+        imu = [TimeIMU(timestamp_ms=i * 2.0, gyro=np.array([0.0, 0.0, 5.0]))
+               for i in range(500)]
+        tq = INTEGRATORS[method](imu, 1000.0)
+        assert len(tq) == 500
+        assert np.isfinite(tq.quats).all()
