@@ -276,7 +276,8 @@ class StabilizationManager:
 
     def process_pixels(self, timestamp_us: int, frame_plane: np.ndarray,
                        interpolation: int = 8, use_pallas: Optional[bool] = None,
-                       plane_index: int = 0, max_pixel_value: float = 255.0):
+                       plane_index: int = 0, max_pixel_value: float = 255.0,
+                       drawing=None):
         """Stabilize one plane (H, W, C) f32 at the given video timestamp.
 
         Returns (output plane, info dict) like ProcessedInfo
@@ -299,6 +300,9 @@ class StabilizationManager:
         cfg = ft.kernel_cfg._replace(
             interpolation=interpolation, plane_index=plane_index,
             width=frame_plane.shape[1], height=frame_plane.shape[0])
+        if drawing is not None:
+            from ..ops.kernel_params import DRAWING_ENABLED
+            cfg = cfg._replace(flags=cfg.flags | DRAWING_ENABLED)
         dyn = ft.kernel_dyn._replace(
             max_pixel_value=jnp.float32(max_pixel_value),
             pixel_value_limit=jnp.float32(max_pixel_value))
@@ -314,22 +318,25 @@ class StabilizationManager:
             win = self._win_cache.get(wkey)
             if win is not None:
                 out, _ov = remap.remap_plane_pallas_jit(img, mats, cfg, dyn, mesh,
-                                                        win_h=win[0], win_w=win[1])
+                                                        win_h=win[0], win_w=win[1],
+                                                        drawing=drawing)
             else:
                 out = None
                 for cand in ((24, 256), (32, 256), (40, 256), (40, 384),
                              (48, 384), (64, 512), (96, 768)):
                     out, ov = remap.remap_plane_pallas_jit(img, mats, cfg, dyn, mesh,
-                                                           win_h=cand[0], win_w=cand[1])
+                                                           win_h=cand[0], win_w=cand[1],
+                                                           drawing=drawing)
                     if not bool(ov):
                         self._win_cache[wkey] = cand
                         break
                 else:
                     log.warning("all sampler windows overflow; using XLA path")
-                    out = remap.remap_plane_jit(img, mats, cfg, dyn, mesh)
+                    out = remap.remap_plane_jit(img, mats, cfg, dyn, mesh,
+                                                drawing=drawing)
             backend = "pallas-tpu"
         else:
-            out = remap.remap_plane_jit(img, mats, cfg, dyn, mesh)
+            out = remap.remap_plane_jit(img, mats, cfg, dyn, mesh, drawing=drawing)
             backend = "xla"
         info = {"fov": ft.fov, "minimal_fov": ft.minimal_fov,
                 "focal_length": ft.focal_length, "backend": backend}

@@ -21,9 +21,9 @@ import jax.numpy as jnp
 from . import distortion_models as dm
 from .interpolation import COEFFS, INTER_BITS, INTER_TAB_SIZE, INTERP_INFO
 from .kernel_params import (
-    ANY_UNDERWATER, FILL_WITH_BACKGROUND, FIX_COLOR_RANGE, FRAMEBUFFER_INVERTED,
-    HAS_DIGITAL_LENS, HAS_FPD_DATA, HAS_IBIS_DATA, HAS_MESH_DATA, HORIZONTAL_RS,
-    KernelConfig, KernelDynamics,
+    ANY_UNDERWATER, DRAWING_ENABLED, FILL_WITH_BACKGROUND, FIX_COLOR_RANGE,
+    FRAMEBUFFER_INVERTED, HAS_DIGITAL_LENS, HAS_FPD_DATA, HAS_IBIS_DATA,
+    HAS_MESH_DATA, HORIZONTAL_RS, KernelConfig, KernelDynamics,
 )
 
 _COEFFS_J = jnp.asarray(COEFFS)
@@ -421,11 +421,46 @@ def _remap_colorrange(px, is_y: bool):
     return px + bump
 
 
-def remap_plane(img, matrices, cfg: KernelConfig, dyn: KernelDynamics, mesh=None):
+def _draw_overlay(pixel, pos, canvas, scale, want_stage, cfg, dyn):
+    """draw_pixel (stabilize_spirv/src/drawing.rs:20-50) for one stage.
+
+    canvas: (hc, wc) uint8 with color<<3 | alpha<<1 | stage packing."""
+    from ..core.drawing import ALPHAS, COLORS
+    hc, wc = canvas.shape
+    xi = jnp.floor(pos[..., 0] / scale).astype(jnp.int32)
+    yi = jnp.floor(pos[..., 1] / scale).astype(jnp.int32)
+    inb = (xi >= 0) & (yi >= 0) & (xi < wc) & (yi < hc)
+    data = canvas[jnp.clip(yi, 0, hc - 1), jnp.clip(xi, 0, wc - 1)].astype(jnp.int32)
+    color = (data & 0xF8) >> 3
+    alpha = (data & 0x06) >> 1
+    stage = data & 1
+    active = inb & (data > 0) & (stage == want_stage) & (color < 9)
+    colorf = jnp.asarray(COLORS)[jnp.clip(color, 0, 8)] * dyn.max_pixel_value  # (..., 4)
+    alphaf = jnp.asarray(ALPHAS)[alpha][..., None]
+    C = pixel.shape[-1]
+    blended = colorf[..., :C] * alphaf + pixel * (1.0 - alphaf)
+    return jnp.where(active[..., None], blended, pixel)
+
+
+def _draw_safe_area(pixel, out_pos, rect):
+    """draw_safe_area (stabilize_spirv/src/drawing.rs:52-69)."""
+    x, y = out_pos[..., 0], out_pos[..., 1]
+    rx, ry, rz, rw = [jnp.asarray(v, jnp.float32) for v in rect]
+    safe = (x >= rx) & (x <= rz) & (y >= ry) & (y <= rw)
+    border = (x > rx - 5.0) & (x < rz + 5.0) & (y > ry - 5.0) & (y < rw + 5.0)
+    dim = jnp.where(safe, 1.0, jnp.where(border, 0.25, 0.5))
+    return pixel * dim[..., None]
+
+
+def remap_plane(img, matrices, cfg: KernelConfig, dyn: KernelDynamics, mesh=None,
+                drawing=None):
     """Remap one plane: (H, W, C) f32 -> (output_height, output_width, C) f32.
 
     Mirrors undistort_image_cpu's per-pixel driver (cpu_undistort.rs:519-625),
     vectorized over the whole output grid in one fused XLA program.
+    `drawing` is an optional core.drawing.DrawingState overlay, blended per
+    process_final_pixel (stabilize_spirv/src/drawing.rs:78-99) when the
+    DRAWING_ENABLED flag is set.
     """
     C = img.shape[-1]
     bg_full = dyn.background * dyn.max_pixel_value  # (4,)
@@ -504,12 +539,26 @@ def remap_plane(img, matrices, cfg: KernelConfig, dyn: KernelDynamics, mesh=None
 
     if cfg.has(FIX_COLOR_RANGE):
         pixel = _remap_colorrange(pixel, cfg.plane_index == 0)
+
+    if drawing is not None and cfg.has(DRAWING_ENABLED):
+        # process_final_pixel: input-stage draw gated by source_rect, then
+        # output-stage draw, then safe-area dim
+        canvas = jnp.asarray(drawing.canvas)
+        srx, sry, srw, srh = cfg.src_rect
+        src_in = (uv[..., 1] >= float(sry)) & (uv[..., 1] < float(sry + srh)) & \
+                 (uv[..., 0] >= float(srx)) & (uv[..., 0] < float(srx + srw))
+        drawn_in = _draw_overlay(pixel, uv, canvas, drawing.scale, 0, cfg, dyn)
+        pixel = jnp.where(src_in[..., None], drawn_in, pixel)
+        pixel = _draw_overlay(pixel, out_pos, canvas, drawing.scale, 1, cfg, dyn)
+        if drawing.safe_area_rect is not None:
+            pixel = _draw_safe_area(pixel, out_pos, drawing.safe_area_rect)
     return pixel
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def remap_plane_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics, mesh=None):
-    return remap_plane(img, matrices, cfg, dyn, mesh=mesh)
+def remap_plane_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics, mesh=None,
+                    drawing=None):
+    return remap_plane(img, matrices, cfg, dyn, mesh=mesh, drawing=drawing)
 
 
 # ---------------------------------------------------------------------------
@@ -518,7 +567,8 @@ def remap_plane_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics, mesh=
 # ---------------------------------------------------------------------------
 
 def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
-                       mesh=None, win_h: int = 64, win_w: int = 512):
+                       mesh=None, win_h: int = 64, win_w: int = 512,
+                       drawing=None):
     """Drop-in replacement for remap_plane using the Pallas sampling kernel.
 
     Returns (output, overflow) — overflow True means some tile's source bbox
@@ -527,10 +577,12 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     """
     from . import pallas_sampler as ps
 
-    if cfg.has(HAS_MESH_DATA) or cfg.has(HAS_FPD_DATA) or cfg.interpolation > 8:
-        # mesh and EWA paths run through the XLA pipeline until the kernels
-        # grow mesh operands / elliptical windows
-        return remap_plane(img, matrices, cfg, dyn, mesh=mesh), jnp.asarray(False)
+    if cfg.has(HAS_MESH_DATA) or cfg.has(HAS_FPD_DATA) or cfg.interpolation > 8 \
+            or (drawing is not None and cfg.has(DRAWING_ENABLED)):
+        # mesh, EWA and overlay paths run through the XLA pipeline until the
+        # kernels grow mesh operands / elliptical windows / canvas blending
+        return remap_plane(img, matrices, cfg, dyn, mesh=mesh,
+                           drawing=drawing), jnp.asarray(False)
 
     C = img.shape[-1]
     bg_full = dyn.background * dyn.max_pixel_value
@@ -627,5 +679,7 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "win_h", "win_w"))
 def remap_plane_pallas_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
-                           mesh=None, win_h: int = 64, win_w: int = 512):
-    return remap_plane_pallas(img, matrices, cfg, dyn, mesh, win_h, win_w)
+                           mesh=None, win_h: int = 64, win_w: int = 512,
+                           drawing=None):
+    return remap_plane_pallas(img, matrices, cfg, dyn, mesh, win_h, win_w,
+                              drawing=drawing)

@@ -31,6 +31,8 @@ class RenderOptions:
     trim_start: float = 0.0     # fraction 0..1
     trim_end: float = 1.0
     interpolation: int = 8
+    safe_area: Optional[list] = None   # [x0, y0, x1, y1] output px → dim outside
+    overlay: object = None             # core.drawing.DrawCanvas debug overlay
 
 
 def render(mgr, input_path: str, output_path: str,
@@ -72,9 +74,18 @@ def render(mgr, input_path: str, output_path: str,
                 emit = int(speed_acc)
                 speed_acc -= emit
             if emit > 0:
+                drawing = None
+                if options.overlay is not None or options.safe_area is not None:
+                    from ..core.drawing import DrawCanvas
+                    canvas = options.overlay or DrawCanvas(
+                        rgb.shape[1], rgb.shape[0], rgb.shape[1], rgb.shape[0])
+                    rect = tuple(float(v) for v in options.safe_area) \
+                        if options.safe_area else None
+                    drawing = canvas.state(safe_area_rect=rect)
                 out, info = mgr.process_pixels(ts_us, rgb,
                                                interpolation=options.interpolation,
-                                               use_pallas=use_pallas)
+                                               use_pallas=use_pallas,
+                                               drawing=drawing)
                 out_np = np.asarray(out)
                 for _ in range(emit):
                     writer.write_rgb(out_np)
