@@ -96,5 +96,22 @@ def render(mgr, input_path: str, output_path: str,
         reader.close()
         writer.close()
 
-    return {"frames": frames_done, "output": output_path,
+    audio_copied = False
+    if options.audio and output_path.lower().endswith((".mp4", ".mov")) \
+            and input_path.lower().endswith((".mp4", ".mov")):
+        # passthrough remux (ffmpeg stream-copy equivalent, rendering/mod.rs:425)
+        import os
+        from ..utils.mp4mux import remux_with_audio
+        tmp = output_path + ".remux.mp4"
+        try:
+            if remux_with_audio(output_path, input_path, tmp):
+                os.replace(tmp, output_path)
+                audio_copied = True
+        except Exception as e:
+            log.warning("audio passthrough failed, keeping video-only: %s", e)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+    return {"frames": frames_done, "output": output_path, "audio": audio_copied,
             "backend": "pallas-tpu" if use_pallas else "xla"}

@@ -1,0 +1,173 @@
+"""Audio-passthrough MP4 remuxer.
+
+The reference keeps audio via ffmpeg stream-copy/transcode
+(src/rendering/ffmpeg_audio.rs, mod.rs:250-262). This image has no ffmpeg
+binary or PyAV, so passthrough is done structurally: copy the audio `trak`
+box verbatim from the source MP4 into the stabilized (video-only) MP4 and
+relocate both tracks' chunk data into a merged `mdat`, patching `stco`/`co64`
+chunk-offset tables in place. Uses the ISO-BMFF reader from
+core/telemetry/mp4.py.
+"""
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+from ..core.telemetry.mp4 import _boxes
+
+
+def _walk_spans(buf, start, end, path, out):
+    """Collect (path, body_start, body_end, box_start) spans."""
+    for typ, b, e in _boxes(buf, start, end):
+        p = path + [typ.decode("latin-1")]
+        out.append((tuple(p), b, e, b - 8 if struct.unpack_from(">I", buf, b - 8)[0] != 1 else b - 16))
+        if typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+            _walk_spans(buf, b, e, p, out)
+
+
+def _spans(buf, start=0, end=None):
+    out: list = []
+    _walk_spans(buf, start, len(buf) if end is None else end, [], out)
+    return out
+
+
+def _track_chunks(buf, trak_body_start, trak_body_end) -> Tuple[List[Tuple[int, int]], int, bool]:
+    """Per-chunk (src_offset, byte_len) + offset of the stco/co64 table within
+    the file + whether it's co64. Derived from stsz/stsc/stco."""
+    spans = []
+    _walk_spans(buf, trak_body_start, trak_body_end, ["trak"], spans)
+
+    def body(name):
+        for p, b, e, _s in spans:
+            if p[-1] == name:
+                return b, e
+        return None
+
+    stsz = body("stsz")
+    stsc = body("stsc")
+    stco, is64 = body("stco"), False
+    if stco is None:
+        stco, is64 = body("co64"), True
+    if stsz is None or stsc is None or stco is None:
+        raise ValueError("track missing sample tables")
+
+    b, _ = stsz
+    const, cnt = struct.unpack_from(">II", buf, b + 4)
+    sizes = [const] * cnt if const else list(struct.unpack_from(f">{cnt}I", buf, b + 12))
+
+    b, _ = stsc
+    n = struct.unpack_from(">I", buf, b + 4)[0]
+    stc = [struct.unpack_from(">III", buf, b + 8 + 12 * i)[:2] for i in range(n)]
+
+    b, _ = stco
+    n = struct.unpack_from(">I", buf, b + 4)[0]
+    fmt = ">%d%s" % (n, "Q" if is64 else "I")
+    offs = list(struct.unpack_from(fmt, buf, b + 8))
+    table_pos = b + 8  # file offset of the first entry
+
+    chunks = []
+    si = 0
+    for ci, coff in enumerate(offs):
+        per = 1
+        for first, per_chunk in stc:
+            if ci + 1 >= first:
+                per = per_chunk
+        nbytes = sum(sizes[si:si + per])
+        chunks.append((coff, nbytes))
+        si += per
+    return chunks, table_pos, is64
+
+
+def _find_trak(buf, handler: bytes) -> Optional[Tuple[int, int]]:
+    """Body span of the first trak whose mdia/hdlr handler_type matches."""
+    for p, b, e, _s in _spans(buf):
+        if p == ("moov", "trak"):
+            for p2, b2, e2, _s2 in _spans(buf, b, e):
+                if p2[-1] == "hdlr" and buf[b2 + 8:b2 + 12] == handler:
+                    return b, e
+    return None
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), typ) + payload
+
+
+def remux_with_audio(video_path: str, audio_source_path: str, out_path: str) -> bool:
+    """Merge the stabilized video-only MP4 with the source's audio track.
+
+    Returns False (and writes nothing) if either side lacks what's needed —
+    callers fall back to the video-only file, mirroring the reference's
+    audio-error fallback (rendering/mod.rs:425-433 re-render without audio).
+    """
+    with open(video_path, "rb") as f:
+        vbuf = f.read()
+    with open(audio_source_path, "rb") as f:
+        abuf = f.read()
+
+    v_trak = _find_trak(vbuf, b"vide")
+    a_trak = _find_trak(abuf, b"soun")
+    v_spans = _spans(vbuf)
+    ftyp = next(((b, e, s) for p, b, e, s in v_spans if p == ("ftyp",)), None)
+    moov = next(((b, e, s) for p, b, e, s in v_spans if p == ("moov",)), None)
+    if v_trak is None or a_trak is None or moov is None:
+        return False
+
+    try:
+        v_chunks, v_tbl, v_64 = _track_chunks(vbuf, v_trak[0], v_trak[1])
+        a_chunks, a_tbl, a_64 = _track_chunks(abuf, a_trak[0], a_trak[1])
+    except ValueError:
+        return False
+
+    ftyp_bytes = vbuf[ftyp[2]:ftyp[1]] if ftyp else _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2mp41")
+
+    # assemble the new moov: original moov body + the audio trak appended
+    moov_body = bytearray(vbuf[moov[0]:moov[1]])
+    a_trak_start = a_trak[0] - 8
+    audio_trak_bytes = bytearray(abuf[a_trak_start:a_trak[1]])
+    a_tbl_rel = a_tbl - a_trak_start          # offset table pos within trak copy
+    v_tbl_rel = v_tbl - moov[0]               # within moov body
+    moov_bytes_len = 8 + len(moov_body) + len(audio_trak_bytes)
+
+    # mdat follows ftyp + moov; lay out video chunks then audio chunks
+    mdat_start = len(ftyp_bytes) + moov_bytes_len + 8
+    data = bytearray()
+    new_v_offs = []
+    for off, nbytes in v_chunks:
+        new_v_offs.append(mdat_start + len(data))
+        data += vbuf[off:off + nbytes]
+    new_a_offs = []
+    for off, nbytes in a_chunks:
+        new_a_offs.append(mdat_start + len(data))
+        data += abuf[off:off + nbytes]
+
+    def patch(table: bytearray, pos: int, offs: List[int], is64: bool):
+        w = 8 if is64 else 4
+        for i, o in enumerate(offs):
+            struct.pack_into(">Q" if is64 else ">I", table, pos + i * w, o)
+
+    patch(moov_body, v_tbl_rel, new_v_offs, v_64)
+    patch(audio_trak_bytes, a_tbl_rel, new_a_offs, a_64)
+
+    # give the audio track a non-colliding id (tkhd) and bump mvhd next_track_id
+    def tkhd_id_pos(buf2, start, end, base):
+        for p, b, e, _s in _spans(buf2, start, end):
+            if p[-1] == "tkhd":
+                return (b - base) + (20 if buf2[b] == 1 else 12)
+        return None
+
+    v_id_pos = tkhd_id_pos(vbuf, v_trak[0], v_trak[1], moov[0])
+    a_id_pos = tkhd_id_pos(abuf, a_trak[0], a_trak[1], a_trak_start)
+    if v_id_pos is not None and a_id_pos is not None:
+        v_id = struct.unpack_from(">I", moov_body, v_id_pos)[0]
+        struct.pack_into(">I", audio_trak_bytes, a_id_pos, v_id + 1)
+        for p, b, e, _s in v_spans:
+            if p == ("moov", "mvhd"):
+                ntp = (e - 4) - moov[0]   # next_track_id is the last u32 of mvhd
+                struct.pack_into(">I", moov_body, ntp, v_id + 2)
+
+    new_moov = struct.pack(">I4s", moov_bytes_len, b"moov") + bytes(moov_body) + bytes(audio_trak_bytes)
+    with open(out_path, "wb") as f:
+        f.write(ftyp_bytes)
+        f.write(new_moov)
+        f.write(_box(b"mdat", bytes(data)))
+    return True

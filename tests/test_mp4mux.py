@@ -1,0 +1,133 @@
+"""Audio-passthrough MP4 remuxer tests.
+
+Fixtures are built with the independent writer from test_gpmf (box/klv) plus
+a handcrafted audio track; the result is validated with the ISO-BMFF reader
+AND with cv2 (the video stream must stay decodable after the remux).
+"""
+import struct
+
+import numpy as np
+import pytest
+
+from gyroflow_tpu.core.telemetry.mp4 import parse_tracks
+from gyroflow_tpu.utils.mp4mux import remux_with_audio
+
+from test_gpmf import box
+
+
+def full(typ, body, ver=0, flags=0):
+    return box(typ, struct.pack(">I", (ver << 24) | flags) + body)
+
+
+def make_media_mp4(handler: bytes, handler_name: bytes, fmt: bytes,
+                   payloads, timescale=48000, sample_dur=1024, track_id=1):
+    """Single-track MP4 with real chunk data (one chunk per sample)."""
+    sizes = [len(p) for p in payloads]
+    stsd = full(b"stsd", struct.pack(">I", 1) +
+                box(fmt, b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 20))
+    stts = full(b"stts", struct.pack(">III", 1, len(payloads), sample_dur))
+    stsz = full(b"stsz", struct.pack(">II", 0, len(sizes)) +
+                struct.pack(f">{len(sizes)}I", *sizes))
+    stsc = full(b"stsc", struct.pack(">I", 1) + struct.pack(">III", 1, 1, 1))
+    hdlr = full(b"hdlr", b"\x00" * 4 + handler + b"\x00" * 12 + handler_name + b"\x00")
+    mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, timescale,
+                                     sample_dur * len(payloads)) +
+                struct.pack(">HH", 0x55C4, 0))
+    tkhd = full(b"tkhd", struct.pack(">III", 0, 0, track_id) + b"\x00" * 68, flags=7)
+    mvhd = full(b"mvhd", struct.pack(">IIII", 0, 0, 1000, 1000) + b"\x00" * 76 +
+                struct.pack(">I", track_id + 1))
+    for _ in range(2):
+        stco_body = struct.pack(">I", len(sizes)) + b"\x00" * 4 * len(sizes)
+        stco = full(b"stco", stco_body)
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", tkhd + mdia)
+        moov = box(b"moov", mvhd + trak)
+        ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2mp41")
+        off = len(ftyp) + len(moov) + 8
+        offs = []
+        for sz in sizes:
+            offs.append(off)
+            off += sz
+        stco_body = struct.pack(">I", len(sizes)) + struct.pack(f">{len(sizes)}I", *offs)
+        stco = full(b"stco", stco_body)
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", tkhd + mdia)
+        moov = box(b"moov", mvhd + trak)
+    return ftyp + moov + box(b"mdat", b"".join(payloads))
+
+
+class TestRemux:
+    def test_merge_and_chunk_relocation(self, tmp_path):
+        vp = [b"VIDEOFRAME%02d" % i for i in range(5)]
+        ap = [bytes([0xA0 + i]) * 37 for i in range(8)]
+        vfile = tmp_path / "video.mp4"
+        afile = tmp_path / "source.mp4"
+        ofile = tmp_path / "out.mp4"
+        vfile.write_bytes(make_media_mp4(b"vide", b"Video", b"mp4v", vp))
+        afile.write_bytes(make_media_mp4(b"soun", b"Sound", b"mp4a", ap, track_id=1))
+        assert remux_with_audio(str(vfile), str(afile), str(ofile))
+
+        buf = ofile.read_bytes()
+        tracks = parse_tracks(buf)
+        assert len(tracks) == 2
+        by_type = {t.handler_type: t for t in tracks}
+        assert b"vide" in by_type and b"soun" in by_type
+        # every sample's bytes must be identical at the relocated offsets
+        vsamples = by_type[b"vide"].samples()
+        for (off, size, _t, _d), orig in zip(vsamples, vp):
+            assert buf[off:off + size] == orig
+        asamples = by_type[b"soun"].samples()
+        for (off, size, _t, _d), orig in zip(asamples, ap):
+            assert buf[off:off + size] == orig
+
+    def test_track_id_deduplicated(self, tmp_path):
+        vfile = tmp_path / "v.mp4"; afile = tmp_path / "a.mp4"; ofile = tmp_path / "o.mp4"
+        vfile.write_bytes(make_media_mp4(b"vide", b"V", b"mp4v", [b"x" * 10], track_id=1))
+        afile.write_bytes(make_media_mp4(b"soun", b"S", b"mp4a", [b"y" * 10], track_id=1))
+        assert remux_with_audio(str(vfile), str(afile), str(ofile))
+        buf = ofile.read_bytes()
+        # collect tkhd track ids
+        ids = []
+        pos = buf.find(b"tkhd")
+        while pos != -1:
+            ver = buf[pos + 4]
+            ids.append(struct.unpack_from(">I", buf, pos + (24 if ver == 1 else 16))[0])
+            pos = buf.find(b"tkhd", pos + 4)
+        assert len(ids) == 2 and ids[0] != ids[1], ids
+
+    def test_no_audio_track_returns_false(self, tmp_path):
+        vfile = tmp_path / "v.mp4"; ofile = tmp_path / "o.mp4"
+        vfile.write_bytes(make_media_mp4(b"vide", b"V", b"mp4v", [b"x" * 10]))
+        assert not remux_with_audio(str(vfile), str(vfile), str(ofile))
+        assert not ofile.exists()
+
+    def test_cv2_video_survives_remux(self, tmp_path):
+        import cv2
+        vfile = str(tmp_path / "clip.mp4")
+        vw = cv2.VideoWriter(vfile, cv2.VideoWriter_fourcc(*"mp4v"), 24.0, (64, 48))
+        rng = np.random.default_rng(0)
+        frames = []
+        for _ in range(6):
+            f = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+            frames.append(f)
+            vw.write(f)
+        vw.release()
+        afile = tmp_path / "src.mp4"
+        afile.write_bytes(make_media_mp4(b"soun", b"Sound", b"mp4a",
+                                         [b"z" * 41] * 4))
+        ofile = str(tmp_path / "merged.mp4")
+        assert remux_with_audio(vfile, str(afile), ofile)
+        cap = cv2.VideoCapture(ofile)
+        n = 0
+        while True:
+            ok, fr = cap.read()
+            if not ok:
+                break
+            n += 1
+        assert n == 6, f"decoded {n} frames after remux"
+        tracks = parse_tracks(open(ofile, "rb").read())
+        assert {t.handler_type for t in tracks} >= {b"vide", b"soun"}
