@@ -174,15 +174,95 @@ class LensProfile:
         return (len(self.fisheye_params.camera_matrix) == 3 and
                 self.calib_dimension.w > 0 and self.calib_dimension.h > 0)
 
-    def get_interpolated_lens_at(self, position: float) -> "LensProfile":
-        """Per-focal-length interpolation (lens_profile.rs). Falls back to self
-        until the profile-database interpolation chain lands."""
+    def resolve_interpolations(self, db=None):
+        """lens_profile.rs:551-608: parse the `interpolations` JSON map into
+        per-position profiles, optionally pulling whole profiles from the db
+        by `identifier`, with camera_matrix/distortion_coeffs/focal_length
+        overrides per entry."""
+        import copy
+        if self._parsed_interpolations or not isinstance(self.interpolations, dict):
+            return
+        parsed = {}
+        for k, v in self.interpolations.items():
+            if not isinstance(v, dict):
+                continue
+            try:
+                key = int(round(float(k) * 1_000_000.0))
+            except (TypeError, ValueError):
+                continue
+            prof = copy.deepcopy(self)
+            ident = v.get("identifier")
+            if ident and db is not None:
+                from_db = db.find_by_identifier(ident)
+                if from_db is not None:
+                    prof = copy.deepcopy(from_db)
+            prof.interpolations = None
+            prof._parsed_interpolations = {}
+            cm = v.get("camera_matrix")
+            if isinstance(cm, list):
+                for i, row in enumerate(cm[:3]):
+                    for j, c in enumerate(row[:3]):
+                        prof.fisheye_params.camera_matrix[i][j] = float(c)
+            dc = v.get("distortion_coeffs")
+            if isinstance(dc, list):
+                for i, c in enumerate(dc[:len(prof.fisheye_params.distortion_coeffs)]):
+                    prof.fisheye_params.distortion_coeffs[i] = float(c)
+            if v.get("focal_length") is not None:
+                prof.focal_length = float(v["focal_length"])
+            parsed[key] = prof
+        self._parsed_interpolations = parsed
+
+    def get_interpolated_lens_at(self, val: float) -> "LensProfile":
+        """lens_profile.rs:495-549: linear blend between the two enclosing
+        per-position profiles (camera matrix f/c entries, distortion coeffs,
+        crop, focal length, calib dims, input stretches)."""
+        import copy
         if not self._parsed_interpolations:
             return self
-        keys = sorted(self._parsed_interpolations)
-        key = int(round(position))
-        best = min(keys, key=lambda k: abs(k - key))
-        return self._parsed_interpolations[best]
+        key = int(round(val * 1_000_000.0))
+        table = self._parsed_interpolations
+        if key in table:
+            return table[key]
+        keys = sorted(table)
+        first, last = keys[0], keys[-1]
+        lookup = min(max(key, first + 1), last - 1)
+        below = [k for k in keys if k <= lookup]
+        if not below:
+            return self
+        k1 = below[-1]
+        if k1 == lookup:
+            return table[k1]
+        above = [k for k in keys if k >= lookup]
+        if not above:
+            return self
+        k2 = above[0]
+        l1, l2 = table[k1], table[k2]
+        fract = (key - k1) / float(k2 - k1)
+        cpy = copy.deepcopy(self)
+
+        def mix(a, b):
+            return a * (1.0 - fract) + b * fract
+
+        m1, m2 = l1.fisheye_params.camera_matrix, l2.fisheye_params.camera_matrix
+        mo = cpy.fisheye_params.camera_matrix
+        if len(m1) == 3 and len(m2) == 3 and len(mo) == 3:
+            for (i, j) in ((0, 0), (1, 1), (0, 2), (1, 2)):
+                mo[i][j] = mix(m1[i][j], m2[i][j])
+        d1, d2 = l1.fisheye_params.distortion_coeffs, l2.fisheye_params.distortion_coeffs
+        if len(cpy.fisheye_params.distortion_coeffs) == len(d1) == len(d2):
+            for i in range(len(d1)):
+                cpy.fisheye_params.distortion_coeffs[i] = mix(d1[i], d2[i])
+        cpy.crop = mix(l1.crop or 1.0, l2.crop or 1.0)
+        if l1.focal_length is not None and l2.focal_length is not None:
+            cpy.focal_length = mix(l1.focal_length, l2.focal_length)
+        cpy.calib_dimension = Dimensions(
+            int(round(mix(l1.calib_dimension.w, l2.calib_dimension.w))),
+            int(round(mix(l1.calib_dimension.h, l2.calib_dimension.h))))
+        cpy.input_horizontal_stretch = mix(l1.input_horizontal_stretch,
+                                           l2.input_horizontal_stretch)
+        cpy.input_vertical_stretch = mix(l1.input_vertical_stretch,
+                                         l2.input_vertical_stretch)
+        return cpy
 
     def set_from_telemetry(self, lens_data: dict):
         """Apply a telemetry-embedded profile (Sony etc.)."""

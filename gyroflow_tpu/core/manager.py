@@ -97,6 +97,11 @@ class StabilizationManager:
             self.lens = LensProfile.from_json(path_or_json)
         else:
             self.lens = LensProfile.load_from_file(path_or_json)
+        try:
+            from .lens_profile_database import LensProfileDatabase
+            self.lens.resolve_interpolations(LensProfileDatabase())
+        except Exception:
+            self.lens.resolve_interpolations(None)
         self.invalidate()
 
     def set_size(self, w: int, h: int):

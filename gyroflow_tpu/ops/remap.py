@@ -389,27 +389,34 @@ def sample_ewa(img, uv, jac, bg, cfg: KernelConfig, dyn: KernelDynamics):
     base_x = jnp.floor(u).astype(jnp.int32) - EWA_CAP
     base_y = jnp.floor(v).astype(jnp.int32) - EWA_CAP
     taps = 2 * EWA_CAP + 2
-    total = jnp.zeros(u.shape + (C,), jnp.float32)
-    sum_div = jnp.zeros_like(u)
-    for typ in range(taps):
+
+    # one gather per fori_loop step instead of taps^2 unrolled gathers — the
+    # unrolled form exceeded the 2 GiB TPU executable limit at 1080p
+    def _tap(i, carry):
+        total, sum_div = carry
+        typ = i // taps
+        txp = i % taps
         in_y = base_y + typ
         fy = in_y.astype(jnp.float32) - v
         fy2 = fy * abc_y
         fy3 = fy * fy * abc_z
         y_in_bbox = (in_y >= y0) & (in_y <= y1)
         yy_c = jnp.clip(in_y, 0, H - 1)
-        for txp in range(taps):
-            in_x = base_x + txp
-            fx = in_x.astype(jnp.float32) - u
-            dr = fx * fx * abc_x + fx * fy2 + fy3
-            k = bc2(jnp.sqrt(jnp.maximum(dr, 0.0)))
-            k = jnp.where(y_in_bbox & (in_x >= x0) & (in_x <= x1), k, 0.0)
-            in_rect = (in_y >= sry) & (in_y < sry + srh) &                       (in_x >= srx) & (in_x < srx + srw)
-            xx_c = jnp.clip(in_x, 0, W - 1)
-            px = jnp.take(flat, yy_c * W + xx_c, axis=0, mode="clip")
-            px = jnp.where(in_rect[..., None], px, bg)
-            total = total + k[..., None] * px
-            sum_div = sum_div + k
+        in_x = base_x + txp
+        fx = in_x.astype(jnp.float32) - u
+        dr = fx * fx * abc_x + fx * fy2 + fy3
+        k = bc2(jnp.sqrt(jnp.maximum(dr, 0.0)))
+        k = jnp.where(y_in_bbox & (in_x >= x0) & (in_x <= x1), k, 0.0)
+        in_rect = (in_y >= sry) & (in_y < sry + srh) & \
+                  (in_x >= srx) & (in_x < srx + srw)
+        xx_c = jnp.clip(in_x, 0, W - 1)
+        px = jnp.take(flat, yy_c * W + xx_c, axis=0, mode="clip")
+        px = jnp.where(in_rect[..., None], px, bg)
+        return (total + k[..., None] * px, sum_div + k)
+
+    total = jnp.zeros(u.shape + (C,), jnp.float32)
+    sum_div = jnp.zeros_like(u)
+    total, sum_div = jax.lax.fori_loop(0, taps * taps, _tap, (total, sum_div))
     total = total / jnp.where(sum_div == 0.0, 1.0, sum_div)[..., None]
     return jnp.minimum(total, dyn.pixel_value_limit)
 

@@ -127,3 +127,59 @@ class TestSettings:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestLensInterpolations:
+    def _profile(self):
+        import json
+        from gyroflow_tpu.core.lens_profile import LensProfile
+        base = {
+            "name": "zoomcam", "identifier": "zc", "calib_dimension": {"w": 1920, "h": 1080},
+            "fisheye_params": {
+                "camera_matrix": [[1000.0, 0, 960.0], [0, 1000.0, 540.0], [0, 0, 1]],
+                "distortion_coeffs": [0.1, -0.05, 0.01, 0.0]},
+            "interpolations": {
+                "24.0": {"camera_matrix": [[1000.0, 0, 960.0], [0, 1000.0, 540.0], [0, 0, 1]],
+                          "distortion_coeffs": [0.1, -0.05, 0.01, 0.0], "focal_length": 24.0},
+                "70.0": {"camera_matrix": [[3000.0, 0, 980.0], [0, 3000.0, 560.0], [0, 0, 1]],
+                          "distortion_coeffs": [0.3, -0.15, 0.03, 0.0], "focal_length": 70.0},
+            },
+        }
+        p = LensProfile.from_json(json.dumps(base))
+        p.resolve_interpolations(None)
+        return p
+
+    def test_exact_key(self):
+        p = self._profile()
+        l = p.get_interpolated_lens_at(24.0)
+        assert l.fisheye_params.camera_matrix[0][0] == 1000.0
+        assert l.focal_length == 24.0
+
+    def test_midpoint_blend(self):
+        p = self._profile()
+        l = p.get_interpolated_lens_at(47.0)
+        f = (47.0 - 24.0) / (70.0 - 24.0)
+        assert l.fisheye_params.camera_matrix[0][0] == pytest.approx(1000 + 2000 * f)
+        assert l.fisheye_params.distortion_coeffs[0] == pytest.approx(0.1 + 0.2 * f)
+        assert l.focal_length == pytest.approx(24 + 46 * f)
+
+    def test_extrapolates_outside_range(self):
+        # lens_profile.rs:506-516: fract uses the raw key, so values outside
+        # the table range extrapolate linearly (reference semantics)
+        p = self._profile()
+        lo = p.get_interpolated_lens_at(10.0)
+        f_lo = (10.0 - 24.0) / (70.0 - 24.0)
+        assert lo.fisheye_params.camera_matrix[0][0] == pytest.approx(1000 + 2000 * f_lo)
+        hi = p.get_interpolated_lens_at(93.0)
+        f_hi = (93.0 - 24.0) / (70.0 - 24.0)
+        assert hi.fisheye_params.camera_matrix[0][0] == pytest.approx(1000 + 2000 * f_hi)
+
+    def test_no_interpolations_returns_self(self):
+        import json
+        from gyroflow_tpu.core.lens_profile import LensProfile
+        p = LensProfile.from_json(json.dumps({
+            "name": "x", "calib_dimension": {"w": 16, "h": 9},
+            "fisheye_params": {"camera_matrix": [[10.0, 0, 8], [0, 10, 4.5], [0, 0, 1]],
+                                "distortion_coeffs": [0, 0, 0, 0]}}))
+        p.resolve_interpolations(None)
+        assert p.get_interpolated_lens_at(50.0) is p
