@@ -584,12 +584,14 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     """
     from . import pallas_sampler as ps
 
-    if cfg.has(HAS_MESH_DATA) or cfg.has(HAS_FPD_DATA) or cfg.interpolation > 8 \
-            or (drawing is not None and cfg.has(DRAWING_ENABLED)):
-        # mesh, EWA and overlay paths run through the XLA pipeline until the
-        # kernels grow mesh operands / elliptical windows / canvas blending
+    if cfg.interpolation > 8 or (drawing is not None and cfg.has(DRAWING_ENABLED)):
+        # EWA and overlay paths run through the XLA pipeline until the kernels
+        # grow elliptical windows / canvas blending
         return remap_plane(img, matrices, cfg, dyn, mesh=mesh,
                            drawing=drawing), jnp.asarray(False)
+    # mesh/FPD only alter the coords stage; coords run in XLA (one-hot grid
+    # math, gather-free) and the Pallas sampler is unchanged
+    has_mesh = cfg.has(HAS_MESH_DATA) or cfg.has(HAS_FPD_DATA)
 
     C = img.shape[-1]
     bg_full = dyn.background * dyn.max_pixel_value
@@ -609,7 +611,7 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     out_f = (dyn.f[0] / dyn.fov / factor, dyn.f[1] / dyn.fov / factor)
 
     coords_overflow = jnp.asarray(False)
-    if matrices.shape[0] > 1:
+    if matrices.shape[0] > 1 and not has_mesh:
         # RS path: per-pixel matrix projection in the Pallas coords kernel
         from . import pallas_coords as pc
         x, y, idx = coords_pre(out_pos, matrices, cfg, dyn, out_c, out_f)
@@ -628,7 +630,11 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         valid = unt(valid_t) > 0.5
         uv, valid = coords_post(u, v, valid, cfg)
     else:
-        uv, valid = undistort_coord(out_pos, matrices, cfg, dyn, out_c, out_f)
+        # single-matrix, or mesh/FPD (XLA coords incl. one-hot mesh eval +
+        # per-pixel RS matrix gather; the gather costs ~10ms @1080p vs the
+        # 1288ms full-XLA fallback)
+        uv, valid = undistort_coord(out_pos, matrices, cfg, dyn, out_c, out_f,
+                                    mesh=mesh)
 
     spec = ps.SamplerSpec.create(
         height=img.shape[0], width=img.shape[1], out_height=oh, out_width=ow,

@@ -88,3 +88,38 @@ class TestMeshGolden:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestMeshPallas:
+    """Mesh/FPD through the Pallas sampling path (coords in XLA)."""
+
+    @pytest.mark.parametrize("fpd", [False, True])
+    def test_matches_xla_path(self, fpd):
+        img = make_image()
+        cfg, dyn, p, matrices = make_pair()
+        mesh = jnp.asarray(make_mesh(fpd=fpd), jnp.float32)
+        flags = cfg.flags | HAS_MESH_DATA | (HAS_FPD_DATA if fpd else 0)
+        cfg = cfg._replace(flags=flags, mesh_grid=(9, 9))
+        xla = np.asarray(remap.remap_plane_jit(
+            jnp.asarray(img), jnp.asarray(matrices), cfg, dyn, mesh))
+        pal, ov = remap.remap_plane_pallas(
+            jnp.asarray(img), jnp.asarray(matrices), cfg, dyn, mesh,
+            win_h=64, win_w=512)
+        assert not bool(ov)
+        diff = np.abs(np.asarray(pal) - xla)
+        # Pallas quantizes interpolation phases to 1/32 px — sub-pixel budget
+        assert diff.max() < 3.0 and np.percentile(diff, 99) < 1.0, \
+            (diff.max(), np.percentile(diff, 99))
+
+    def test_oracle_golden_through_pallas(self):
+        img = make_image()
+        cfg, dyn, p, matrices = make_pair()
+        mesh = make_mesh(fpd=False)
+        cfg = cfg._replace(flags=cfg.flags | HAS_MESH_DATA, mesh_grid=(9, 9))
+        pal, ov = remap.remap_plane_pallas(
+            jnp.asarray(img), jnp.asarray(matrices), cfg, dyn,
+            jnp.asarray(mesh, jnp.float32), win_h=64, win_w=512)
+        assert not bool(ov)
+        want = oracle.undistort_image(img, p, matrices, mesh)
+        diff = np.abs(np.asarray(pal) - want)
+        assert np.percentile(diff, 99) < 2.0, np.percentile(diff, 99)
