@@ -174,21 +174,46 @@ def _sampler_kernel(spec: SamplerSpec,
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (Sc, P), 0)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (Sr, P), 0)
 
-    C = jnp.zeros((Sc, P), jnp.float32)
+    def build_onehot(ids, rel, ws):
+        """Σ_t onehot(rel + t) · ws[t] as one banded select.
+
+        For power-of-two tap counts, T = ids - rel indexes the tap directly,
+        so the weight is picked by a log2(taps)-deep bit-select tree (7 selects
+        for 8 taps) instead of `taps` full compare+select+add passes — the
+        dominant VPU cost of the kernel."""
+        n = len(ws)
+        if n & (n - 1):          # non-power-of-two: plain per-tap one-hots
+            acc = jnp.zeros(ids.shape, jnp.float32)
+            for t in range(n):
+                acc = acc + jnp.where(ids == rel + t, ws[t], 0.0)
+            return acc
+        T = ids - rel            # (S, P); tap index per source line
+        level = list(ws)         # (1, P) rows
+        bit = 0
+        while len(level) > 1:
+            b = (T >> bit) & 1
+            level = [jnp.where(b == 1, level[i + 1], level[i])
+                     for i in range(0, len(level), 2)]
+            bit += 1
+        return jnp.where((T >= 0) & (T < n), level[0], 0.0)
+
+    wxm = []   # x weights with source-rect mask folded in, (1, P) each
     csum = jnp.zeros((1, P), jnp.float32)
     for t in range(taps):
         ok = ((fx + t >= srx) & (fx + t < srx + srw)).astype(jnp.float32)
         w = wx[t] * ok
-        C = C + jnp.where(col_ids == fx_rel + t, w, 0.0)
+        wxm.append(w)
         csum = csum + w
+    C = build_onehot(col_ids, fx_rel, wxm)
 
-    R = jnp.zeros((Sr, P), jnp.float32)
+    wym = []
     rsum = jnp.zeros((1, P), jnp.float32)
     for t in range(taps):
         ok = ((fy + t >= sry) & (fy + t < sry + srh)).astype(jnp.float32)
         w = wy[t] * ok
-        R = R + jnp.where(row_ids == fy_rel + t, w, 0.0)
+        wym.append(w)
         rsum = rsum + w
+    R = build_onehot(row_ids, fy_rel, wym)
 
     copy.wait()
 
