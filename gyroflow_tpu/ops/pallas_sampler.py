@@ -135,12 +135,13 @@ _WEIGHT_FNS = {2: _weights_bilinear, 4: _weights_bicubic, 8: _weights_lanczos4}
 
 def _sampler_kernel(spec: SamplerSpec,
                     y0_ref, x0_ref,            # scalar prefetch (ntiles,)
-                    img_ref,                   # ANY (HBM): (H, W)
+                    img_ref,                   # ANY (HBM): (C, H, W)
                     u_ref, v_ref,              # VMEM (1, P) — tile-flattened
-                    bg_ref,                    # SMEM (1, 1)
-                    out_ref,                   # VMEM (1, P)
-                    win_ref, sem):             # scratch: (Sr, Sc) + DMA sem
+                    bg_ref,                    # SMEM (1, C)
+                    out_ref,                   # VMEM (1, C, P)
+                    win_ref, sem):             # scratch: (C, Sr, Sc) + DMA sem
     Sr, Sc = spec.win_h, spec.win_w
+    nchan = win_ref.shape[0]
     taps = spec.taps
     P = spec.tile_h * spec.tile_w
     srx, sry, srw, srh = spec.src_rect
@@ -150,7 +151,7 @@ def _sampler_kernel(spec: SamplerSpec,
     x0 = pl.multiple_of(x0_ref[t_idx], LANE)
 
     copy = pltpu.make_async_copy(
-        img_ref.at[pl.ds(y0, Sr), pl.ds(x0, Sc)], win_ref, sem)
+        img_ref.at[:, pl.ds(y0, Sr), pl.ds(x0, Sc)], win_ref, sem)
     copy.start()
 
     # per-pixel quantities live on the LANE axis as (1, P) rows — no reshapes,
@@ -217,36 +218,39 @@ def _sampler_kernel(spec: SamplerSpec,
 
     copy.wait()
 
-    # colmix[r, p] = sum_c win[r, c] * C[c, p]   (MXU)
-    colmix = jnp.dot(win_ref[:], C, preferred_element_type=jnp.float32)
-
-    sampled = jnp.sum(R * colmix, axis=0, keepdims=True)  # (1, P)
+    # the expensive C/R builds are shared across channels; per-channel work is
+    # just one MXU matmul + row reduce
     bg_weight = 1.0 - rsum * csum
-    out_ref[0] = sampled + bg_weight * bg_ref[0, 0]
+    for ch in range(nchan):
+        # colmix[r, p] = sum_c win[ch][r, c] * C[c, p]   (MXU)
+        colmix = jnp.dot(win_ref[ch], C, preferred_element_type=jnp.float32)
+        sampled = jnp.sum(R * colmix, axis=0, keepdims=True)  # (1, P)
+        out_ref[0, ch] = (sampled + bg_weight * bg_ref[0, ch])[0]
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
 def _sample_call(spec: SamplerSpec, img, u_t, v_t, y0s, x0s, bg, interpret=False):
     ntiles = u_t.shape[0]
+    nchan = img.shape[0]
     P = spec.tile_h * spec.tile_w
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),                 # img (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),                 # img (C, H, W) HBM
             pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nchan), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, nchan, P), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((spec.win_h, spec.win_w), jnp.float32),
+            pltpu.VMEM((nchan, spec.win_h, spec.win_w), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
         functools.partial(_sampler_kernel, spec),
-        out_shape=jax.ShapeDtypeStruct((ntiles, 1, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ntiles, nchan, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(y0s, x0s, img, u_t.reshape(ntiles, 1, P), v_t.reshape(ntiles, 1, P), bg)
@@ -330,16 +334,17 @@ def plan_windows(spec: SamplerSpec, u, v, valid):
     return y0.reshape(-1), x0.reshape(-1), overflow.any()
 
 
-def sample_plane(spec: SamplerSpec, img, u, v, valid, bg_scalar):
-    """Sample one channel: img (H, W) f32, uv maps (OH, OW) -> (OH, OW) f32.
+def sample_planes(spec: SamplerSpec, imgs, u, v, valid, bg_vec):
+    """Sample all channels in ONE kernel: imgs (C, H, W), uv maps (OH, OW).
 
-    Returns (sampled, overflow). Out-of-rect taps and the caller's invalid
-    lanes are the caller's responsibility to blend with bg (invalid lanes) —
-    in-rect/out-of-rect tap weighting is handled here.
+    The per-pixel one-hot C/R builds (the dominant VPU cost) are shared
+    across channels; each extra channel adds only a matmul + row reduce.
+    Returns ((C, OH, OW), overflow).
     """
-    if img.shape != (spec.height, spec.width):
-        img = jnp.pad(img, ((0, spec.height - img.shape[0]),
-                            (0, spec.width - img.shape[1])))
+    nchan = imgs.shape[0]
+    if imgs.shape[1:] != (spec.height, spec.width):
+        imgs = jnp.pad(imgs, ((0, 0), (0, spec.height - imgs.shape[1]),
+                              (0, spec.width - imgs.shape[2])))
     up = _pad_to(u, spec.tile_h, spec.tile_w)
     vp = _pad_to(v, spec.tile_h, spec.tile_w)
     validp = _pad_to(valid.astype(jnp.float32), spec.tile_h, spec.tile_w) > 0.5
@@ -349,9 +354,20 @@ def sample_plane(spec: SamplerSpec, img, u, v, valid, bg_scalar):
     vp = jnp.clip(vp, -32768.0, 32768.0)
 
     y0s, x0s, overflow = plan_windows(spec, up, vp, validp)
-    bg = jnp.asarray(bg_scalar, jnp.float32).reshape(1, 1)
+    bg = jnp.asarray(bg_vec, jnp.float32).reshape(1, nchan)
     interpret = jax.default_backend() == "cpu"  # Mosaic is TPU-only; tests interpret
-    out_t = _sample_call(spec, img, _tileize(spec, up), _tileize(spec, vp),
+    out_t = _sample_call(spec, imgs, _tileize(spec, up), _tileize(spec, vp),
                          y0s, x0s, bg, interpret=interpret)
-    out = _out_untileize(spec, out_t)
-    return out[:spec.out_height, :spec.out_width], overflow
+    ny, nx = spec.grid
+    TH, TW = spec.tile_h, spec.tile_w
+    out = (out_t.reshape(ny, nx, nchan, TH, TW)
+                .transpose(2, 0, 3, 1, 4)
+                .reshape(nchan, ny * TH, nx * TW))
+    return out[:, :spec.out_height, :spec.out_width], overflow
+
+
+def sample_plane(spec: SamplerSpec, img, u, v, valid, bg_scalar):
+    """Single-channel wrapper over sample_planes."""
+    out, overflow = sample_planes(spec, img[None], u, v, valid,
+                                  jnp.asarray(bg_scalar, jnp.float32).reshape(1))
+    return out[0], overflow

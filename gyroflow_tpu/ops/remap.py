@@ -642,13 +642,9 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         source_rect=cfg.src_rect)
 
     def sample_all(uvq):
-        chans = []
-        overflow = jnp.asarray(False)
-        for ci in range(C):
-            s, ov = ps.sample_plane(spec, img[..., ci], uvq[..., 0], uvq[..., 1], valid, bg[ci])
-            chans.append(jnp.minimum(s, dyn.pixel_value_limit))
-            overflow = overflow | ov
-        return jnp.stack(chans, axis=-1), overflow
+        out, overflow = ps.sample_planes(spec, jnp.moveaxis(img, -1, 0),
+                                         uvq[..., 0], uvq[..., 1], valid, bg)
+        return jnp.minimum(jnp.moveaxis(out, 0, -1), dyn.pixel_value_limit), overflow
 
     if cfg.background_mode == 3:
         fw, fh = float(cfg.width), float(cfg.height)
