@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--watch", type=str, default=None,
                    help="watch folder for automated processing")
     p.add_argument("--autosync", action="store_true", help="run gyro autosync")
+    p.add_argument("--trace", action="store_true",
+                   help="log per-stage timing (decode/stabilize/encode) and fps")
     p.add_argument("--version", action="store_true")
     return p
 
@@ -178,12 +180,15 @@ def main(argv=None) -> int:
             log.error("%s exists (use -f)", output)
             return 2
         opts = RenderOptions()
+        opts.trace = args.trace
         if args.out_params:
             for k, v in json.loads(args.out_params).items():
                 if hasattr(opts, k):
                     setattr(opts, k, v)
         stats = render(mgr, video, output, opts, progress_cb=progress)
         print(f"rendered {stats['frames']} frames -> {output} [{stats['backend']}]")
+        if args.trace and "trace" in stats:
+            print(f"trace: {stats['trace']}")
         return 0
 
     log.error("nothing to do (no video input)")

@@ -19,6 +19,27 @@ import jax
 import jax.numpy as jnp
 
 from . import distortion_models as dm
+
+
+def _init_compilation_cache():
+    """Persist compiled kernels across CLI invocations — the first frame of
+    a fresh process otherwise pays the full XLA/Mosaic compile (~80 s for the
+    4K pipeline). Disable with GYROFLOW_TPU_NO_CACHE=1."""
+    import os
+    if os.environ.get("GYROFLOW_TPU_NO_CACHE"):
+        return
+    try:
+        cache = os.environ.get(
+            "GYROFLOW_TPU_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "gyroflow_tpu", "jax"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is an optimization; never fail import over it
+        pass
+
+
+_init_compilation_cache()
 from .interpolation import COEFFS, INTER_BITS, INTER_TAB_SIZE, INTERP_INFO
 from .kernel_params import (
     ANY_UNDERWATER, DRAWING_ENABLED, FILL_WITH_BACKGROUND, FIX_COLOR_RANGE,

@@ -33,6 +33,7 @@ class RenderOptions:
     interpolation: int = 8
     safe_area: Optional[list] = None   # [x0, y0, x1, y1] output px → dim outside
     overlay: object = None             # core.drawing.DrawCanvas debug overlay
+    trace: bool = False                # per-stage timing summary (SURVEY §5)
 
 
 def render(mgr, input_path: str, output_path: str,
@@ -58,9 +59,14 @@ def render(mgr, input_path: str, output_path: str,
     frames_done = 0
     video_speed = mgr.params.video_speed
     speed_acc = 0.0
+    import time as _time
+    t_decode = t_stab = t_encode = 0.0
+    t_start = _time.time()
 
     try:
+        _t0 = _time.time()
         for ts_us, rgb in reader:
+            t_decode += _time.time() - _t0
             idx = first + frames_done
             if idx > last:
                 break
@@ -82,16 +88,21 @@ def render(mgr, input_path: str, output_path: str,
                     rect = tuple(float(v) for v in options.safe_area) \
                         if options.safe_area else None
                     drawing = canvas.state(safe_area_rect=rect)
+                _t1 = _time.time()
                 out, info = mgr.process_pixels(ts_us, rgb,
                                                interpolation=options.interpolation,
                                                use_pallas=use_pallas,
                                                drawing=drawing)
-                out_np = np.asarray(out)
+                out_np = np.asarray(out)  # device sync included in stab time
+                _t2 = _time.time()
+                t_stab += _t2 - _t1
                 for _ in range(emit):
                     writer.write_rgb(out_np)
+                t_encode += _time.time() - _t2
             frames_done += 1
             if progress_cb:
                 progress_cb(min(frames_done / max(last - first + 1, 1), 1.0))
+            _t0 = _time.time()
     finally:
         reader.close()
         writer.close()
@@ -113,5 +124,19 @@ def render(mgr, input_path: str, output_path: str,
             if os.path.exists(tmp):
                 os.remove(tmp)
 
-    return {"frames": frames_done, "output": output_path, "audio": audio_copied,
-            "backend": "pallas-tpu" if use_pallas else "xla"}
+    wall = _time.time() - t_start
+    stats = {"frames": frames_done, "output": output_path, "audio": audio_copied,
+             "backend": "pallas-tpu" if use_pallas else "xla",
+             "fps": round(frames_done / wall, 2) if wall > 0 else 0.0}
+    if options.trace:
+        # per-stage timing summary (SURVEY §5: structured per-stage timing +
+        # the frames/sec north-star counter)
+        stats["trace"] = {"decode_s": round(t_decode, 3),
+                          "stabilize_s": round(t_stab, 3),
+                          "encode_s": round(t_encode, 3),
+                          "wall_s": round(wall, 3)}
+        log.info("trace: %d frames in %.2fs (%.2f fps) | decode %.2fs, "
+                 "stabilize %.2fs (%.1f ms/frame), encode %.2fs",
+                 frames_done, wall, stats["fps"], t_decode, t_stab,
+                 t_stab / max(frames_done, 1) * 1000.0, t_encode)
+    return stats
