@@ -34,6 +34,7 @@ class RenderOptions:
     safe_area: Optional[list] = None   # [x0, y0, x1, y1] output px → dim outside
     overlay: object = None             # core.drawing.DrawCanvas debug overlay
     trace: bool = False                # per-stage timing summary (SURVEY §5)
+    pipeline_depth: int = 3            # frames in flight on the device queue
 
 
 def render(mgr, input_path: str, output_path: str,
@@ -62,6 +63,7 @@ def render(mgr, input_path: str, output_path: str,
     import time as _time
     t_decode = t_stab = t_encode = 0.0
     t_start = _time.time()
+    inflight = []   # queued device results not yet transferred/encoded
 
     try:
         _t0 = _time.time()
@@ -93,16 +95,29 @@ def render(mgr, input_path: str, output_path: str,
                                                interpolation=options.interpolation,
                                                use_pallas=use_pallas,
                                                drawing=drawing)
-                out_np = np.asarray(out)  # device sync included in stab time
-                _t2 = _time.time()
-                t_stab += _t2 - _t1
-                for _ in range(emit):
-                    writer.write_rgb(out_np)
-                t_encode += _time.time() - _t2
+                t_stab += _time.time() - _t1
+                # depth-k dispatch pipeline: the device queue keeps computing
+                # frame N+1..N+k while frame N transfers back and encodes
+                # (rendering/mod.rs's decoder/encoder threading, TPU-style)
+                inflight.append((out, emit))
+                while len(inflight) > options.pipeline_depth:
+                    o, e = inflight.pop(0)
+                    _t2 = _time.time()
+                    out_np = np.asarray(o)
+                    _t3 = _time.time()
+                    t_stab += _t3 - _t2
+                    for _ in range(e):
+                        writer.write_rgb(out_np)
+                    t_encode += _time.time() - _t3
             frames_done += 1
             if progress_cb:
                 progress_cb(min(frames_done / max(last - first + 1, 1), 1.0))
             _t0 = _time.time()
+        while inflight:
+            o, e = inflight.pop(0)
+            out_np = np.asarray(o)
+            for _ in range(e):
+                writer.write_rgb(out_np)
     finally:
         reader.close()
         writer.close()
