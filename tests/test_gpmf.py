@@ -234,3 +234,51 @@ class TestEndToEnd:
         q0, q_end = mgr.gyro.quaternions.quats[0], mgr.gyro.quaternions.quats[-1]
         ang = math.degrees(quat.angle_of(quat.multiply(quat.inverse(q0), q_end)))
         assert 15.0 < ang < 25.0, ang
+
+
+class TestCAMM:
+    @staticmethod
+    def _camm_mp4(packets, sample_dur=10, timescale=1000):
+        import sys
+        sys.path.insert(0, "/root/repo/tests")
+        from test_mp4mux import make_media_mp4
+        return make_media_mp4(b"meta", b"CameraMetadataMotionHandler", b"camm",
+                              packets, timescale=timescale, sample_dur=sample_dur)
+
+    def test_gyro_accel_and_orientation(self, tmp_path):
+        pk = []
+        # gyro 0.5 rad/s about z; accel gravity; angle_axis 90deg about x
+        pk.append(struct.pack("<HH3f", 0, 2, 0.0, 0.0, 0.5))
+        pk.append(struct.pack("<HH3f", 0, 3, 0.0, 9.81, 0.0))
+        pk.append(struct.pack("<HH3f", 0, 0, math.pi / 2, 0.0, 0.0))
+        f = tmp_path / "cam.mp4"
+        f.write_bytes(self._camm_mp4(pk))
+        fm = parse_telemetry_file(str(f))
+        assert fm.detected_source == "CAMM"
+        assert len(fm.raw_imu) == 2
+        np.testing.assert_allclose(np.radians(fm.raw_imu[0].gyro), [0, 0, 0.5],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(fm.raw_imu[1].accl, [0, 9.81, 0], rtol=1e-6)
+        assert len(fm.quaternions) == 1
+        # 90° about x: w = cos(45°), x = sin(45°)
+        np.testing.assert_allclose(fm.quaternions.quats[0],
+                                   [math.cos(math.pi/4), math.sin(math.pi/4), 0, 0],
+                                   atol=1e-6)
+        # timing from MP4 sample table: 10ms apart
+        assert abs(fm.raw_imu[1].timestamp_ms - 10.0) < 1e-9
+
+    def test_sample_rate_timing(self, tmp_path):
+        pk = [struct.pack("<HH3f", 0, 2, 0.0, 0.0, float(i)) for i in range(50)]
+        f = tmp_path / "cam.mp4"
+        f.write_bytes(self._camm_mp4(pk, sample_dur=5))  # 200 Hz
+        fm = parse_telemetry_file(str(f))
+        ts = [r.timestamp_ms for r in fm.raw_imu]
+        np.testing.assert_allclose(np.diff(ts), 5.0)
+
+    def test_malformed_packets_skipped(self, tmp_path):
+        pk = [b"\x00\x00\x02\x00" + b"\x01",        # truncated gyro
+              struct.pack("<HH3f", 0, 2, 1.0, 0, 0)]
+        f = tmp_path / "cam.mp4"
+        f.write_bytes(self._camm_mp4(pk))
+        fm = parse_telemetry_file(str(f))
+        assert len(fm.raw_imu) == 1
