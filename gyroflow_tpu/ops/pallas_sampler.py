@@ -37,6 +37,7 @@ from .interpolation import INTER_BITS, INTER_TAB_SIZE, INTERP_INFO
 
 LANE = 128
 SUBLANE = 8
+EWA_CAP = 4   # matches ops/remap.py EWA_CAP (static elliptical tap radius)
 
 
 class SamplerSpec(NamedTuple):
@@ -67,10 +68,14 @@ class SamplerSpec(NamedTuple):
 
     @property
     def taps(self) -> int:
+        if self.interpolation > 8:          # EWA: fixed ±EWA_CAP window
+            return 2 * EWA_CAP + 2
         return INTERP_INFO[self.interpolation]["taps"]
 
     @property
     def offset(self) -> float:
+        if self.interpolation > 8:
+            return float(EWA_CAP)
         return INTERP_INFO[self.interpolation]["offset"]
 
     @property
@@ -371,3 +376,212 @@ def sample_plane(spec: SamplerSpec, img, u, v, valid, bg_scalar):
     out, overflow = sample_planes(spec, img[None], u, v, valid,
                                   jnp.asarray(bg_scalar, jnp.float32).reshape(1))
     return out[0], overflow
+
+
+# ---------------------------------------------------------------------------
+# EWA elliptical kernel (non-separable weights)
+# ---------------------------------------------------------------------------
+
+def _ewa_kernel(spec: SamplerSpec,
+                y0_ref, x0_ref,            # scalar prefetch (ntiles,)
+                img_ref,                   # ANY (HBM): (C, H, W)
+                u_ref, v_ref,              # VMEM (1, P)
+                jac_ref,                   # VMEM (1, 4, P): jx, jy, jz, jw
+                pq_ref,                    # SMEM (1, 8): bc2 p0..p3, q0..q3
+                bg_ref,                    # SMEM (1, C)
+                out_ref,                   # VMEM (1, C, P)
+                win_ref, sem):
+    """EWA sampling (cpu_undistort.rs:267-369) in the window-DMA formulation.
+
+    The elliptical weight k(typ, txp, pixel) is not separable, so instead of
+    one weighted C matmul, each tap column txp gets an UNWEIGHTED one-hot
+    colmix matmul and a row matrix R_txp carrying the per-(typ, txp) weights
+    (built with the same bit-select tree as the separable kernel)."""
+    Sr, Sc = spec.win_h, spec.win_w
+    nchan = win_ref.shape[0]
+    taps = 2 * EWA_CAP + 2
+    P = spec.tile_h * spec.tile_w
+    srx, sry, srw, srh = spec.src_rect
+
+    t_idx = pl.program_id(0)
+    y0 = pl.multiple_of(y0_ref[t_idx], SUBLANE)
+    x0 = pl.multiple_of(x0_ref[t_idx], LANE)
+
+    copy = pltpu.make_async_copy(
+        img_ref.at[:, pl.ds(y0, Sr), pl.ds(x0, Sc)], win_ref, sem)
+    copy.start()
+
+    u = u_ref[0]                                   # (1, P)
+    v = v_ref[0]
+    J = jac_ref[0]                                 # (4, P)
+    jx, jy, jz, jw = J[0:1], J[1:2], J[2:3], J[3:4]
+
+    # affine_bbox (cpu_undistort.rs:272-277)
+    tx = 2.0 * jnp.maximum(jnp.maximum(jnp.abs(jx + jy), jnp.abs(jx - jy)), 1.0)
+    ty = 2.0 * jnp.maximum(jnp.maximum(jnp.abs(jz + jw), jnp.abs(jz - jw)), 1.0)
+    bx0 = jnp.floor(u - tx).astype(jnp.int32)
+    bx1 = jnp.ceil(u + tx).astype(jnp.int32)
+    by0 = jnp.floor(v - ty).astype(jnp.int32)
+    by1 = jnp.ceil(v + ty).astype(jnp.int32)
+
+    # clamped_ellipse (cpu_undistort.rs:279-314)
+    f0 = jnp.abs(jx * jw - jy * jz)
+    f = jnp.maximum(f0 * f0, 0.1)
+    a = (jz * jz + jw * jw) / f
+    b = -2.0 * (jx * jz + jy * jw) / f
+    c = (jx * jx + jy * jy) / f
+    vx = c - a
+    vy = -b
+    lv = jnp.sqrt(vx * vx + vy * vy)
+    v0 = jnp.where(lv > 0.01, vx / jnp.where(lv == 0, 1.0, lv), 1.0)
+    cc = jnp.sqrt(jnp.maximum(1.0 + v0, 0.0) / 2.0)
+    s_ = jnp.sqrt(jnp.maximum(1.0 - v0, 0.0) / 2.0)
+    a0 = a * cc * cc - b * cc * s_ + c * s_ * s_
+    c0 = a * s_ * s_ + b * cc * s_ + c * cc * cc
+    bt1 = b * (cc * cc - s_ * s_)
+    bt2 = 2.0 * (a - c) * cc * s_
+    b0 = bt1 + bt2
+    b0v2 = bt1 - bt2
+    flip = jnp.abs(b0) > jnp.abs(b0v2)
+    s_ = jnp.where(flip, -s_, s_)
+    b0 = jnp.where(flip, b0v2, b0)
+    a0 = jnp.minimum(a0, 1.0)
+    c0 = jnp.minimum(c0, 1.0)
+    sn = -s_
+    abc_x = a0 * cc * cc - b0 * cc * sn + c0 * sn * sn
+    abc_y = 2.0 * a0 * cc * sn + b0 * cc * cc - b0 * sn * sn - 2.0 * c0 * cc * sn
+    abc_z = a0 * sn * sn + b0 * cc * sn + c0 * cc * cc
+
+    pw = [pq_ref[0, i] for i in range(4)]
+    qw = [pq_ref[0, 4 + i] for i in range(4)]
+
+    def bc2(x):
+        x = jnp.abs(x)
+        x2 = x * x
+        pr = pw[0] + pw[1] * x + pw[2] * x2 + pw[3] * x2 * x
+        qr = qw[0] + qw[1] * x + qw[2] * x2 + qw[3] * x2 * x
+        return jnp.where(x < 1.0, pr, jnp.where(x < 2.0, qr, 0.0))
+
+    base_x = jnp.floor(u).astype(jnp.int32) - EWA_CAP    # absolute tap-0 col
+    base_y = jnp.floor(v).astype(jnp.int32) - EWA_CAP
+    bx_rel = base_x - x0
+    by_rel = base_y - y0
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (Sc, P), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (Sr, P), 0)
+    Ty = row_ids - by_rel                                 # typ index per row
+
+    copy.wait()
+
+    acc = [jnp.zeros((1, P), jnp.float32) for _ in range(nchan)]
+    ksum_all = jnp.zeros((1, P), jnp.float32)
+    ksum_rect = jnp.zeros((1, P), jnp.float32)
+
+    n_pad = 16                                            # tree over 16 leaves
+    for txp in range(taps):
+        in_x = base_x + txp
+        fx = in_x.astype(jnp.float32) - u
+        fx_abc = fx * fx * abc_x
+        fx_y = fx * abc_y
+        x_bbox = (in_x >= bx0) & (in_x <= bx1)
+        x_rect = (in_x >= srx) & (in_x < srx + srw)
+
+        ws = []
+        for typ in range(taps):
+            in_y = base_y + typ
+            fy = in_y.astype(jnp.float32) - v
+            dr = fx_abc + fy * fx_y + fy * fy * abc_z
+            k = bc2(jnp.sqrt(jnp.maximum(dr, 0.0)))
+            k = jnp.where(x_bbox & (in_y >= by0) & (in_y <= by1), k, 0.0)
+            k_rect = jnp.where(x_rect & (in_y >= sry) & (in_y < sry + srh), k, 0.0)
+            ksum_all = ksum_all + k
+            ksum_rect = ksum_rect + k_rect
+            ws.append(k_rect)
+        ws += [jnp.zeros((1, P), jnp.float32)] * (n_pad - taps)
+
+        # bit-select tree: R[r, p] = ws[Ty[r, p]][p] for Ty in [0, 16)
+        level = ws
+        bit = 0
+        while len(level) > 1:
+            bsel = (Ty >> bit) & 1
+            level = [jnp.where(bsel == 1, level[i + 1], level[i])
+                     for i in range(0, len(level), 2)]
+            bit += 1
+        R = jnp.where((Ty >= 0) & (Ty < taps), level[0], 0.0)
+
+        Cm = jnp.where(col_ids == bx_rel + txp, 1.0, 0.0)
+        for ch in range(nchan):
+            colmix = jnp.dot(win_ref[ch], Cm, preferred_element_type=jnp.float32)
+            acc[ch] = acc[ch] + jnp.sum(R * colmix, axis=0, keepdims=True)
+
+    denom = jnp.where(ksum_all == 0.0, 1.0, ksum_all)
+    k_bg = ksum_all - ksum_rect
+    for ch in range(nchan):
+        out_ref[0, ch] = ((acc[ch] + k_bg * bg_ref[0, ch]) / denom)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def _ewa_call(spec: SamplerSpec, img, u_t, v_t, jac_t, y0s, x0s, pq, bg,
+              interpret=False):
+    ntiles = u_t.shape[0]
+    nchan = img.shape[0]
+    P = spec.tile_h * spec.tile_w
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 4, P), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 8), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nchan), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nchan, P), lambda i, *_: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((nchan, spec.win_h, spec.win_w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_ewa_kernel, spec),
+        out_shape=jax.ShapeDtypeStruct((ntiles, nchan, P), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(y0s, x0s, img, u_t.reshape(ntiles, 1, P), v_t.reshape(ntiles, 1, P),
+      jac_t, pq, bg)
+
+
+def sample_planes_ewa(spec: SamplerSpec, imgs, u, v, jac, valid, bg_vec,
+                      pq_coeffs):
+    """EWA sampling of all channels: imgs (C, H, W), uv/jac maps (OH, OW[, 4]).
+
+    Returns ((C, OH, OW), overflow)."""
+    nchan = imgs.shape[0]
+    if imgs.shape[1:] != (spec.height, spec.width):
+        imgs = jnp.pad(imgs, ((0, 0), (0, spec.height - imgs.shape[1]),
+                              (0, spec.width - imgs.shape[2])))
+    up = _pad_to(u, spec.tile_h, spec.tile_w)
+    vp = _pad_to(v, spec.tile_h, spec.tile_w)
+    validp = _pad_to(valid.astype(jnp.float32), spec.tile_h, spec.tile_w) > 0.5
+    up = jnp.clip(jnp.where(jnp.isfinite(up), up, 0.0), -32768.0, 32768.0)
+    vp = jnp.clip(jnp.where(jnp.isfinite(vp), vp, 0.0), -32768.0, 32768.0)
+
+    y0s, x0s, overflow = plan_windows(spec, up, vp, validp)
+    P = spec.tile_h * spec.tile_w
+    ntiles = spec.grid[0] * spec.grid[1]
+    jac_t = jnp.stack([_tileize(spec, _pad_to(jac[..., i], spec.tile_h, spec.tile_w))
+                       for i in range(4)], axis=1)       # (ntiles, 4, P)
+    pq = jnp.concatenate([jnp.asarray(pq_coeffs[0], jnp.float32).reshape(4),
+                          jnp.asarray(pq_coeffs[1], jnp.float32).reshape(4)]
+                         ).reshape(1, 8)
+    bg = jnp.asarray(bg_vec, jnp.float32).reshape(1, nchan)
+    interpret = jax.default_backend() == "cpu"
+    out_t = _ewa_call(spec, imgs, _tileize(spec, up), _tileize(spec, vp),
+                      jac_t, y0s, x0s, pq, bg, interpret=interpret)
+    ny, nx = spec.grid
+    TH, TW = spec.tile_h, spec.tile_w
+    out = (out_t.reshape(ny, nx, nchan, TH, TW)
+                .transpose(2, 0, 3, 1, 4)
+                .reshape(nchan, ny * TH, nx * TW))
+    return out[:, :spec.out_height, :spec.out_width], overflow

@@ -605,14 +605,15 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     """
     from . import pallas_sampler as ps
 
-    if cfg.interpolation > 8 or (drawing is not None and cfg.has(DRAWING_ENABLED)):
-        # EWA and overlay paths run through the XLA pipeline until the kernels
-        # grow elliptical windows / canvas blending
+    if drawing is not None and cfg.has(DRAWING_ENABLED):
+        # overlay blending runs through the XLA pipeline until the kernels
+        # grow canvas operands
         return remap_plane(img, matrices, cfg, dyn, mesh=mesh,
                            drawing=drawing), jnp.asarray(False)
     # mesh/FPD only alter the coords stage; coords run in XLA (one-hot grid
     # math, gather-free) and the Pallas sampler is unchanged
     has_mesh = cfg.has(HAS_MESH_DATA) or cfg.has(HAS_FPD_DATA)
+    is_ewa = cfg.interpolation > 8
 
     C = img.shape[-1]
     bg_full = dyn.background * dyn.max_pixel_value
@@ -632,7 +633,7 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     out_f = (dyn.f[0] / dyn.fov / factor, dyn.f[1] / dyn.fov / factor)
 
     coords_overflow = jnp.asarray(False)
-    if matrices.shape[0] > 1 and not has_mesh:
+    if matrices.shape[0] > 1 and not has_mesh and not is_ewa:
         # RS path: per-pixel matrix projection in the Pallas coords kernel
         from . import pallas_coords as pc
         x, y, idx = coords_pre(out_pos, matrices, cfg, dyn, out_c, out_f)
@@ -657,14 +658,32 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         uv, valid = undistort_coord(out_pos, matrices, cfg, dyn, out_c, out_f,
                                     mesh=mesh)
 
+    jac = None
+    if is_ewa:
+        # finite-difference Jacobian, eps=0.01 (cpu_undistort.rs:566-571)
+        eps = 0.01
+        uv_x, _vx = undistort_coord(out_pos + jnp.asarray([eps, 0.0], jnp.float32),
+                                    matrices, cfg, dyn, out_c, out_f, mesh=mesh)
+        uv_y, _vy = undistort_coord(out_pos + jnp.asarray([0.0, eps], jnp.float32),
+                                    matrices, cfg, dyn, out_c, out_f, mesh=mesh)
+        dx = jnp.where(_vx[..., None], uv_x, 0.0) - uv
+        dy = jnp.where(_vy[..., None], uv_y, 0.0) - uv
+        jac = jnp.stack([dx[..., 0] / eps, dy[..., 0] / eps,
+                         dx[..., 1] / eps, dy[..., 1] / eps], axis=-1)
+
     spec = ps.SamplerSpec.create(
         height=img.shape[0], width=img.shape[1], out_height=oh, out_width=ow,
         interpolation=cfg.interpolation, win_h=win_h, win_w=win_w,
         source_rect=cfg.src_rect)
 
     def sample_all(uvq):
-        out, overflow = ps.sample_planes(spec, jnp.moveaxis(img, -1, 0),
-                                         uvq[..., 0], uvq[..., 1], valid, bg)
+        if is_ewa:
+            out, overflow = ps.sample_planes_ewa(
+                spec, jnp.moveaxis(img, -1, 0), uvq[..., 0], uvq[..., 1], jac,
+                valid, bg, (dyn.ewa_coeffs_p, dyn.ewa_coeffs_q))
+        else:
+            out, overflow = ps.sample_planes(spec, jnp.moveaxis(img, -1, 0),
+                                             uvq[..., 0], uvq[..., 1], valid, bg)
         return jnp.minimum(jnp.moveaxis(out, 0, -1), dyn.pixel_value_limit), overflow
 
     if cfg.background_mode == 3:

@@ -246,3 +246,43 @@ class TestEWA:
         got = np.asarray(remap.remap_plane_jit(jnp.asarray(img), jnp.asarray(matrices), cfg, dyn))
         want = oracle.undistort_image(img, p, matrices)
         assert np.abs(got - want).max() < 1.5
+
+
+class TestEWAPallas:
+    """EWA through the Pallas elliptical kernel vs oracle + XLA path."""
+
+    @pytest.mark.parametrize("interp", [10, 11, 12, 13])
+    def test_matches_xla(self, interp):
+        img = make_image()
+        cfg, dyn, p, matrices = make_pair()
+        from gyroflow_tpu.ops.remap import ewa_coeffs
+        pq, qq = ewa_coeffs(interp)
+        cfg = cfg._replace(interpolation=interp)
+        dyn = dyn._replace(ewa_coeffs_p=jnp.asarray(pq, jnp.float32),
+                           ewa_coeffs_q=jnp.asarray(qq, jnp.float32))
+        xla = np.asarray(remap.remap_plane_jit(
+            jnp.asarray(img), jnp.asarray(matrices), cfg, dyn))
+        pal, ov = remap.remap_plane_pallas(
+            jnp.asarray(img), jnp.asarray(matrices), cfg, dyn,
+            win_h=64, win_w=512)
+        assert not bool(ov)
+        diff = np.abs(np.asarray(pal) - xla)
+        assert diff.max() < 1.0, (interp, diff.max())
+
+    def test_oracle_golden(self):
+        img = make_image()
+        cfg, dyn, p, matrices = make_pair()
+        from gyroflow_tpu.ops.remap import ewa_coeffs
+        pq, qq = ewa_coeffs(11)
+        cfg = cfg._replace(interpolation=11)
+        dyn = dyn._replace(ewa_coeffs_p=jnp.asarray(pq, jnp.float32),
+                           ewa_coeffs_q=jnp.asarray(qq, jnp.float32))
+        p2 = dict(p)
+        p2.update(interpolation=11, ewa_coeffs_p=list(pq), ewa_coeffs_q=list(qq))
+        pal, ov = remap.remap_plane_pallas(
+            jnp.asarray(img), jnp.asarray(matrices), cfg, dyn,
+            win_h=64, win_w=512)
+        assert not bool(ov)
+        want = oracle.undistort_image(img, p2, matrices)
+        diff = np.abs(np.asarray(pal) - want)
+        assert np.percentile(diff, 99) < 2.0, np.percentile(diff, 99)
