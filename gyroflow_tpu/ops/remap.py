@@ -227,10 +227,12 @@ def coords_pre(out_pos, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     sy = jnp.clip(jnp.rint(axis).astype(jnp.int32), 0, lim)
     if matrix_count > 1:
         center = matrix_count // 2
-        probe_uv, probe_valid = rotate_and_distort(
-            jnp.stack([x, y], axis=-1), jnp.full(x.shape, center, jnp.int32),
-            matrices, cfg, dyn, mesh=mesh)
-        probe_axis = probe_uv[..., 0] if horizontal_rs else probe_uv[..., 1]
+        # the probe uses ONE matrix for every pixel — broadcast it instead of
+        # a per-pixel gather (a constant-index take cost ~25 ms/frame at 4K)
+        mc = [matrices[center, i] for i in range(14)]
+        pu, pv, probe_valid = rotate_and_distort_core(
+            x, y, mc, cfg, dyn, _lens_params(cfg, dyn), mesh=mesh)
+        probe_axis = pu if horizontal_rs else pv
         sy_probe = jnp.clip(jnp.rint(probe_axis).astype(jnp.int32), 0, lim)
         sy = jnp.where(probe_valid, sy_probe, sy)
     idx = jnp.minimum(sy, matrix_count - 1)
