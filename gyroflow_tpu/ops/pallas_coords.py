@@ -64,9 +64,10 @@ def _coords_kernel(cfg: KernelConfig, win_m: int,
     from .remap import rotate_and_distort_core
 
     t = pl.program_id(0)
-    m0 = pl.multiple_of(m0_ref[t], SUBLANE)
-    # mats are padded to (M, 128) lanes (Mosaic slice alignment); cols 0..13 real
-    cp = pltpu.make_async_copy(mats_ref.at[pl.ds(m0, win_m), :], matwin_ref, sem)
+    m0 = pl.multiple_of(m0_ref[t], 128)
+    # mats are stored TRANSPOSED (16, Mpad): matrix index on the lane axis, so
+    # the one-hot contraction produces a (16, P) result instead of (128, P)
+    cp = pltpu.make_async_copy(mats_ref.at[:, pl.ds(m0, win_m)], matwin_ref, sem)
     cp.start()
 
     px = x_ref[0]
@@ -80,9 +81,9 @@ def _coords_kernel(cfg: KernelConfig, win_m: int,
     idx_rel = idx - m0
     rid = jax.lax.broadcasted_iota(jnp.int32, (win_m, P), 0)
     E = (rid == idx_rel).astype(jnp.float32)                   # (win_m, P)
-    m_mat = jax.lax.dot_general(                                # (14, P)
+    m_mat = jax.lax.dot_general(                                # (16, P)
         matwin_ref[:], E,
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     m = [m_mat[i:i + 1] for i in range(14)]
 
@@ -112,7 +113,7 @@ def _coords_call(cfg: KernelConfig, win_m: int, mats, x_t, y_t, idx_t, m0s, para
             pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((win_m, 128), jnp.float32),
+            pltpu.VMEM((16, win_m), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -126,25 +127,31 @@ def _coords_call(cfg: KernelConfig, win_m: int, mats, x_t, y_t, idx_t, m0s, para
 
 
 def plan_matrix_windows(idx_t, win_m: int, matrix_count: int):
-    """Per-tile matrix window origin from RS indices; returns (m0s, overflow)."""
+    """Per-tile matrix window origin from RS indices; returns (m0s, overflow).
+
+    Origins are 128-aligned (lane-axis DMA slices on the transposed layout)."""
     imin = idx_t.min(axis=(1, 2))
     imax = idx_t.max(axis=(1, 2))
-    m0 = (imin // SUBLANE) * SUBLANE
+    m0 = (imin // 128) * 128
     m0 = jnp.clip(m0, 0, max(matrix_count - win_m, 0))
     overflow = ((imax - m0) >= win_m).any()
     return m0.astype(jnp.int32), overflow
 
 
 def project_tiles(cfg: KernelConfig, dyn: KernelDynamics, matrices,
-                  x_t, y_t, idx_t, win_m: int = 64):
-    """Tile-flattened (ntiles,1,P) positions+indices -> (u, v, valid, overflow)."""
+                  x_t, y_t, idx_t, win_m: int = 256):
+    """Tile-flattened (ntiles,1,P) positions+indices -> (u, v, valid, overflow).
+
+    Matrices ship transposed (16, Mpad) so the per-tile window DMA slices the
+    lane axis and the one-hot contraction yields a compact (16, P) result."""
     matrix_count = matrices.shape[0]
-    win_m = min(win_m, -(-matrix_count // SUBLANE) * SUBLANE)
-    matrices = jnp.pad(matrices, ((0, (-matrix_count) % SUBLANE),
-                                  (0, 128 - matrices.shape[1])))
-    m0s, overflow = plan_matrix_windows(idx_t, win_m, matrices.shape[0])
+    mpad = max(-(-matrix_count // 128) * 128, win_m)
+    win_m = min(win_m, mpad)
+    matsT = jnp.pad(matrices, ((0, mpad - matrix_count),
+                               (0, 16 - matrices.shape[1]))).T  # (16, Mpad)
+    m0s, overflow = plan_matrix_windows(idx_t, win_m, mpad)
     params = pack_params(dyn)
     interpret = jax.default_backend() == "cpu"
-    u_t, v_t, valid_t = _coords_call(cfg, win_m, matrices, x_t, y_t, idx_t,
+    u_t, v_t, valid_t = _coords_call(cfg, win_m, matsT, x_t, y_t, idx_t,
                                      m0s, params, interpret=interpret)
     return u_t, v_t, valid_t, overflow

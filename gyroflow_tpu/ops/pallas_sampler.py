@@ -585,3 +585,109 @@ def sample_planes_ewa(spec: SamplerSpec, imgs, u, v, jac, valid, bg_vec,
                 .transpose(2, 0, 3, 1, 4)
                 .reshape(nchan, ny * TH, nx * TW))
     return out[:, :spec.out_height, :spec.out_width], overflow
+
+
+# ---------------------------------------------------------------------------
+# Tiled-layout entries: callers that already hold (ntiles, P) pixel rows skip
+# the full-frame tileize/untileize transposes entirely
+# ---------------------------------------------------------------------------
+
+def plan_windows_t(spec: SamplerSpec, u_t, v_t, valid_t):
+    """plan_windows on flat-tiled (ntiles, P) maps — a per-row reduce."""
+    big = jnp.float32(1e9)
+    umin = jnp.min(jnp.where(valid_t, u_t, big), axis=1)
+    umax = jnp.max(jnp.where(valid_t, u_t, -big), axis=1)
+    vmin = jnp.min(jnp.where(valid_t, v_t, big), axis=1)
+    vmax = jnp.max(jnp.where(valid_t, v_t, -big), axis=1)
+    any_valid = valid_t.any(axis=1)
+    umin = jnp.where(any_valid, umin, 0.0)
+    umax = jnp.where(any_valid, umax, 0.0)
+    vmin = jnp.where(any_valid, vmin, 0.0)
+    vmax = jnp.where(any_valid, vmax, 0.0)
+
+    off = spec.offset
+    taps = spec.taps
+    x0 = (jnp.floor(umin - off).astype(jnp.int32) - 1) & ~(LANE - 1)
+    y0 = (jnp.floor(vmin - off).astype(jnp.int32) - 1) & ~(SUBLANE - 1)
+    x0 = jnp.clip(x0, 0, max(spec.width - spec.win_w, 0))
+    y0 = jnp.clip(y0, 0, max(spec.height - spec.win_h, 0))
+
+    srx, sry, srw, srh = spec.src_rect
+    xlast = jnp.minimum(jnp.floor(umax - off).astype(jnp.int32) + taps, srx + srw - 1)
+    ylast = jnp.minimum(jnp.floor(vmax - off).astype(jnp.int32) + taps, sry + srh - 1)
+    xfirst = jnp.maximum(jnp.floor(umin - off).astype(jnp.int32), srx)
+    yfirst = jnp.maximum(jnp.floor(vmin - off).astype(jnp.int32), sry)
+    overflow = (((xlast - x0 >= spec.win_w) | (ylast - y0 >= spec.win_h)) &
+                (xlast >= xfirst) & (ylast >= yfirst) & any_valid)
+    return y0, x0, overflow.any()
+
+
+def _pad_imgs(spec: SamplerSpec, imgs):
+    if imgs.shape[1:] != (spec.height, spec.width):
+        imgs = jnp.pad(imgs, ((0, 0), (0, spec.height - imgs.shape[1]),
+                              (0, spec.width - imgs.shape[2])))
+    return imgs
+
+
+def _guard_uv(a):
+    return jnp.clip(jnp.where(jnp.isfinite(a), a, 0.0), -32768.0, 32768.0)
+
+
+def sample_planes_t(spec: SamplerSpec, imgs, u_t, v_t, valid_t, bg_vec):
+    """Tiled separable sampling: u_t/v_t/valid_t (ntiles, P) -> (ntiles, C, P)."""
+    imgs = _pad_imgs(spec, imgs)
+    u_t = _guard_uv(u_t)
+    v_t = _guard_uv(v_t)
+    y0s, x0s, overflow = plan_windows_t(spec, u_t, v_t, valid_t)
+    bg = jnp.asarray(bg_vec, jnp.float32).reshape(1, imgs.shape[0])
+    interpret = jax.default_backend() == "cpu"
+    out_t = _sample_call(spec, imgs, u_t, v_t, y0s, x0s, bg, interpret=interpret)
+    return out_t, overflow
+
+
+def sample_planes_ewa_t(spec: SamplerSpec, imgs, u_t, v_t, jac_t, valid_t,
+                        bg_vec, pq_coeffs):
+    """Tiled EWA sampling: jac_t (ntiles, P, 4) -> (ntiles, C, P)."""
+    imgs = _pad_imgs(spec, imgs)
+    u_t = _guard_uv(u_t)
+    v_t = _guard_uv(v_t)
+    y0s, x0s, overflow = plan_windows_t(spec, u_t, v_t, valid_t)
+    ntiles = u_t.shape[0]
+    P = spec.tile_h * spec.tile_w
+    jac4 = jnp.moveaxis(jac_t, -1, 1)            # (ntiles, 4, P)
+    pq = jnp.concatenate([jnp.asarray(pq_coeffs[0], jnp.float32).reshape(4),
+                          jnp.asarray(pq_coeffs[1], jnp.float32).reshape(4)]
+                         ).reshape(1, 8)
+    bg = jnp.asarray(bg_vec, jnp.float32).reshape(1, imgs.shape[0])
+    interpret = jax.default_backend() == "cpu"
+    out_t = _ewa_call(spec, imgs, u_t.reshape(ntiles, 1, P),
+                      v_t.reshape(ntiles, 1, P), jac4, y0s, x0s, pq, bg,
+                      interpret=interpret)
+    return out_t, overflow
+
+
+def out_untileize_c(spec: SamplerSpec, out_t):
+    """(ntiles, C, P) -> (C, OH, OW) (cropped)."""
+    ny, nx = spec.grid
+    TH, TW = spec.tile_h, spec.tile_w
+    nchan = out_t.shape[1]
+    out = (out_t.reshape(ny, nx, nchan, TH, TW)
+                .transpose(2, 0, 3, 1, 4)
+                .reshape(nchan, ny * TH, nx * TW))
+    return out[:, :spec.out_height, :spec.out_width]
+
+
+def tiled_grid(spec: SamplerSpec):
+    """Arithmetic (no transpose) output-pixel coordinates in tiled layout.
+
+    Returns (ox, oy, pad_ok) each (ntiles, P): output x/y of every tile pixel
+    and whether it's inside the real (unpadded) output."""
+    ny, nx = spec.grid
+    TH, TW = spec.tile_h, spec.tile_w
+    P = TH * TW
+    t_ids = jnp.arange(ny * nx, dtype=jnp.int32)[:, None]
+    p_ids = jnp.arange(P, dtype=jnp.int32)[None, :]
+    oy = (t_ids // nx) * TH + p_ids // TW
+    ox = (t_ids % nx) * TW + p_ids % TW
+    pad_ok = (ox < spec.out_width) & (oy < spec.out_height)
+    return ox.astype(jnp.float32), oy.astype(jnp.float32), pad_ok

@@ -599,11 +599,15 @@ def remap_plane_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics, mesh=
 def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
                        mesh=None, win_h: int = 64, win_w: int = 512,
                        drawing=None):
-    """Drop-in replacement for remap_plane using the Pallas sampling kernel.
+    """Drop-in replacement for remap_plane using the Pallas sampling kernels.
 
     Returns (output, overflow) — overflow True means some tile's source bbox
     exceeded the configured window (caller should retry with a larger window
     or fall back to remap_plane).
+
+    The whole pipeline runs in flat-tiled (ntiles, P) layout — output pixel
+    coordinates are generated arithmetically per tile, so no full-frame
+    tileize/untileize transposes happen except the single final output one.
     """
     from . import pallas_sampler as ps
 
@@ -625,10 +629,13 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     if cfg.has(FILL_WITH_BACKGROUND):
         return jnp.broadcast_to(bg, (oh, ow, C)).astype(jnp.float32), jnp.asarray(False)
 
-    ys = jnp.arange(oh, dtype=jnp.float32)
-    xs = jnp.arange(ow, dtype=jnp.float32)
-    gx, gy = jnp.meshgrid(xs, ys)
-    out_pos = jnp.stack([gx, gy], axis=-1)
+    spec = ps.SamplerSpec.create(
+        height=img.shape[0], width=img.shape[1], out_height=oh, out_width=ow,
+        interpolation=cfg.interpolation, win_h=win_h, win_w=win_w,
+        source_rect=cfg.src_rect)
+    P = spec.tile_h * spec.tile_w
+    ox, oy, pad_ok = ps.tiled_grid(spec)            # (ntiles, P)
+    out_pos = jnp.stack([ox, oy], axis=-1)          # (ntiles, P, 2)
 
     factor = jnp.maximum(1.0 - dyn.lens_correction_amount, 0.001)
     out_c = (float(cfg.output_width) / 2.0, float(cfg.output_height) / 2.0)
@@ -639,26 +646,20 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         # RS path: per-pixel matrix projection in the Pallas coords kernel
         from . import pallas_coords as pc
         x, y, idx = coords_pre(out_pos, matrices, cfg, dyn, out_c, out_f)
-        tspec = ps.SamplerSpec.create(
-            height=img.shape[0], width=img.shape[1], out_height=oh, out_width=ow,
-            interpolation=cfg.interpolation)
-        ntile_shape = lambda a: ps._tileize(tspec, ps._pad_to(a, tspec.tile_h, tspec.tile_w))
-        P = tspec.tile_h * tspec.tile_w
-        x_t = ntile_shape(x).reshape(-1, 1, P)
-        y_t = ntile_shape(y).reshape(-1, 1, P)
-        idx_t = ntile_shape(idx).reshape(-1, 1, P)
-        u_t, v_t, valid_t, coords_overflow = pc.project_tiles(cfg, dyn, matrices, x_t, y_t, idx_t)
-        unt = lambda a: ps._out_untileize(tspec, a)[:oh, :ow]
-        u = unt(u_t)
-        v = unt(v_t)
-        valid = unt(valid_t) > 0.5
+        ntiles = x.shape[0]
+        u_t, v_t, valid_t, coords_overflow = pc.project_tiles(
+            cfg, dyn, matrices, x.reshape(ntiles, 1, P),
+            y.reshape(ntiles, 1, P), idx.reshape(ntiles, 1, P))
+        u = u_t.reshape(ntiles, P)
+        v = v_t.reshape(ntiles, P)
+        valid = valid_t.reshape(ntiles, P) > 0.5
         uv, valid = coords_post(u, v, valid, cfg)
     else:
         # single-matrix, or mesh/FPD (XLA coords incl. one-hot mesh eval +
-        # per-pixel RS matrix gather; the gather costs ~10ms @1080p vs the
-        # 1288ms full-XLA fallback)
+        # per-pixel RS matrix gather)
         uv, valid = undistort_coord(out_pos, matrices, cfg, dyn, out_c, out_f,
                                     mesh=mesh)
+    valid = valid & pad_ok
 
     jac = None
     if is_ewa:
@@ -673,20 +674,17 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         jac = jnp.stack([dx[..., 0] / eps, dy[..., 0] / eps,
                          dx[..., 1] / eps, dy[..., 1] / eps], axis=-1)
 
-    spec = ps.SamplerSpec.create(
-        height=img.shape[0], width=img.shape[1], out_height=oh, out_width=ow,
-        interpolation=cfg.interpolation, win_h=win_h, win_w=win_w,
-        source_rect=cfg.src_rect)
+    imgs = jnp.moveaxis(img, -1, 0)
 
     def sample_all(uvq):
         if is_ewa:
-            out, overflow = ps.sample_planes_ewa(
-                spec, jnp.moveaxis(img, -1, 0), uvq[..., 0], uvq[..., 1], jac,
-                valid, bg, (dyn.ewa_coeffs_p, dyn.ewa_coeffs_q))
+            out_t, overflow = ps.sample_planes_ewa_t(
+                spec, imgs, uvq[..., 0], uvq[..., 1], jac, valid, bg,
+                (dyn.ewa_coeffs_p, dyn.ewa_coeffs_q))
         else:
-            out, overflow = ps.sample_planes(spec, jnp.moveaxis(img, -1, 0),
-                                             uvq[..., 0], uvq[..., 1], valid, bg)
-        return jnp.minimum(jnp.moveaxis(out, 0, -1), dyn.pixel_value_limit), overflow
+            out_t, overflow = ps.sample_planes_t(spec, imgs, uvq[..., 0],
+                                                 uvq[..., 1], valid, bg)
+        return jnp.minimum(out_t, dyn.pixel_value_limit), overflow
 
     if cfg.background_mode == 3:
         fw, fh = float(cfg.width), float(cfg.height)
@@ -709,23 +707,35 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
                         map_coord(pt2v, 0.0, frame_h, float(sry), float(sry + srh))], axis=-1)
         c1, ov1 = sample_all(m1)
         c2, ov2 = sample_all(m2)
-        pixel = c1 * alpha[..., None] + c2 * (1.0 - alpha[..., None])
+        pixel = c1 * alpha[:, None, :] + c2 * (1.0 - alpha[:, None, :])
         overflow = ov1 | ov2 | coords_overflow
     else:
         pixel, overflow = sample_all(uv)
         overflow = overflow | coords_overflow
 
-    pixel = jnp.where(valid[..., None], pixel, bg)
+    # pixel is (ntiles, C, P); masks are (ntiles, P)
+    bg_c = bg.reshape(1, C, 1)
+    pixel = jnp.where(valid[:, None, :], pixel, bg_c)
 
     orx, ory, orw, orh = cfg.out_rect
-    lx = map_coord(out_pos[..., 0], float(orx), float(orx + orw), 0.0, float(cfg.output_width))
-    ly = map_coord(out_pos[..., 1], float(ory), float(ory + orh), 0.0, float(cfg.output_height))
+    lx = map_coord(ox, float(orx), float(orx + orw), 0.0, float(cfg.output_width))
+    ly = map_coord(oy, float(ory), float(ory + orh), 0.0, float(cfg.output_height))
     in_bounds = (lx >= 0.0) & (ly >= 0.0) & (lx < cfg.output_width) & (ly < cfg.output_height)
-    pixel = jnp.where(in_bounds[..., None], pixel, bg)
+    pixel = jnp.where(in_bounds[:, None, :], pixel, bg_c)
 
     if cfg.has(FIX_COLOR_RANGE):
-        pixel = _remap_colorrange(pixel, cfg.plane_index == 0)
-    return pixel, overflow
+        pixel = _remap_colorrange_t(pixel, cfg.plane_index == 0)
+
+    out = jnp.moveaxis(ps.out_untileize_c(spec, pixel), 0, -1)   # (oh, ow, C)
+    return out, overflow
+
+
+def _remap_colorrange_t(px, is_y: bool):
+    """_remap_colorrange for (ntiles, C, P) layout."""
+    px = px * (0.85882352 if is_y else 0.87843137)
+    C = px.shape[1]
+    bump = jnp.zeros((1, C, 1), jnp.float32).at[:, :2].add(16.0)
+    return px + bump
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "win_h", "win_w"))
