@@ -109,6 +109,40 @@ def _apply_preset(mgr, obj: dict):
     import_gyroflow_data(mgr, json.dumps(base), blocking=False)
 
 
+VIDEO_EXTS = (".mp4", ".mov", ".avi", ".mkv", ".360", ".insv", ".braw")
+
+
+def _watch_scan(folder: str, args, processed: set) -> list:
+    """One poll of the watch folder (cli.rs --watch): stabilize any video that
+    has no output yet. Returns the newly processed paths."""
+    done = []
+    for name in sorted(os.listdir(folder)):
+        path = os.path.join(folder, name)
+        base, ext = os.path.splitext(path)
+        if ext.lower() not in VIDEO_EXTS or path in processed:
+            continue
+        if args.suffix in base:          # skip our own outputs
+            continue
+        out = base + args.suffix + ext
+        if os.path.exists(out) and not args.overwrite:
+            processed.add(path)
+            continue
+        sub = build_parser().parse_args(
+            [path] + (["-g", args.gyro_file] if args.gyro_file else []) +
+            (["--preset", args.preset] if args.preset else []) +
+            (["-f"] if args.overwrite else []) +
+            (["-p", args.out_params] if args.out_params else []) +
+            (["-t", args.suffix] if args.suffix else []))
+        try:
+            rc = _run_single(sub)
+            if rc == 0:
+                done.append(path)
+        except Exception as e:
+            log.error("watch: failed to process %s: %s", path, e)
+        processed.add(path)
+    return done
+
+
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
     args = build_parser().parse_args(argv)
@@ -117,9 +151,25 @@ def main(argv=None) -> int:
         from . import __version__
         print(f"gyroflow-tpu {__version__}")
         return 0
+    if args.watch:
+        import time as _t
+        processed: set = set()
+        log.info("watching %s for new videos (Ctrl-C to stop)", args.watch)
+        try:
+            while True:
+                newly = _watch_scan(args.watch, args, processed)
+                for pth in newly:
+                    log.info("watch: processed %s", pth)
+                _t.sleep(2.0)
+        except KeyboardInterrupt:
+            return 0
     if not args.input:
         build_parser().print_help()
         return 1
+    return _run_single(args)
+
+
+def _run_single(args) -> int:
 
     mgr, video = _load_inputs(args)
 
@@ -158,10 +208,14 @@ def main(argv=None) -> int:
 
     if args.export_metadata:
         typ, _, path = args.export_metadata.partition(":")
-        from .utils.gyro_export import export_camera_data
+        from .utils.gyro_export import (export_camera_data, export_full_metadata,
+                                        export_parsed_metadata)
         fields = json.loads(args.export_metadata_fields) if args.export_metadata_fields else None
+        content = {"1": lambda: export_full_metadata(mgr),
+                   "2": lambda: export_parsed_metadata(mgr)}.get(
+            typ, lambda: export_camera_data(mgr, fields))()
         with open(path or "camera.json", "w") as f:
-            f.write(export_camera_data(mgr, fields))
+            f.write(content)
         print(f"exported metadata: {path}")
         return 0
 

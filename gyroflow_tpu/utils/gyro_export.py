@@ -73,3 +73,55 @@ def export_camera_data(mgr, fields: Optional[dict] = None) -> str:
         out["zooming"] = z
 
     return json.dumps(out, indent=2)
+
+
+def _np(v):
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    return v
+
+
+def export_parsed_metadata(mgr) -> str:
+    """--export-metadata type 2 (render_queue.rs:965-969): the parsed
+    FileMetadata serialized as JSON."""
+    fm = mgr.gyro.file_metadata
+    obj = {
+        "imu_orientation": fm.imu_orientation,
+        "detected_source": fm.detected_source,
+        "frame_readout_time": fm.frame_readout_time,
+        "frame_rate": fm.frame_rate,
+        "has_accurate_timestamps": fm.has_accurate_timestamps,
+        "raw_imu": [{"timestamp_ms": s.timestamp_ms,
+                     "gyro": _np(s.gyro), "accl": _np(s.accl), "magn": _np(s.magn)}
+                    for s in fm.raw_imu],
+        "quaternions": {str(int(t)): q.tolist() for t, q in
+                        zip(fm.quaternions.timestamps_us, fm.quaternions.quats)},
+        "gravity_vectors": ({"ts": fm.gravity_vectors["ts"].tolist(),
+                             "vec": fm.gravity_vectors["vec"].tolist()}
+                            if fm.gravity_vectors else None),
+        "image_orientations": ({str(int(t)): q.tolist() for t, q in
+                                zip(fm.image_orientations.timestamps_us,
+                                    fm.image_orientations.quats)}
+                               if fm.image_orientations is not None else None),
+        "lens_profile": fm.lens_profile,
+        "lens_positions": {str(k): v for k, v in fm.lens_positions.items()},
+        "digital_zoom": fm.digital_zoom,
+        "per_frame_time_offsets": list(fm.per_frame_time_offsets),
+        "additional_data": fm.additional_data,
+    }
+    return json.dumps(obj, indent=2, default=_np)
+
+
+def export_full_metadata(mgr) -> str:
+    """--export-metadata type 1 (gyro_export::export_full_metadata): full dump
+    of everything parsed from the telemetry source + file/video info."""
+    obj = {
+        "file": mgr.input_file,
+        "video": {"fps": mgr.params.fps, "frame_count": mgr.params.frame_count,
+                  "duration_ms": mgr.params.duration_ms,
+                  "size": list(mgr.params.size)},
+        "metadata": json.loads(export_parsed_metadata(mgr)),
+        "offsets": {str(k): v for k, v in mgr.gyro.offsets.items()},
+        "integration_method": mgr.gyro.integration_method,
+    }
+    return json.dumps(obj, indent=2, default=_np)

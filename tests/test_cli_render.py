@@ -140,3 +140,35 @@ class TestAutosync:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestWatchAndMetadata:
+    def test_watch_scan_processes_new_videos(self, video_path, gcsv_path, tmp_path):  # noqa: F811
+        import shutil
+        from gyroflow_tpu import cli as cli_mod
+        folder = tmp_path / "incoming"
+        folder.mkdir()
+        clip = folder / "a.mp4"
+        shutil.copy(video_path, clip)
+        args = cli_mod.build_parser().parse_args(
+            ["--watch", str(folder), "-g", gcsv_path, "-f"])
+        processed = set()
+        done = cli_mod._watch_scan(str(folder), args, processed)
+        assert [str(clip)] == done
+        out = folder / "a_stabilized.mp4"
+        assert out.exists()
+        # second scan: nothing new (output is skipped, input already processed)
+        assert cli_mod._watch_scan(str(folder), args, processed) == []
+
+    def test_export_metadata_types(self, video_path, gcsv_path, tmp_path):  # noqa: F811
+        import json
+        from gyroflow_tpu import cli
+        for typ, check in (("1", lambda o: "metadata" in o and "video" in o),
+                           ("2", lambda o: "raw_imu" in o and o["raw_imu"]),
+                           ("3", lambda o: "fps" in o)):
+            path = tmp_path / f"meta{typ}.json"
+            rc = cli.main([video_path, "-g", gcsv_path, "-f",
+                           "--export-metadata", f"{typ}:{path}"])
+            assert rc == 0
+            obj = json.loads(path.read_text())
+            assert check(obj), (typ, list(obj)[:6])
