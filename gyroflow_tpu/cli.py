@@ -127,12 +127,7 @@ def _watch_scan(folder: str, args, processed: set) -> list:
         if os.path.exists(out) and not args.overwrite:
             processed.add(path)
             continue
-        sub = build_parser().parse_args(
-            [path] + (["-g", args.gyro_file] if args.gyro_file else []) +
-            (["--preset", args.preset] if args.preset else []) +
-            (["-f"] if args.overwrite else []) +
-            (["-p", args.out_params] if args.out_params else []) +
-            (["-t", args.suffix] if args.suffix else []))
+        sub = build_parser().parse_args([path] + _passthrough_flags(args))
         try:
             rc = _run_single(sub)
             if rc == 0:
@@ -166,7 +161,43 @@ def main(argv=None) -> int:
     if not args.input:
         build_parser().print_help()
         return 1
+    videos = [i for i in args.input
+              if os.path.splitext(i)[1].lower() in VIDEO_EXTS]
+    if len(videos) > 1:
+        # multiple clips -> render queue, -j parallel (cli.rs:268)
+        rc = 0
+        from concurrent.futures import ThreadPoolExecutor
+        non_video = [i for i in args.input if i not in videos]
+        def one(v):
+            sub_args = build_parser().parse_args(
+                [v] + non_video + _passthrough_flags(args))
+            return _run_single(sub_args)
+        with ThreadPoolExecutor(max_workers=max(args.parallel_renders, 1)) as ex:
+            for r in ex.map(one, videos):
+                rc = rc or r
+        return rc
     return _run_single(args)
+
+
+def _passthrough_flags(args) -> list:
+    out = []
+    if args.gyro_file:
+        out += ["-g", args.gyro_file]
+    if args.preset:
+        out += ["--preset", args.preset]
+    if args.overwrite:
+        out += ["-f"]
+    if args.out_params:
+        out += ["-p", args.out_params]
+    if args.suffix:
+        out += ["-t", args.suffix]
+    if args.autosync:
+        out += ["--autosync"]
+    if args.sync_params:
+        out += ["-s", args.sync_params]
+    if args.trace:
+        out += ["--trace"]
+    return out
 
 
 def _run_single(args) -> int:
