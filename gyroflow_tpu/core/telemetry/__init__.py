@@ -26,8 +26,17 @@ def parse_telemetry_file(path: str, options: Optional[dict] = None,
     if ext in (".gcsv", ".csv"):
         return parse_gcsv(path, progress_cb=progress_cb)
     if ext in (".bbl", ".bfl", ".txt"):
+        from .blackbox_bin import parse_blackbox_bin
         from .blackbox_csv import parse_blackbox_csv
-        return parse_blackbox_csv(path, progress_cb=progress_cb)
+        try:
+            return parse_blackbox_bin(path, progress_cb=progress_cb)
+        except ValueError:
+            try:
+                return parse_blackbox_csv(path, progress_cb=progress_cb)
+            except Exception as e:
+                raise TelemetryError(
+                    f"{os.path.basename(path)} is neither a binary nor a CSV "
+                    f"blackbox log: {e}")
     if ext in (".mp4", ".mov", ".360", ".insv"):
         from .camm import parse_camm_mp4
         from .gpmf import has_gpmf, parse_gpmf_mp4
