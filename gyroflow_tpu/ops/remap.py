@@ -28,6 +28,10 @@ def _init_compilation_cache():
     import os
     if os.environ.get("GYROFLOW_TPU_NO_CACHE"):
         return
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        # CPU AOT artifacts are host-feature specific (replaying them across
+        # machines risks SIGILL); the cache only pays off for TPU compiles
+        return
     try:
         cache = os.environ.get(
             "GYROFLOW_TPU_CACHE",
