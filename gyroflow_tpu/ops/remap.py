@@ -615,11 +615,6 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     """
     from . import pallas_sampler as ps
 
-    if drawing is not None and cfg.has(DRAWING_ENABLED):
-        # overlay blending runs through the XLA pipeline until the kernels
-        # grow canvas operands
-        return remap_plane(img, matrices, cfg, dyn, mesh=mesh,
-                           drawing=drawing), jnp.asarray(False)
     # mesh/FPD only alter the coords stage; coords run in XLA (one-hot grid
     # math, gather-free) and the Pallas sampler is unchanged
     has_mesh = cfg.has(HAS_MESH_DATA) or cfg.has(HAS_FPD_DATA)
@@ -730,8 +725,78 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     if cfg.has(FIX_COLOR_RANGE):
         pixel = _remap_colorrange_t(pixel, cfg.plane_index == 0)
 
+    if drawing is not None and cfg.has(DRAWING_ENABLED):
+        pixel, ov_d = _draw_overlay_tiled(ps, spec, pixel, uv, ox, oy, drawing,
+                                          cfg, dyn)
+        overflow = overflow | ov_d
+
     out = jnp.moveaxis(ps.out_untileize_c(spec, pixel), 0, -1)   # (oh, ow, C)
     return out, overflow
+
+
+def _canvas_fetch_t(ps, canvas_f32, x, y, scale):
+    """Exact nearest canvas fetch in tiled layout, gather-free: integer
+    coordinates hit bilinear phase 0, so the sampler returns canvas[yi, xi]
+    bit-exactly (byte values are exact in f32)."""
+    hc, wc = canvas_f32.shape
+    xi = jnp.floor(x / scale)
+    yi = jnp.floor(y / scale)
+    spec_c = ps.SamplerSpec.create(
+        height=hc, width=wc, out_height=0, out_width=0, interpolation=2,
+        win_h=64, win_w=512, source_rect=(0, 0, wc, hc))
+    inb = (xi >= 0) & (yi >= 0) & (xi < wc) & (yi < hc)
+    out_t, ov = ps.sample_planes_t(spec_c, canvas_f32[None],
+                                   jnp.where(inb, xi, 0.0),
+                                   jnp.where(inb, yi, 0.0), inb,
+                                   jnp.zeros(1))
+    data = jnp.where(inb, out_t[:, 0, :], 0.0)
+    return jnp.rint(data).astype(jnp.int32), ov
+
+
+def _blend_overlay_t(pixel, data, active_extra, dyn):
+    """draw_pixel blend (stabilize_spirv/src/drawing.rs:37-49) on tiled
+    (ntiles, C, P) pixels with (ntiles, P) packed canvas bytes. Color table
+    lookups are one-hot selects (gather-free); ALPHAS is arithmetic
+    (1 - 0.25·idx)."""
+    from ..core.drawing import COLORS
+    color = (data & 0xF8) >> 3
+    alpha_i = (data & 0x06) >> 1
+    active = (data > 0) & (color < 9) & active_extra
+    alphaf = 1.0 - 0.25 * alpha_i.astype(jnp.float32)
+    C = pixel.shape[1]
+    colorf = jnp.zeros(pixel.shape, jnp.float32)
+    for ci in range(1, 9):
+        sel = (color == ci)[:, None, :]
+        col = jnp.asarray(COLORS[ci][:C], jnp.float32).reshape(1, C, 1)
+        colorf = jnp.where(sel, col, colorf)
+    colorf = colorf * dyn.max_pixel_value
+    blended = colorf * alphaf[:, None, :] + pixel * (1.0 - alphaf[:, None, :])
+    return jnp.where(active[:, None, :], blended, pixel)
+
+
+def _draw_overlay_tiled(ps, spec, pixel, uv, ox, oy, drawing, cfg, dyn):
+    """process_final_pixel's drawing stages (spirv drawing.rs:78-99) in the
+    tiled Pallas pipeline: canvas fetches ride the sampling kernel."""
+    canvas = jnp.asarray(drawing.canvas, jnp.float32)
+    scale = jnp.float32(drawing.scale)
+    # input stage, gated by source_rect
+    srx, sry, srw, srh = cfg.src_rect
+    u, v = uv[..., 0], uv[..., 1]
+    src_in = (v >= float(sry)) & (v < float(sry + srh)) & \
+             (u >= float(srx)) & (u < float(srx + srw))
+    d_in, ov1 = _canvas_fetch_t(ps, canvas, u, v, scale)
+    pixel = _blend_overlay_t(pixel, d_in, src_in & ((d_in & 1) == 0), dyn)
+    # output stage
+    d_out, ov2 = _canvas_fetch_t(ps, canvas, ox, oy, scale)
+    pixel = _blend_overlay_t(pixel, d_out, (d_out & 1) == 1, dyn)
+    # safe area dim (drawing.rs:52-69)
+    if drawing.safe_area_rect is not None:
+        rx, ry, rz, rw = [jnp.float32(vv) for vv in drawing.safe_area_rect]
+        safe = (ox >= rx) & (ox <= rz) & (oy >= ry) & (oy <= rw)
+        border = (ox > rx - 5.0) & (ox < rz + 5.0) & (oy > ry - 5.0) & (oy < rw + 5.0)
+        dim = jnp.where(safe, 1.0, jnp.where(border, 0.25, 0.5))
+        pixel = pixel * dim[:, None, :]
+    return pixel, ov1 | ov2
 
 
 def _remap_colorrange_t(px, is_y: bool):
