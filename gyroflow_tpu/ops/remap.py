@@ -229,6 +229,7 @@ def coords_pre(out_pos, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     lim = cfg.width if horizontal_rs else cfg.height
     axis = x if horizontal_rs else y
     sy = jnp.clip(jnp.rint(axis).astype(jnp.int32), 0, lim)
+    probe = None
     if matrix_count > 1:
         center = matrix_count // 2
         # the probe uses ONE matrix for every pixel — broadcast it instead of
@@ -239,13 +240,15 @@ def coords_pre(out_pos, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         probe_axis = pu if horizontal_rs else pv
         sy_probe = jnp.clip(jnp.rint(probe_axis).astype(jnp.int32), 0, lim)
         sy = jnp.where(probe_valid, sy_probe, sy)
+        probe = (pu, pv, probe_valid)
     idx = jnp.minimum(sy, matrix_count - 1)
-    return x, y, idx
+    return x, y, idx, probe
 
 
-def coords_post(u, v, valid, cfg: KernelConfig):
+def coords_post_uv(u, v, cfg: KernelConfig):
     """Stages AFTER the matrix projection: input rotation, edge background
-    modes, source-rect mapping (cpu_undistort.rs:485-516)."""
+    modes, source-rect mapping (cpu_undistort.rs:485-516). Tuple form —
+    elementwise and Pallas-safe."""
     # ---- input rotation (cpu_undistort.rs:485-491) ----
     frame_w, frame_h = float(cfg.width), float(cfg.height)
     if cfg.input_rotation != 0.0:
@@ -273,6 +276,11 @@ def coords_post(u, v, valid, cfg: KernelConfig):
         u = map_coord(u, 0.0, frame_w, float(sx), float(sx + sw))
         v = map_coord(v, 0.0, frame_h, float(sy_), float(sy_ + sh))
 
+    return u, v
+
+
+def coords_post(u, v, valid, cfg: KernelConfig):
+    u, v = coords_post_uv(u, v, cfg)
     return jnp.stack([u, v], axis=-1), valid
 
 
@@ -283,7 +291,7 @@ def undistort_coord(out_pos, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     Mirrors undistort_coord (cpu_undistort.rs:421-517). Returns (uv, valid);
     where invalid the caller paints background.
     """
-    x, y, idx = coords_pre(out_pos, matrices, cfg, dyn, out_c, out_f, mesh=mesh)
+    x, y, idx, _probe = coords_pre(out_pos, matrices, cfg, dyn, out_c, out_f, mesh=mesh)
     uv, valid = rotate_and_distort(jnp.stack([x, y], axis=-1), idx, matrices, cfg, dyn,
                                    mesh=mesh)
     return coords_post(uv[..., 0], uv[..., 1], valid, cfg)
@@ -642,9 +650,11 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
 
     coords_overflow = jnp.asarray(False)
     if matrices.shape[0] > 1 and not has_mesh and not is_ewa:
-        # RS path: per-pixel matrix projection in the Pallas coords kernel
+        # RS path: projection kernel + sampler kernel (a fully fused variant
+        # exists in pallas_fused.py but measured 2.4x SLOWER on v5e — Mosaic
+        # pipelines the split kernels better; see STATUS.md)
         from . import pallas_coords as pc
-        x, y, idx = coords_pre(out_pos, matrices, cfg, dyn, out_c, out_f)
+        x, y, idx, _probe = coords_pre(out_pos, matrices, cfg, dyn, out_c, out_f)
         ntiles = x.shape[0]
         u_t, v_t, valid_t, coords_overflow = pc.project_tiles(
             cfg, dyn, matrices, x.reshape(ntiles, 1, P),
