@@ -314,7 +314,11 @@ class StabilizationManager:
 
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
-        img = jnp.asarray(np.asarray(frame_plane, dtype=np.float32))
+        # ship uint8 frames as uint8 (4x less host<->device traffic); the
+        # f32 conversion happens in-graph (remap casts on entry)
+        src = np.asarray(frame_plane)
+        to_u8 = src.dtype == np.uint8 and max_pixel_value == 255.0
+        img = jnp.asarray(src if to_u8 else src.astype(np.float32, copy=False))
         mats = jnp.asarray(ft.matrices)
         mesh = jnp.asarray(ft.mesh_data) if ft.mesh_data is not None else None
         if use_pallas:
@@ -343,6 +347,8 @@ class StabilizationManager:
         else:
             out = remap.remap_plane_jit(img, mats, cfg, dyn, mesh, drawing=drawing)
             backend = "xla"
+        if to_u8:
+            out = remap.to_uint8_jit(out)
         info = {"fov": ft.fov, "minimal_fov": ft.minimal_fov,
                 "focal_length": ft.focal_length, "backend": backend}
         return out, info

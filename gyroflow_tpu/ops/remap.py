@@ -504,6 +504,8 @@ def remap_plane(img, matrices, cfg: KernelConfig, dyn: KernelDynamics, mesh=None
     process_final_pixel (stabilize_spirv/src/drawing.rs:78-99) when the
     DRAWING_ENABLED flag is set.
     """
+    if img.dtype != jnp.float32:
+        img = img.astype(jnp.float32)   # uint8 frames convert on-device
     C = img.shape[-1]
     bg_full = dyn.background * dyn.max_pixel_value  # (4,)
     bg = bg_full[:C]
@@ -603,6 +605,13 @@ def remap_plane_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics, mesh=
     return remap_plane(img, matrices, cfg, dyn, mesh=mesh, drawing=drawing)
 
 
+@jax.jit
+def to_uint8_jit(img):
+    """Device-side clip+cast so uint8 frames download 4x smaller (matches
+    render.video_io.write_rgb's np.clip(...).astype(uint8))."""
+    return jnp.clip(img, 0, 255).astype(jnp.uint8)
+
+
 # ---------------------------------------------------------------------------
 # Pallas-accelerated path: XLA computes coords (measured ~0.2ms @1080p), the
 # gather-free Pallas kernel does the sampling (see pallas_sampler.py).
@@ -628,6 +637,8 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     has_mesh = cfg.has(HAS_MESH_DATA) or cfg.has(HAS_FPD_DATA)
     is_ewa = cfg.interpolation > 8
 
+    if img.dtype != jnp.float32:
+        img = img.astype(jnp.float32)   # uint8 frames convert on-device
     C = img.shape[-1]
     bg_full = dyn.background * dyn.max_pixel_value
     bg = bg_full[:C]

@@ -67,7 +67,7 @@ class VideoReader:
             raise StopIteration
         ts_us = int(round(self._index * 1_000_000.0 / self.fps))
         self._index += 1
-        rgb = bgr[:, :, ::-1].astype(np.float32)
+        rgb = np.ascontiguousarray(bgr[:, :, ::-1])  # uint8; device converts
         return ts_us, rgb
 
     def close(self):
@@ -85,9 +85,10 @@ class VideoWriter:
             raise IOError(f"Cannot open video writer: {path}")
         self.path = path
 
-    def write_rgb(self, rgb_f32: np.ndarray):
-        bgr = np.clip(rgb_f32, 0, 255).astype(np.uint8)[:, :, ::-1]
-        self.writer.write(np.ascontiguousarray(bgr))
+    def write_rgb(self, rgb: np.ndarray):
+        if rgb.dtype != np.uint8:
+            rgb = np.clip(rgb, 0, 255).astype(np.uint8)
+        self.writer.write(np.ascontiguousarray(rgb[:, :, ::-1]))
 
     def close(self):
         self.writer.release()
