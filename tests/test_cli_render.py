@@ -172,3 +172,27 @@ class TestWatchAndMetadata:
             assert rc == 0
             obj = json.loads(path.read_text())
             assert check(obj), (typ, list(obj)[:6])
+
+
+class TestUint8Path:
+    def test_uint8_matches_float_path(self, video_path, gcsv_path):  # noqa: F811
+        """uint8 upload + on-device convert must be pixel-identical to the
+        f32 path after the same clip+cast."""
+        import numpy as np
+        from gyroflow_tpu.core.manager import StabilizationManager
+        from gyroflow_tpu.render.video_io import probe_video
+
+        mgr = StabilizationManager()
+        info = probe_video(video_path)
+        mgr.init_from_video_data(info.duration_ms, info.fps, info.frame_count,
+                                 (info.width, info.height))
+        mgr.load_gyro_data(gcsv_path)
+        mgr.recompute_blocking()
+        rng = np.random.default_rng(0)
+        frame_u8 = rng.integers(0, 255, (info.height, info.width, 3), dtype=np.uint8)
+        out_u8, inf1 = mgr.process_pixels(200_000, frame_u8)
+        out_f32, inf2 = mgr.process_pixels(200_000, frame_u8.astype(np.float32))
+        a = np.asarray(out_u8)
+        b = np.clip(np.asarray(out_f32), 0, 255).astype(np.uint8)
+        assert a.dtype == np.uint8
+        assert np.array_equal(a, b), np.abs(a.astype(int) - b.astype(int)).max()
