@@ -202,7 +202,11 @@ def _passthrough_flags(args) -> list:
 
 def _run_single(args) -> int:
 
-    mgr, video = _load_inputs(args)
+    try:
+        mgr, video = _load_inputs(args)
+    except OSError as e:
+        log.error("%s", e)
+        return 2
 
     if args.preset:
         content = args.preset
