@@ -58,13 +58,39 @@ def write_stmap(path: str, stmap: np.ndarray):
         np.save(path, stmap)
 
 
+def compute_redistort_stmap(mgr, timestamp_ms: float) -> np.ndarray:
+    """(H, W, 3) f32: the inverse map — per INPUT pixel, its stabilized
+    output position (stmap.rs:115-119 `dist`, via undistort_points)."""
+    from ..ops.undistort_points import undistort_points_with_rolling_shutter
+
+    cp = mgr.get_compute_params()
+    cfg = mgr.frame_transform_at(timestamp_ms).kernel_cfg
+    h, w = cfg.height, cfg.width
+    fps = mgr.params.get_scaled_fps() or 30.0
+    frame = int(round(timestamp_ms * fps / 1000.0))
+    gx, gy = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64))
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=-1)
+    mapped = np.asarray(undistort_points_with_rolling_shutter(
+        pts, timestamp_ms, frame, cp, 1.0, True)).reshape(h, w, 2)
+    out = np.zeros((h, w, 3), np.float32)
+    out[..., 0] = mapped[..., 0] / cfg.output_width
+    out[..., 1] = 1.0 - mapped[..., 1] / cfg.output_height
+    return out
+
+
 def export_stmaps(mgr, folder: str, single_frame: bool = True,
                   frame: int = 0, ext: str = ".exr"):
-    """CLI --export-stmap (cli.rs)."""
+    """CLI --export-stmap (cli.rs): per frame, the reference writes BOTH maps
+    (render_queue.rs:993-999): `{base}-undistort-{N}` (output→source uv) and
+    `{base}-redistort-{N}` (source→output uv)."""
     os.makedirs(folder, exist_ok=True)
+    base = os.path.splitext(os.path.basename(mgr.input_file or "stmap"))[0]
     fps = mgr.params.get_scaled_fps() or 30.0
     frames = [frame] if single_frame else range(mgr.params.frame_count)
     for f in frames:
         ts = f * 1000.0 / fps
-        m = compute_undistort_stmap(mgr, ts)
-        write_stmap(os.path.join(folder, f"stmap_{f:06d}{ext}"), m)
+        und = compute_undistort_stmap(mgr, ts)
+        write_stmap(os.path.join(folder, f"{base}-undistort-{f}{ext}"), und)
+        red = compute_redistort_stmap(mgr, ts)
+        write_stmap(os.path.join(folder, f"{base}-redistort-{f}{ext}"), red)

@@ -80,8 +80,11 @@ class TestCLI:
         rc = cli.main([video_path, "-g", gcsv_path, "-f",
                        "--export-stmap", f"1:{folder}"])
         assert rc == 0
-        files = os.listdir(folder)
-        assert len(files) == 1
+        files = sorted(os.listdir(folder))
+        # reference writes BOTH maps per frame (render_queue.rs:993-999)
+        assert len(files) == 2
+        assert any("undistort" in f for f in files)
+        assert any("redistort" in f for f in files)
 
     def test_preset(self, video_path, gcsv_path):  # noqa: F811
         rc = cli.main([video_path, "-g", gcsv_path, "-f", "-t", "_preset",
