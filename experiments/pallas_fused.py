@@ -26,9 +26,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import pallas_coords as pc
-from . import pallas_sampler as ps
-from .kernel_params import KernelConfig, KernelDynamics
+from gyroflow_tpu.ops import pallas_coords as pc
+from gyroflow_tpu.ops import pallas_sampler as ps
+from gyroflow_tpu.ops.kernel_params import KernelConfig, KernelDynamics
 
 LANE, SUBLANE = ps.LANE, ps.SUBLANE
 

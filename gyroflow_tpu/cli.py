@@ -121,7 +121,7 @@ def _watch_scan(folder: str, args, processed: set) -> list:
         base, ext = os.path.splitext(path)
         if ext.lower() not in VIDEO_EXTS or path in processed:
             continue
-        if args.suffix in base:          # skip our own outputs
+        if base.endswith(args.suffix):   # skip our own outputs only
             continue
         out = base + args.suffix + ext
         if os.path.exists(out) and not args.overwrite:

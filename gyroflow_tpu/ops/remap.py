@@ -619,7 +619,7 @@ def to_uint8_jit(img):
 
 def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
                        mesh=None, win_h: int = 64, win_w: int = 512,
-                       drawing=None):
+                       drawing=None, out_rows: int = None, oy0=0):
     """Drop-in replacement for remap_plane using the Pallas sampling kernels.
 
     Returns (output, overflow) — overflow True means some tile's source bbox
@@ -629,6 +629,11 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     The whole pipeline runs in flat-tiled (ntiles, P) layout — output pixel
     coordinates are generated arithmetically per tile, so no full-frame
     tileize/untileize transposes happen except the single final output one.
+
+    out_rows/oy0 compute only a horizontal band of the output: `out_rows`
+    rows starting at absolute output row `oy0` (which may be traced, e.g.
+    `lax.axis_index` under shard_map row-sharding). All coordinate math stays
+    in absolute output space; only the tile grid shrinks.
     """
     from . import pallas_sampler as ps
 
@@ -644,15 +649,17 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     bg = bg_full[:C]
 
     oh, ow = cfg.output_height, cfg.output_width
+    oh_local = out_rows if out_rows is not None else oh
     if cfg.has(FILL_WITH_BACKGROUND):
-        return jnp.broadcast_to(bg, (oh, ow, C)).astype(jnp.float32), jnp.asarray(False)
+        return jnp.broadcast_to(bg, (oh_local, ow, C)).astype(jnp.float32), jnp.asarray(False)
 
     spec = ps.SamplerSpec.create(
-        height=img.shape[0], width=img.shape[1], out_height=oh, out_width=ow,
+        height=img.shape[0], width=img.shape[1], out_height=oh_local, out_width=ow,
         interpolation=cfg.interpolation, win_h=win_h, win_w=win_w,
         source_rect=cfg.src_rect)
     P = spec.tile_h * spec.tile_w
     ox, oy, pad_ok = ps.tiled_grid(spec)            # (ntiles, P)
+    oy = oy + jnp.asarray(oy0, jnp.float32)         # absolute output row
     out_pos = jnp.stack([ox, oy], axis=-1)          # (ntiles, P, 2)
 
     factor = jnp.maximum(1.0 - dyn.lens_correction_amount, 0.001)
@@ -828,9 +835,9 @@ def _remap_colorrange_t(px, is_y: bool):
     return px + bump
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "win_h", "win_w"))
+@functools.partial(jax.jit, static_argnames=("cfg", "win_h", "win_w", "out_rows"))
 def remap_plane_pallas_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
                            mesh=None, win_h: int = 64, win_w: int = 512,
-                           drawing=None):
+                           drawing=None, out_rows: int = None, oy0=0):
     return remap_plane_pallas(img, matrices, cfg, dyn, mesh, win_h, win_w,
-                              drawing=drawing)
+                              drawing=drawing, out_rows=out_rows, oy0=oy0)

@@ -3,10 +3,12 @@
 The reference parallelizes frames with rayon inside one process
 (fov_iterative.rs:42, render_queue.rs:677). TPU-native: frames are the data-
 parallel axis — a window of F frames is stabilized as one jitted program,
-sharded across chips via jax.sharding.Mesh("dp") on the frame axis, with the
-output-row axis optionally sharded over "sp" (rows are independent given the
-replicated source frame). No collectives are needed inside the step (each
-frame's transform depends only on precomputed smoothed quats — SURVEY.md §5).
+sharded across chips via jax.sharding.Mesh ("dp" on frames, "sp" on output
+rows). The hot path runs the Pallas kernels per device under `jax.shard_map`
+(each device projects + samples its local frame/row shard); no collectives are
+needed inside the step because each frame's transform depends only on
+precomputed smoothed quats (SURVEY.md §5). The XLA `remap_plane` path remains
+as a fallback (`use_pallas=False`).
 """
 from __future__ import annotations
 
@@ -31,8 +33,8 @@ def stack_dynamics(dyns) -> KernelDynamics:
 def stabilize_window(imgs, matrices, cfg: KernelConfig, dyns: KernelDynamics):
     """Stabilize F frames: imgs (F,H,W,C), matrices (F,M,14), dyns batched.
 
-    vmapped XLA remap — used for the sharded/multi-chip path and dryruns
-    (the Pallas kernels drive the single-chip hot path in `bench.py`).
+    vmapped XLA remap — single-device fallback path (the sharded Pallas path
+    below is the multi-chip hot path).
     """
     return jax.vmap(lambda i, m, d: remap.remap_plane(i, m, cfg, d))(imgs, matrices, dyns)
 
@@ -46,25 +48,57 @@ def make_frame_mesh(n_devices: Optional[int] = None, sp: int = 1) -> Mesh:
 
 
 def stabilize_window_sharded(mesh: Mesh, imgs, matrices, cfg: KernelConfig,
-                             dyns: KernelDynamics):
-    """Frame-window DP across chips (+ optional row sharding on 'sp').
+                             dyns: KernelDynamics, win_h: int = 64,
+                             win_w: int = 512, use_pallas: bool = True):
+    """Frame-window DP across chips (+ output-row sharding on 'sp').
 
-    Inputs are sharded: frames over 'dp'; source frames replicated over 'sp';
-    the output is sharded (dp: frames, sp: rows). XLA inserts any needed
-    resharding collectives over ICI.
+    imgs (F,H,W,C) split over 'dp' (replicated over 'sp'); each device runs
+    the Pallas coords+sampler kernels on its local frames for its local
+    output-row band (`remap_plane_pallas(out_rows, oy0)` — coordinate math in
+    absolute output space, so bands assemble seamlessly). Returns
+    (out, overflow): out (F,OH,OW,C) sharded P("dp","sp"), overflow (F, sp)
+    bool per (frame, row-band) — any True means that band's source bbox
+    exceeded the window and the caller should retry with a larger window.
     """
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    F = imgs.shape[0]
+    oh, ow = cfg.output_height, cfg.output_width
+    if F % dp != 0:
+        raise ValueError(f"frame window {F} not divisible by dp={dp}")
+    if oh % sp != 0:
+        raise ValueError(f"output height {oh} not divisible by sp={sp}")
+    f_local = F // dp
+    rows_local = oh // sp
+
     in_img = NamedSharding(mesh, P("dp", None, None, None))
     in_mat = NamedSharding(mesh, P("dp", None, None))
     in_dyn = NamedSharding(mesh, P("dp"))
-    out_sh = NamedSharding(mesh, P("dp", "sp", None, None))
-
     imgs = jax.device_put(imgs, in_img)
     matrices = jax.device_put(matrices, in_mat)
     dyns = jax.tree.map(lambda x: jax.device_put(x, in_dyn), dyns)
 
-    @functools.partial(jax.jit, static_argnames=("cfg",),
-                       out_shardings=out_sh)
-    def step(imgs, matrices, cfg, dyns):
-        return stabilize_window(imgs, matrices, cfg, dyns)
+    def _local(imgs_l, mats_l, dyns_l):
+        # per-device: Pallas kernels over the local frame shard + row band
+        oy0 = jax.lax.axis_index("sp") * rows_local
+        outs, ovs = [], []
+        for i in range(f_local):
+            dyn_i = jax.tree.map(lambda x: x[i], dyns_l)
+            if use_pallas:
+                out, ov = remap.remap_plane_pallas(
+                    imgs_l[i], mats_l[i], cfg, dyn_i, win_h=win_h, win_w=win_w,
+                    out_rows=rows_local, oy0=oy0)
+            else:
+                full = remap.remap_plane(imgs_l[i], mats_l[i], cfg, dyn_i)
+                out = jax.lax.dynamic_slice_in_dim(full, oy0, rows_local, axis=0)
+                ov = jnp.asarray(False)
+            outs.append(out)
+            ovs.append(ov)
+        return jnp.stack(outs), jnp.stack(ovs).reshape(f_local, 1)
 
-    return step(imgs, matrices, cfg, dyns)
+    step = jax.jit(jax.shard_map(
+        _local, mesh=mesh,
+        in_specs=(P("dp", None, None, None), P("dp", None, None), P("dp")),
+        out_specs=(P("dp", "sp", None, None), P("dp", "sp")),
+        check_vma=False))
+    return step(imgs, matrices, dyns)

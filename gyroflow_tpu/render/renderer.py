@@ -2,8 +2,8 @@
 
 Port of the pipeline in /root/reference/src/rendering/mod.rs:187-679: trim
 ranges, video-speed frame drop/duplicate rate control, per-frame stabilization,
-encode. Audio passthrough needs an ffmpeg binary (absent in this image) and is
-deferred behind the same interface.
+encode, audio passthrough (structural MP4 remux via utils/mp4mux.py — no
+ffmpeg binary needed).
 """
 from __future__ import annotations
 
@@ -48,6 +48,12 @@ def render(mgr, input_path: str, output_path: str,
     reader = VideoReader(input_path)
     ow = options.output_width or mgr.params.output_size[0] or reader.width
     oh = options.output_height or mgr.params.output_size[1] or reader.height
+    if (ow, oh) != tuple(mgr.params.output_size):
+        # keep the manager's remap target in sync with the writer — otherwise
+        # stabilized frames keep the project size and the encoder would
+        # silently drop every mismatched frame (render_queue.rs output size)
+        mgr.set_output_size(ow, oh)
+        mgr.recompute_blocking()
     writer = VideoWriter(output_path, ow, oh, reader.fps, options.codec)
 
     n = reader.frame_count or 1

@@ -84,8 +84,15 @@ class VideoWriter:
         if not self.writer.isOpened():
             raise IOError(f"Cannot open video writer: {path}")
         self.path = path
+        self.width = width
+        self.height = height
 
     def write_rgb(self, rgb: np.ndarray):
+        if rgb.shape[:2] != (self.height, self.width):
+            # cv2.VideoWriter silently drops mismatched frames -> fail loudly
+            raise ValueError(
+                f"frame size {rgb.shape[1]}x{rgb.shape[0]} != writer size "
+                f"{self.width}x{self.height} ({self.path})")
         if rgb.dtype != np.uint8:
             rgb = np.clip(rgb, 0, 255).astype(np.uint8)
         self.writer.write(np.ascontiguousarray(rgb[:, :, ::-1]))
