@@ -63,11 +63,16 @@ def main():
         planes.append((cfg, dyn, img, mats))
 
     # probe the smallest non-overflowing sampler window per plane
+    # (tile_h=16 measured ~6% faster than 8 at 4K; see experiments/perf_probe.py)
+    TILE_H = 16
     def pick_window(cfg, dyn, img, mats):
-        for cand in ((24, 256), (32, 256), (40, 256), (40, 384), (48, 384),
-                     (64, 512), (96, 768)):
+        for cand in ((24, 256), (32, 256), (40, 256), (48, 256), (56, 256),
+                     (64, 384), (96, 768)):
+            if cand[0] < TILE_H + 8:
+                continue
             out, ov = remap.remap_plane_pallas_jit(img, mats, cfg, dyn, None,
-                                                   win_h=cand[0], win_w=cand[1])
+                                                   win_h=cand[0], win_w=cand[1],
+                                                   tile_h=TILE_H)
             if not bool(ov):
                 return cand
         return (96, 768)
@@ -80,9 +85,11 @@ def main():
         cfg0, dyn0 = planes[0][0], planes[0][1]
         cfg1, dyn1 = planes[1][0], planes[1][1]
         out_y, _ = remap.remap_plane_pallas(y + salt, yl, cfg0, dyn0,
-                                            win_h=win_y[0], win_w=win_y[1])
+                                            win_h=win_y[0], win_w=win_y[1],
+                                            tile_h=TILE_H)
         out_uv, _ = remap.remap_plane_pallas(uv + salt, uvm, cfg1, dyn1,
-                                             win_h=win_uv[0], win_w=win_uv[1])
+                                             win_h=win_uv[0], win_w=win_uv[1],
+                                             tile_h=TILE_H)
         return jnp.sum(out_y) + jnp.sum(out_uv) + salt
 
     y_img, y_mats = planes[0][2], planes[0][3]

@@ -51,6 +51,12 @@ class KernelConfig(NamedTuple):
     source_rect: Optional[Tuple[int, int, int, int]] = None  # x, y, w, h
     output_rect: Optional[Tuple[int, int, int, int]] = None
     mesh_grid: Optional[Tuple[int, int]] = None  # (gw, gh) when HAS_MESH_DATA
+    # actual output buffer size (w, h) when it differs from the logical
+    # output size — e.g. chroma planes: width/height/output_* stay in LUMA
+    # coordinates (geometry space) while the buffer is the plane size, and
+    # source_rect/output_rect map between the two (the reference's
+    # HAS_SOURCE_RECT/HAS_OUTPUT_RECT mechanism, stabilization/mod.rs:230-231)
+    out_size: Optional[Tuple[int, int]] = None
 
     @property
     def src_rect(self) -> Tuple[int, int, int, int]:
@@ -59,6 +65,11 @@ class KernelConfig(NamedTuple):
     @property
     def out_rect(self) -> Tuple[int, int, int, int]:
         return self.output_rect or (0, 0, self.output_width, self.output_height)
+
+    @property
+    def out_buffer(self) -> Tuple[int, int]:
+        """(w, h) of the actual output plane buffer."""
+        return self.out_size or (self.output_width, self.output_height)
 
     def has(self, flag: int) -> bool:
         return (self.flags & flag) != 0

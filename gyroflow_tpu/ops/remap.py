@@ -456,11 +456,16 @@ def sample_ewa(img, uv, jac, bg, cfg: KernelConfig, dyn: KernelDynamics):
     return jnp.minimum(total, dyn.pixel_value_limit)
 
 
-def _remap_colorrange(px, is_y: bool):
-    """Full->limited range (cpu_undistort.rs:253-260)."""
+def _remap_colorrange(px, is_y: bool, max_pixel_value):
+    """Full->limited range (stabilize_spirv/src/drawing.rs:71-74).
+
+    GPU-shader semantics: the offset scales with max_pixel_value (64.2 for
+    10-bit planes). The reference CPU variant's flat +16 (cpu_undistort.rs:
+    253-260) is an 8-bit-only simplification; the shaders are the production
+    pixel truth.
+    """
     px = px * (0.85882352 if is_y else 0.87843137)
-    bump = jnp.zeros(px.shape[-1], jnp.float32).at[:2].add(16.0)
-    return px + bump
+    return px + (16.0 / 255.0) * max_pixel_value
 
 
 def _draw_overlay(pixel, pos, canvas, scale, want_stage, cfg, dyn):
@@ -510,7 +515,7 @@ def remap_plane(img, matrices, cfg: KernelConfig, dyn: KernelDynamics, mesh=None
     bg_full = dyn.background * dyn.max_pixel_value  # (4,)
     bg = bg_full[:C]
 
-    oh, ow = cfg.output_height, cfg.output_width
+    ow, oh = cfg.out_buffer
     ys = jnp.arange(oh, dtype=jnp.float32)
     xs = jnp.arange(ow, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, ys)
@@ -582,7 +587,7 @@ def remap_plane(img, matrices, cfg: KernelConfig, dyn: KernelDynamics, mesh=None
     pixel = jnp.where(in_bounds[..., None], pixel, bg)
 
     if cfg.has(FIX_COLOR_RANGE):
-        pixel = _remap_colorrange(pixel, cfg.plane_index == 0)
+        pixel = _remap_colorrange(pixel, cfg.plane_index == 0, dyn.max_pixel_value)
 
     if drawing is not None and cfg.has(DRAWING_ENABLED):
         # process_final_pixel: input-stage draw gated by source_rect, then
@@ -619,7 +624,8 @@ def to_uint8_jit(img):
 
 def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
                        mesh=None, win_h: int = 64, win_w: int = 512,
-                       drawing=None, out_rows: int = None, oy0=0):
+                       drawing=None, out_rows: int = None, oy0=0,
+                       tile_h: int = 8):
     """Drop-in replacement for remap_plane using the Pallas sampling kernels.
 
     Returns (output, overflow) — overflow True means some tile's source bbox
@@ -648,14 +654,14 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     bg_full = dyn.background * dyn.max_pixel_value
     bg = bg_full[:C]
 
-    oh, ow = cfg.output_height, cfg.output_width
+    ow, oh = cfg.out_buffer
     oh_local = out_rows if out_rows is not None else oh
     if cfg.has(FILL_WITH_BACKGROUND):
         return jnp.broadcast_to(bg, (oh_local, ow, C)).astype(jnp.float32), jnp.asarray(False)
 
     spec = ps.SamplerSpec.create(
         height=img.shape[0], width=img.shape[1], out_height=oh_local, out_width=ow,
-        interpolation=cfg.interpolation, win_h=win_h, win_w=win_w,
+        interpolation=cfg.interpolation, tile_h=tile_h, win_h=win_h, win_w=win_w,
         source_rect=cfg.src_rect)
     P = spec.tile_h * spec.tile_w
     ox, oy, pad_ok = ps.tiled_grid(spec)            # (ntiles, P)
@@ -751,7 +757,7 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     pixel = jnp.where(in_bounds[:, None, :], pixel, bg_c)
 
     if cfg.has(FIX_COLOR_RANGE):
-        pixel = _remap_colorrange_t(pixel, cfg.plane_index == 0)
+        pixel = _remap_colorrange_t(pixel, cfg.plane_index == 0, dyn.max_pixel_value)
 
     if drawing is not None and cfg.has(DRAWING_ENABLED):
         pixel, ov_d = _draw_overlay_tiled(ps, spec, pixel, uv, ox, oy, drawing,
@@ -827,17 +833,18 @@ def _draw_overlay_tiled(ps, spec, pixel, uv, ox, oy, drawing, cfg, dyn):
     return pixel, ov1 | ov2
 
 
-def _remap_colorrange_t(px, is_y: bool):
+def _remap_colorrange_t(px, is_y: bool, max_pixel_value):
     """_remap_colorrange for (ntiles, C, P) layout."""
     px = px * (0.85882352 if is_y else 0.87843137)
-    C = px.shape[1]
-    bump = jnp.zeros((1, C, 1), jnp.float32).at[:, :2].add(16.0)
-    return px + bump
+    return px + (16.0 / 255.0) * max_pixel_value
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "win_h", "win_w", "out_rows"))
+@functools.partial(jax.jit, static_argnames=("cfg", "win_h", "win_w", "out_rows",
+                                             "tile_h"))
 def remap_plane_pallas_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
                            mesh=None, win_h: int = 64, win_w: int = 512,
-                           drawing=None, out_rows: int = None, oy0=0):
+                           drawing=None, out_rows: int = None, oy0=0,
+                           tile_h: int = 8):
     return remap_plane_pallas(img, matrices, cfg, dyn, mesh, win_h, win_w,
-                              drawing=drawing, out_rows=out_rows, oy0=oy0)
+                              drawing=drawing, out_rows=out_rows, oy0=oy0,
+                              tile_h=tile_h)

@@ -1,0 +1,206 @@
+"""FFmpeg-subprocess decode/encode via rawvideo pipes.
+
+TPU-native equivalent of FfmpegProcessor (/root/reference/src/rendering/
+ffmpeg_processor.rs:29, ffmpeg_video.rs): the decoder feeds raw planar frames
+over a pipe into host RAM (the frame-tensor boundary), the encoder consumes
+raw planes and writes H.264/H.265/ProRes/FFV1 at 8/10-bit with bitrate
+control and audio stream-copy from the source. Used when an `ffmpeg` binary
+is present (`have_ffmpeg()`); this image has none, so tests exercise the pipe
+plumbing with a stub executable and the pure-Python y4m path covers 10-bit
+end-to-end.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import subprocess
+from fractions import Fraction
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .formats import RAW_FORMATS, RawFormat
+
+log = logging.getLogger(__name__)
+
+FFMPEG = os.environ.get("GYROFLOW_TPU_FFMPEG", "ffmpeg")
+FFPROBE = os.environ.get("GYROFLOW_TPU_FFPROBE", "ffprobe")
+
+
+def have_ffmpeg() -> bool:
+    return shutil.which(FFMPEG) is not None
+
+
+def ffprobe_video(path: str) -> dict:
+    """Stream metadata via ffprobe (width/height/fps/pix_fmt/nb_frames)."""
+    out = subprocess.run(
+        [FFPROBE, "-v", "error", "-select_streams", "v:0", "-show_entries",
+         "stream=width,height,r_frame_rate,nb_frames,pix_fmt,duration",
+         "-of", "json", path],
+        capture_output=True, text=True, timeout=120)
+    if out.returncode != 0:
+        raise IOError(f"ffprobe failed for {path}: {out.stderr[-400:]}")
+    streams = json.loads(out.stdout).get("streams", [])
+    if not streams:
+        raise IOError(f"No video stream in {path}")
+    s = streams[0]
+    num, _, den = s.get("r_frame_rate", "30/1").partition("/")
+    fps = float(num) / float(den or 1)
+    return {"width": int(s["width"]), "height": int(s["height"]), "fps": fps,
+            "pix_fmt": s.get("pix_fmt", "yuv420p"),
+            "frame_count": int(s.get("nb_frames") or 0),
+            "duration": float(s.get("duration") or 0.0)}
+
+
+def _decode_fmt_for(src_pix_fmt: str) -> RawFormat:
+    """Pick the rawvideo pix_fmt that preserves the source's depth/sampling
+    (the reference's per-format plane matrix, rendering/mod.rs:564-679)."""
+    if src_pix_fmt in RAW_FORMATS:
+        return RAW_FORMATS[src_pix_fmt]
+    # common aliases / near matches
+    table = {
+        "nv12": "yuv420p", "nv21": "yuv420p", "yuvj420p": "yuv420p",
+        "p010le": "yuv420p10le", "p016le": "yuv420p16le",
+        "yuv420p10be": "yuv420p10le", "yuv422p10be": "yuv422p10le",
+        "p210le": "yuv422p10le", "yuvj422p": "yuv422p",
+        "yuvj444p": "yuv444p", "p410le": "yuv444p10le",
+        "gbrp": "rgb24", "bgr24": "rgb24", "bgra": "rgba", "argb": "rgba",
+        "gbrap": "rgba", "rgb48be": "rgb48le", "rgba64be": "rgba64le",
+        "gbrpf32be": "gbrpf32le",
+    }
+    name = table.get(src_pix_fmt)
+    if name is None:
+        # depth heuristic: 10/12/16-bit unknowns decode at 16-bit 4:4:4
+        if any(t in src_pix_fmt for t in ("10", "12", "16", "f32")):
+            name = "yuv444p16le"
+        else:
+            name = "yuv420p"
+    return RAW_FORMATS[name]
+
+
+class FFmpegReader:
+    """Iterates (timestamp_us, planes) from an ffmpeg rawvideo pipe."""
+
+    def __init__(self, path: str, pix_fmt: Optional[str] = None,
+                 start_frame: int = 0):
+        info = ffprobe_video(path)
+        self.width = info["width"]
+        self.height = info["height"]
+        self.fps = info["fps"]
+        self.frame_count = info["frame_count"]
+        self.src_pix_fmt = info["pix_fmt"]
+        self.fmt = RAW_FORMATS[pix_fmt] if pix_fmt else _decode_fmt_for(self.src_pix_fmt)
+        self._frame_bytes = self.fmt.frame_bytes(self.width, self.height)
+        self._index = start_frame
+        self.path = path
+        cmd = [FFMPEG, "-nostdin", "-v", "error"]
+        if start_frame:
+            cmd += ["-ss", f"{start_frame / self.fps:.6f}"]
+        cmd += ["-i", path, "-map", "0:v:0", "-f", "rawvideo",
+                "-pix_fmt", self.fmt.name, "pipe:1"]
+        self.proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                     stderr=subprocess.PIPE)
+
+    @property
+    def bit_depth(self) -> int:
+        return self.fmt.bit_depth
+
+    @property
+    def pix_fmt(self) -> str:
+        return self.fmt.name
+
+    def seek_frame(self, frame: int):
+        """Restart the pipe at the target frame (trim-range seeking,
+        ffmpeg_processor.rs trim handling)."""
+        self.close()
+        self.__init__(self.path, self.fmt.name, start_frame=frame)
+
+    def __iter__(self) -> Iterator[Tuple[int, List[np.ndarray]]]:
+        return self
+
+    def __next__(self):
+        buf = self.proc.stdout.read(self._frame_bytes)
+        if buf is None or len(buf) < self._frame_bytes:
+            raise StopIteration
+        planes = self.fmt.unpack(buf, self.width, self.height)
+        ts_us = int(round(self._index * 1_000_000.0 / self.fps))
+        self._index += 1
+        return ts_us, planes
+
+    def close(self):
+        if self.proc.stdout:
+            self.proc.stdout.close()
+        self.proc.terminate()
+        try:
+            self.proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            self.proc.kill()
+
+
+# codec name -> (encoder args builder); mirrors get_possible_encoders
+# (rendering/mod.rs:81-185) minus the GPU-vendor variants
+def _encoder_args(codec: str, pix_fmt: str, bitrate_mbps: float) -> List[str]:
+    c = codec.lower()
+    ten_bit = any(t in pix_fmt for t in ("10", "12", "16"))
+    args: List[str] = []
+    if c in ("h264", "x264", "libx264", "avc"):
+        args += ["-c:v", "libx264", "-pix_fmt",
+                 "yuv420p10le" if ten_bit else "yuv420p"]
+    elif c in ("h265", "hevc", "x265", "libx265"):
+        args += ["-c:v", "libx265", "-pix_fmt",
+                 "yuv420p10le" if ten_bit else "yuv420p"]
+    elif c in ("prores", "prores_ks"):
+        args += ["-c:v", "prores_ks", "-profile:v", "3", "-pix_fmt", "yuv422p10le"]
+    elif c in ("dnxhd", "dnxhr"):
+        args += ["-c:v", "dnxhd", "-profile:v", "dnxhr_hqx",
+                 "-pix_fmt", "yuv422p10le" if ten_bit else "yuv422p"]
+    elif c == "ffv1":
+        args += ["-c:v", "ffv1", "-pix_fmt", pix_fmt]
+    elif c == "rawvideo":
+        args += ["-c:v", "rawvideo", "-pix_fmt", pix_fmt]
+    else:
+        args += ["-c:v", codec, "-pix_fmt", pix_fmt]
+    if bitrate_mbps > 0:
+        args += ["-b:v", f"{bitrate_mbps}M"]
+    return args
+
+
+class FFmpegWriter:
+    """Raw planes in -> encoded file out, with optional audio stream-copy."""
+
+    def __init__(self, path: str, width: int, height: int, fps: float,
+                 pix_fmt: str = "yuv420p10le", codec: str = "h265",
+                 bitrate_mbps: float = 0.0, audio_from: Optional[str] = None):
+        self.fmt = RAW_FORMATS[pix_fmt]
+        self.width = width
+        self.height = height
+        self.path = path
+        fr = Fraction(fps).limit_denominator(65535)
+        cmd = [FFMPEG, "-y", "-v", "error",
+               "-f", "rawvideo", "-pix_fmt", pix_fmt,
+               "-s", f"{width}x{height}", "-r", f"{fr.numerator}/{fr.denominator}",
+               "-i", "pipe:0"]
+        if audio_from:
+            cmd += ["-i", audio_from, "-map", "0:v", "-map", "1:a?", "-c:a", "copy"]
+        cmd += _encoder_args(codec, pix_fmt, bitrate_mbps)
+        cmd += [path]
+        self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                                     stderr=subprocess.PIPE)
+
+    def write_planes(self, planes: List[np.ndarray]):
+        shapes = self.fmt.plane_shapes(self.width, self.height)
+        for a, (ph, pw, ch) in zip(planes, shapes):
+            if a.shape[:2] != (ph, pw):
+                raise ValueError(f"plane shape {a.shape} != expected {(ph, pw)}")
+        self.proc.stdin.write(self.fmt.pack(planes))
+
+    def close(self):
+        if self.proc.stdin:
+            self.proc.stdin.close()
+        rc = self.proc.wait()
+        if rc != 0:
+            err = self.proc.stderr.read().decode("utf-8", "replace")[-800:] \
+                if self.proc.stderr else ""
+            raise IOError(f"ffmpeg encoder exited {rc}: {err}")

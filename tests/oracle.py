@@ -437,11 +437,11 @@ def undistort_image(img, p, matrices, mesh=None):
     is_y = p["plane_index"] == 0
 
     def remap_colorrange(px):
+        # GPU-shader semantics (stabilize_spirv/src/drawing.rs:71-74): offset
+        # scales with max_pixel_value and applies to all channels; the CPU
+        # reference's flat +16 on 2 channels is its 8-bit-only variant
         px = px * (0.85882352 if is_y else 0.87843137)
-        px[0] += 16.0
-        if C > 1:
-            px[1] += 16.0
-        return px
+        return px + (16.0 / 255.0) * p["max_pixel_value"]
 
     for y in range(oh):
         for x in range(ow):
