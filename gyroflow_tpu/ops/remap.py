@@ -674,9 +674,14 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
 
     coords_overflow = jnp.asarray(False)
     if matrices.shape[0] > 1 and not has_mesh and not is_ewa:
-        # RS path: projection kernel + sampler kernel (a fully fused variant
-        # exists in pallas_fused.py but measured 2.4x SLOWER on v5e — Mosaic
-        # pipelines the split kernels better; see STATUS.md)
+        # RS path: XLA coords_pre + projection kernel + sampler kernel.
+        # Negative results (measured on v5e, don't retry): (a) a fully fused
+        # projection+sampling mega-kernel is 2.4x SLOWER; (b) moving the RS
+        # probe into the projection kernel drops 45.7 -> 41.4 fps (XLA fuses
+        # the probe cheaply; in-kernel it doubles the VPU math); (c) folding
+        # coords_post + sampler window planning into the projection kernel
+        # drops 45.7 -> 42.8 fps (in-kernel cross-lane reductions + the meta
+        # output hurt Mosaic's pipelining more than the saved XLA passes).
         from . import pallas_coords as pc
         x, y, idx, _probe = coords_pre(out_pos, matrices, cfg, dyn, out_c, out_f)
         ntiles = x.shape[0]
