@@ -109,7 +109,8 @@ def _apply_preset(mgr, obj: dict):
     import_gyroflow_data(mgr, json.dumps(base), blocking=False)
 
 
-VIDEO_EXTS = (".mp4", ".mov", ".avi", ".mkv", ".360", ".insv", ".braw")
+VIDEO_EXTS = (".mp4", ".mov", ".avi", ".mkv", ".360", ".insv", ".braw",
+              ".y4m", ".exr")
 
 
 def _watch_scan(folder: str, args, processed: set) -> list:

@@ -282,11 +282,19 @@ class StabilizationManager:
     def process_pixels(self, timestamp_us: int, frame_plane: np.ndarray,
                        interpolation: int = 8, use_pallas: Optional[bool] = None,
                        plane_index: int = 0, max_pixel_value: float = 255.0,
-                       drawing=None):
+                       drawing=None, plane_rects: bool = False,
+                       background_override=None):
         """Stabilize one plane (H, W, C) f32 at the given video timestamp.
 
         Returns (output plane, info dict) like ProcessedInfo
-        (stabilization/mod.rs:195-201)."""
+        (stabilization/mod.rs:195-201).
+
+        plane_rects=True enables subsampled-plane processing (chroma planes of
+        planar YUV): geometry stays in luma coordinates while source/output
+        rects map the plane buffer (the reference's HAS_SOURCE_RECT /
+        HAS_OUTPUT_RECT mechanism, stabilization/mod.rs:230-231).
+        background_override replaces the RGBA background with this plane's
+        converted color (rendering/mod.rs:506-516)."""
         import jax
         import jax.numpy as jnp
         from ..ops import remap
@@ -302,15 +310,34 @@ class StabilizationManager:
             return frame_plane, {"fov": 1.0, "backend": "none"}
 
         ft = self.frame_transform_at(ts_ms)
-        cfg = ft.kernel_cfg._replace(
-            interpolation=interpolation, plane_index=plane_index,
-            width=frame_plane.shape[1], height=frame_plane.shape[0])
+        pw, ph = frame_plane.shape[1], frame_plane.shape[0]
+        vw, vh = self.params.size
+        if plane_rects and (pw, ph) != (vw, vh):
+            # subsampled plane: keep luma geometry, map via rects
+            from ..ops.kernel_params import HAS_OUTPUT_RECT, HAS_SOURCE_RECT
+            ow, oh = self.params.output_size
+            pow_ = max(int(round(ow * pw / max(vw, 1))), 1)
+            poh = max(int(round(oh * ph / max(vh, 1))), 1)
+            cfg = ft.kernel_cfg._replace(
+                interpolation=interpolation, plane_index=plane_index,
+                source_rect=(0, 0, pw, ph), output_rect=(0, 0, pow_, poh),
+                out_size=(pow_, poh),
+                flags=ft.kernel_cfg.flags | HAS_SOURCE_RECT | HAS_OUTPUT_RECT)
+        else:
+            cfg = ft.kernel_cfg._replace(
+                interpolation=interpolation, plane_index=plane_index,
+                width=pw, height=ph)
         if drawing is not None:
             from ..ops.kernel_params import DRAWING_ENABLED
             cfg = cfg._replace(flags=cfg.flags | DRAWING_ENABLED)
         dyn = ft.kernel_dyn._replace(
             max_pixel_value=jnp.float32(max_pixel_value),
             pixel_value_limit=jnp.float32(max_pixel_value))
+        if background_override is not None:
+            bgv = np.zeros(4, np.float32)
+            bgo = np.asarray(background_override, np.float32).reshape(-1)
+            bgv[:bgo.shape[0]] = bgo
+            dyn = dyn._replace(background=jnp.asarray(bgv))
 
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)

@@ -1,0 +1,143 @@
+"""OpenEXR 32-bit float image-sequence I/O (eval config 4).
+
+Reference: the float pipeline in pixel_formats.rs (RGBAf/R32f) and the
+GBRPF32LE plane set (rendering/mod.rs:630-650); frame sequences are the
+standard interchange for float footage. Frames flow through the kernel as one
+(H, W, C) float32 plane with max_pixel_value = 1.0, so underwater refraction
+and the full remap math run at full float precision (cpu_undistort.rs:143-152).
+
+Input path forms: a directory, a glob ("shots/*.exr"), a printf pattern
+("frame_%04d.exr"), or a single .exr file. Output: a printf pattern or a
+directory (frames named frame_%06d.exr).
+"""
+from __future__ import annotations
+
+import glob as _glob
+import os
+import re
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+from ..utils.exr import read_exr, write_exr
+from .formats import RawFormat
+
+# kernel-facing formats (planes are single-channel like ffmpeg's planar float)
+EXR_FORMATS = {
+    1: RawFormat("exr_gray_f32", np.dtype("<f4"), 32, ((1, 1, 1),), True),
+    3: RawFormat("exr_rgb_f32", np.dtype("<f4"), 32, ((1, 1, 1),) * 3, False),
+    4: RawFormat("exr_rgba_f32", np.dtype("<f4"), 32, ((1, 1, 1),) * 4, False),
+}
+
+
+def _expand(path: str) -> List[str]:
+    if os.path.isdir(path):
+        return sorted(_glob.glob(os.path.join(path, "*.exr")))
+    if "*" in path or "?" in path:
+        return sorted(_glob.glob(path))
+    if re.search(r"%\d*d", path):
+        files = []
+        i = 0
+        misses = 0
+        while misses < 3:  # tolerate sequences starting at 0 or 1
+            p = path % i
+            if os.path.exists(p):
+                files.append(p)
+                misses = 0
+            elif files:
+                break
+            else:
+                misses += 1
+            i += 1
+        return files
+    return [path]
+
+
+class EXRSequenceReader:
+    """Iterates (timestamp_us, [plane arrays (H, W, 1) f32])."""
+
+    def __init__(self, path: str, fps: float = 30.0):
+        self.files = _expand(path)
+        if not self.files:
+            raise IOError(f"No EXR frames match: {path}")
+        first = read_exr(self.files[0])
+        self._chan_names = self._pick_channels(first)
+        ref = first[self._chan_names[0]]
+        self.height, self.width = ref.shape
+        self.fps = fps
+        self.frame_count = len(self.files)
+        self.fmt = EXR_FORMATS[len(self._chan_names)]
+        self._index = 0
+        self._first_cache = first
+
+    @staticmethod
+    def _pick_channels(channels) -> List[str]:
+        names = set(channels)
+        for want in (["R", "G", "B", "A"], ["R", "G", "B"], ["Y"]):
+            if all(n in names for n in want):
+                return want
+        return sorted(names)[:4]
+
+    @property
+    def pix_fmt(self) -> str:
+        return self.fmt.name
+
+    @property
+    def bit_depth(self) -> int:
+        return 32
+
+    def seek_frame(self, frame: int):
+        self._index = frame
+
+    def __iter__(self) -> Iterator[Tuple[int, List[np.ndarray]]]:
+        return self
+
+    def __next__(self):
+        if self._index >= len(self.files):
+            raise StopIteration
+        if self._index == 0 and self._first_cache is not None:
+            chans = self._first_cache
+            self._first_cache = None
+        else:
+            chans = read_exr(self.files[self._index])
+        planes = [np.ascontiguousarray(chans[n])[..., None]
+                  for n in self._chan_names]
+        ts_us = int(round(self._index * 1_000_000.0 / self.fps))
+        self._index += 1
+        return ts_us, planes
+
+    def close(self):
+        self._first_cache = None
+
+
+class EXRSequenceWriter:
+    CHAN_NAMES = ["R", "G", "B", "A"]
+
+    def __init__(self, path: str, width: int, height: int,
+                 compression: str = "zip"):
+        if os.path.isdir(path) or (not re.search(r"%\d*d", path)
+                                   and not path.lower().endswith(".exr")):
+            os.makedirs(path, exist_ok=True)
+            path = os.path.join(path, "frame_%06d.exr")
+        elif not re.search(r"%\d*d", path):
+            # single .exr name -> numbered siblings
+            base, ext = os.path.splitext(path)
+            path = base + "_%06d" + ext
+        self.pattern = path
+        self.width = width
+        self.height = height
+        self.compression = compression
+        self.fmt = None   # set on first frame (channel count)
+        self._index = 0
+
+    def write_planes(self, planes: List[np.ndarray]):
+        if self.fmt is None:
+            self.fmt = EXR_FORMATS[len(planes)]
+        names = ["Y"] if len(planes) == 1 else self.CHAN_NAMES[:len(planes)]
+        chans = {n: np.asarray(p)[..., 0].astype(np.float32)
+                 for n, p in zip(names, planes)}
+        write_exr(self.pattern % self._index, chans, self.compression)
+        self._index += 1
+
+    def close(self):
+        pass

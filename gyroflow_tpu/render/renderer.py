@@ -1,22 +1,36 @@
 """Export render loop.
 
 Port of the pipeline in /root/reference/src/rendering/mod.rs:187-679: trim
-ranges, video-speed frame drop/duplicate rate control, per-frame stabilization,
-encode, audio passthrough (structural MP4 remux via utils/mp4mux.py — no
-ffmpeg binary needed).
+ranges, video-speed frame drop/duplicate rate control, per-frame per-plane
+stabilization, encode, audio passthrough.
+
+Media backends (picked per file/availability):
+- `.y4m`          -> pure-Python YUV4MPEG2 (8/10/12/16-bit planar YUV)
+- other video     -> ffmpeg rawvideo pipes when an ffmpeg binary exists
+                     (10-bit/planar, hw-agnostic), else cv2 (8-bit RGB)
+- `.exr` sequence -> render/exr_seq.py (32-bit float, eval config 4)
+
+Planar inputs run the reference's per-plane processor model
+(rendering/mod.rs:564-679): luma as one kernel plane, the two chroma planes
+batched as one 2-channel plane with luma-space geometry mapped through
+source/output rects.
 """
 from __future__ import annotations
 
 import logging
 import os
-from dataclasses import dataclass, field
-from typing import Callable, Optional
+from dataclasses import dataclass
+from typing import Callable, List, Optional
 
 import numpy as np
 
+from ..ops.pixel_formats import rgb_to_yuv
+from .formats import RAW_FORMATS, RawFormat
 from .video_io import VideoReader, VideoWriter
 
 log = logging.getLogger(__name__)
+
+VIDEO_EXTS = {".mp4", ".mov", ".mkv", ".avi", ".m4v", ".webm", ".mts", ".m2ts"}
 
 
 @dataclass
@@ -25,16 +39,96 @@ class RenderOptions:
     codec: str = "mp4v"
     output_width: int = 0
     output_height: int = 0
-    bitrate: float = 0.0
+    bitrate: float = 0.0               # Mbps (ffmpeg backend)
+    pix_fmt: str = ""                  # output raw format (y4m/ffmpeg backends)
     use_gpu: bool = True
     audio: bool = False
-    trim_start: float = 0.0     # fraction 0..1
+    trim_start: float = 0.0            # fraction 0..1
     trim_end: float = 1.0
     interpolation: int = 8
     safe_area: Optional[list] = None   # [x0, y0, x1, y1] output px → dim outside
     overlay: object = None             # core.drawing.DrawCanvas debug overlay
     trace: bool = False                # per-stage timing summary (SURVEY §5)
     pipeline_depth: int = 3            # frames in flight on the device queue
+
+
+def open_reader(input_path: str):
+    """Pick the decode backend. Returns (kind, reader): kind "planar" readers
+    yield (ts_us, [plane arrays]) and expose .fmt; "rgb" yield (ts_us, HxWx3)."""
+    ext = os.path.splitext(input_path)[1].lower()
+    if ext == ".y4m":
+        from .y4m_io import Y4MReader
+        return "planar", Y4MReader(input_path)
+    if ext == ".exr" or os.path.isdir(input_path) or "%" in input_path \
+            or "*" in input_path:
+        from .exr_seq import EXRSequenceReader
+        return "planar", EXRSequenceReader(input_path)
+    from .ffmpeg_io import have_ffmpeg
+    if have_ffmpeg():
+        from .ffmpeg_io import FFmpegReader
+        return "planar", FFmpegReader(input_path)
+    return "rgb", VideoReader(input_path)
+
+
+def open_writer(output_path: str, ow: int, oh: int, fps: float,
+                options: RenderOptions, reader, kind: str, input_path: str):
+    """Pick the encode backend matching the reader/output container."""
+    ext = os.path.splitext(output_path)[1].lower()
+    if ext == ".y4m":
+        from .y4m_io import Y4MWriter
+        pix = options.pix_fmt or getattr(reader, "pix_fmt", "") or "yuv420p"
+        return "planar", Y4MWriter(output_path, ow, oh, fps, pix)
+    if ext in ("", ".exr") or "%" in output_path or os.path.isdir(output_path):
+        from .exr_seq import EXRSequenceWriter
+        return "planar", EXRSequenceWriter(output_path, ow, oh)
+    from .ffmpeg_io import have_ffmpeg
+    if have_ffmpeg():
+        from .ffmpeg_io import FFmpegWriter
+        pix = options.pix_fmt or getattr(reader, "pix_fmt", "") or "yuv420p"
+        codec = options.codec if options.codec != "mp4v" else "h264"
+        return "planar", FFmpegWriter(
+            output_path, ow, oh, fps, pix, codec, options.bitrate,
+            audio_from=input_path if options.audio else None)
+    return "rgb", VideoWriter(output_path, ow, oh, fps, options.codec)
+
+
+def _plane_groups(fmt: RawFormat, planes: List[np.ndarray]):
+    """Group raw planes for the kernel like the reference's PixelType map:
+    [Y] + [UV 2-channel] for 3-plane YUV, single group otherwise. Returns
+    list of (data f32 (H,W,C), plane_index)."""
+    if fmt.is_yuv and len(planes) == 3:
+        y = planes[0].astype(np.float32)
+        uv = np.concatenate([planes[1], planes[2]], axis=-1).astype(np.float32)
+        return [(y, 0), (uv, 1)]
+    if len(planes) == 1:
+        return [(planes[0].astype(np.float32), 0)]
+    # planar RGB float (gbrpf32le etc.): process as one multi-channel plane
+    return [(np.concatenate(planes, axis=-1).astype(np.float32), 0)]
+
+
+def _ungroup_planes(fmt: RawFormat, groups: List[np.ndarray]):
+    """Inverse of _plane_groups, clipped/cast to the container dtype."""
+    if fmt.dtype == np.float32:
+        cast = lambda a: a.astype(np.float32)
+    else:
+        cast = lambda a: np.clip(np.rint(a), 0, fmt.max_value).astype(fmt.dtype)
+    if fmt.is_yuv and len(fmt.planes) == 3:
+        y, uv = groups
+        return [cast(y), cast(uv[..., :1]), cast(uv[..., 1:2])]
+    if len(fmt.planes) == 1:
+        return [cast(groups[0])]
+    g = groups[0]
+    return [cast(g[..., i:i + 1]) for i in range(g.shape[-1])]
+
+
+def _plane_backgrounds(fmt: RawFormat, bg_rgba01, limited: bool):
+    """Per-plane-group background color, 0..1 (rendering/mod.rs:506-516)."""
+    if fmt.is_yuv:
+        yuva = rgb_to_yuv(np.asarray(bg_rgba01, np.float32), limited)
+        if len(fmt.planes) == 3:
+            return [yuva[..., :1], yuva[..., 1:3]]
+        return [yuva[..., :1]]
+    return [np.asarray(bg_rgba01, np.float32)]
 
 
 def render(mgr, input_path: str, output_path: str,
@@ -45,7 +139,7 @@ def render(mgr, input_path: str, output_path: str,
     import jax
 
     options = options or RenderOptions()
-    reader = VideoReader(input_path)
+    kind, reader = open_reader(input_path)
     ow = options.output_width or mgr.params.output_size[0] or reader.width
     oh = options.output_height or mgr.params.output_size[1] or reader.height
     if (ow, oh) != tuple(mgr.params.output_size):
@@ -54,7 +148,13 @@ def render(mgr, input_path: str, output_path: str,
         # silently drop every mismatched frame (render_queue.rs output size)
         mgr.set_output_size(ow, oh)
         mgr.recompute_blocking()
-    writer = VideoWriter(output_path, ow, oh, reader.fps, options.codec)
+    wkind, writer = open_writer(output_path, ow, oh, reader.fps, options,
+                                reader, kind, input_path)
+    fmt: Optional[RawFormat] = getattr(reader, "fmt", None)
+    out_fmt: Optional[RawFormat] = getattr(writer, "fmt", None)
+    if kind == "planar" and wkind == "rgb":
+        raise IOError("planar input requires a planar-capable writer "
+                      "(.y4m, .exr sequence, or an ffmpeg binary)")
 
     n = reader.frame_count or 1
     first = int(options.trim_start * n)
@@ -71,9 +171,29 @@ def render(mgr, input_path: str, output_path: str,
     t_start = _time.time()
     inflight = []   # queued device results not yet transferred/encoded
 
+    bgs = _plane_backgrounds(fmt, mgr.params.background, True) \
+        if kind == "planar" and fmt is not None else None
+
+    def _emit(payload, emit):
+        nonlocal t_stab, t_encode
+        _t2 = _time.time()
+        if kind == "planar":
+            groups = [np.asarray(g) for g in payload]
+            planes = _ungroup_planes(out_fmt or fmt, groups)
+            _t3 = _time.time()
+            for _ in range(emit):
+                writer.write_planes(planes)
+        else:
+            out_np = np.asarray(payload)
+            _t3 = _time.time()
+            for _ in range(emit):
+                writer.write_rgb(out_np)
+        t_stab += _t3 - _t2
+        t_encode += _time.time() - _t3
+
     try:
         _t0 = _time.time()
-        for ts_us, rgb in reader:
+        for ts_us, frame in reader:
             t_decode += _time.time() - _t0
             idx = first + frames_done
             if idx > last:
@@ -91,48 +211,52 @@ def render(mgr, input_path: str, output_path: str,
                 drawing = None
                 if options.overlay is not None or options.safe_area is not None:
                     from ..core.drawing import DrawCanvas
-                    canvas = options.overlay or DrawCanvas(
-                        rgb.shape[1], rgb.shape[0], rgb.shape[1], rgb.shape[0])
+                    fw = frame.shape[1] if kind == "rgb" else frame[0].shape[1]
+                    fh = frame.shape[0] if kind == "rgb" else frame[0].shape[0]
+                    canvas = options.overlay or DrawCanvas(fw, fh, fw, fh)
                     rect = tuple(float(v) for v in options.safe_area) \
                         if options.safe_area else None
                     drawing = canvas.state(safe_area_rect=rect)
                 _t1 = _time.time()
-                out, info = mgr.process_pixels(ts_us, rgb,
-                                               interpolation=options.interpolation,
-                                               use_pallas=use_pallas,
-                                               drawing=drawing)
+                if kind == "planar":
+                    groups = _plane_groups(fmt, frame)
+                    outs = []
+                    for gi, (data, plane_index) in enumerate(groups):
+                        out, info = mgr.process_pixels(
+                            ts_us, data, interpolation=options.interpolation,
+                            use_pallas=use_pallas, plane_index=plane_index,
+                            max_pixel_value=fmt.max_value,
+                            plane_rects=True,
+                            background_override=bgs[gi] if gi < len(bgs) else None,
+                            drawing=drawing if plane_index == 0 else None)
+                        outs.append(out)
+                    inflight.append((outs, emit))
+                else:
+                    out, info = mgr.process_pixels(
+                        ts_us, frame, interpolation=options.interpolation,
+                        use_pallas=use_pallas, drawing=drawing)
+                    inflight.append((out, emit))
                 t_stab += _time.time() - _t1
                 # depth-k dispatch pipeline: the device queue keeps computing
                 # frame N+1..N+k while frame N transfers back and encodes
-                # (rendering/mod.rs's decoder/encoder threading, TPU-style)
-                inflight.append((out, emit))
                 while len(inflight) > options.pipeline_depth:
-                    o, e = inflight.pop(0)
-                    _t2 = _time.time()
-                    out_np = np.asarray(o)
-                    _t3 = _time.time()
-                    t_stab += _t3 - _t2
-                    for _ in range(e):
-                        writer.write_rgb(out_np)
-                    t_encode += _time.time() - _t3
+                    _emit(*inflight.pop(0))
             frames_done += 1
             if progress_cb:
                 progress_cb(min(frames_done / max(last - first + 1, 1), 1.0))
             _t0 = _time.time()
         while inflight:
-            o, e = inflight.pop(0)
-            out_np = np.asarray(o)
-            for _ in range(e):
-                writer.write_rgb(out_np)
+            _emit(*inflight.pop(0))
     finally:
         reader.close()
         writer.close()
 
-    audio_copied = False
-    if options.audio and output_path.lower().endswith((".mp4", ".mov")) \
+    audio_copied = wkind == "planar" and options.audio and \
+        getattr(writer, "proc", None) is not None
+    if options.audio and not audio_copied \
+            and output_path.lower().endswith((".mp4", ".mov")) \
             and input_path.lower().endswith((".mp4", ".mov")):
         # passthrough remux (ffmpeg stream-copy equivalent, rendering/mod.rs:425)
-        import os
         from ..utils.mp4mux import remux_with_audio
         tmp = output_path + ".remux.mp4"
         try:
@@ -148,6 +272,7 @@ def render(mgr, input_path: str, output_path: str,
     wall = _time.time() - t_start
     stats = {"frames": frames_done, "output": output_path, "audio": audio_copied,
              "backend": "pallas-tpu" if use_pallas else "xla",
+             "pix_fmt": getattr(out_fmt, "name", "rgb24"),
              "fps": round(frames_done / wall, 2) if wall > 0 else 0.0}
     if options.trace:
         # per-stage timing summary (SURVEY §5: structured per-stage timing +

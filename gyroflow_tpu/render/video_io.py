@@ -27,6 +27,20 @@ class VideoInfo:
 
 
 def probe_video(path: str) -> VideoInfo:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".y4m" or ext == ".exr" or os.path.isdir(path) \
+            or "%" in path or "*" in path:
+        # header-native probe (cv2 would force 8-bit or fail on sequences)
+        if ext == ".y4m":
+            from .y4m_io import Y4MReader
+            r = Y4MReader(path)
+        else:
+            from .exr_seq import EXRSequenceReader
+            r = EXRSequenceReader(path)
+        info = VideoInfo(r.width, r.height, r.fps, r.frame_count,
+                         r.frame_count * 1000.0 / r.fps if r.fps else 0.0)
+        r.close()
+        return info
     import cv2
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():

@@ -424,7 +424,7 @@ def sample_input_at(u, v, img, p, bg, jac=(1.0, 0.0, 0.0, 1.0)):
 def undistort_image(img, p, matrices, mesh=None):
     """cpu_undistort.rs:519-625 (scalar loops)."""
     H, W, C = img.shape
-    oh, ow = p["output_height"], p["output_width"]
+    ow, oh = p.get("out_size") or (p["output_width"], p["output_height"])
     out = np.zeros((oh, ow, C), np.float64)
     bg = np.asarray(p["background"], np.float64)[:C] * p["max_pixel_value"]
 
@@ -498,7 +498,7 @@ def undistort_image(img, p, matrices, mesh=None):
 
 def undistort_coord_map(p, matrices, mesh=None):
     """Map of uv coords (oh, ow, 2) with NaN where rejected (geometry compare)."""
-    oh, ow = p["output_height"], p["output_width"]
+    ow, oh = p.get("out_size") or (p["output_width"], p["output_height"])
     factor = max(1.0 - p["lens_correction_amount"], 0.001)
     out_c = (p["output_width"] / 2.0, p["output_height"] / 2.0)
     out_f = (p["f"][0] / p["fov"] / factor, p["f"][1] / p["fov"] / factor)

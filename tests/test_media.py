@@ -1,0 +1,258 @@
+"""Media pipeline: 10-bit y4m end-to-end, chroma plane rects vs oracle,
+EXR float sequences, raw-format packing, ffmpeg pipe plumbing (stub binary)."""
+import json
+import os
+import stat
+import sys
+
+import numpy as np
+import pytest
+
+import oracle
+from test_end_to_end import gcsv_path, DUR_S  # noqa: F401
+
+from gyroflow_tpu.core.manager import StabilizationManager
+from gyroflow_tpu.render.formats import RAW_FORMATS
+from gyroflow_tpu.render.renderer import RenderOptions, render
+from gyroflow_tpu.render.y4m_io import Y4MReader, Y4MWriter
+
+VW, VH, VFPS, VFRAMES = 128, 96, 30.0, 8
+
+
+def make_manager(gcsv, w=VW, h=VH):
+    mgr = StabilizationManager()
+    mgr.init_from_video_data(DUR_S * 1000.0, VFPS, int(DUR_S * VFPS), (w, h))
+    mgr.load_gyro_data(gcsv)
+    mgr.recompute_blocking()
+    return mgr
+
+
+@pytest.fixture(scope="module")
+def y4m10_path(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("y4m") / "in10.y4m")
+    w = Y4MWriter(p, VW, VH, VFPS, "yuv420p10le")
+    rng = np.random.default_rng(1)
+    base_y = rng.integers(0, 1024, (VH * 2, VW * 2, 1)).astype("<u2")
+    base_u = rng.integers(0, 1024, (VH, VW, 1)).astype("<u2")
+    base_v = rng.integers(0, 1024, (VH, VW, 1)).astype("<u2")
+    for i in range(VFRAMES):
+        oy, ox = 10 + i, 16 + 2 * i
+        w.write_planes([base_y[oy:oy + VH, ox:ox + VW],
+                        base_u[oy // 2:oy // 2 + VH // 2, ox // 2:ox // 2 + VW // 2],
+                        base_v[oy // 2:oy // 2 + VH // 2, ox // 2:ox // 2 + VW // 2]])
+    w.close()
+    return p
+
+
+class TestFormats:
+    @pytest.mark.parametrize("name", ["yuv420p", "yuv420p10le", "yuv422p10le",
+                                      "yuv444p16le", "gray16le", "rgb48le",
+                                      "gbrpf32le"])
+    def test_pack_unpack_roundtrip(self, name):
+        fmt = RAW_FORMATS[name]
+        rng = np.random.default_rng(0)
+        planes = []
+        for (ph, pw, ch) in fmt.plane_shapes(64, 48):
+            if fmt.dtype == np.float32:
+                planes.append(rng.normal(size=(ph, pw, ch)).astype("<f4"))
+            else:
+                planes.append(rng.integers(0, int(fmt.max_value) + 1,
+                                           (ph, pw, ch)).astype(fmt.dtype))
+        buf = fmt.pack(planes)
+        assert len(buf) == fmt.frame_bytes(64, 48)
+        back = fmt.unpack(buf, 64, 48)
+        for a, b in zip(planes, back):
+            np.testing.assert_array_equal(a, b)
+
+
+class TestY4M10BitRender:
+    def test_end_to_end_10bit(self, y4m10_path, gcsv_path, tmp_path):  # noqa: F811
+        mgr = make_manager(gcsv_path)
+        out = str(tmp_path / "out10.y4m")
+        stats = render(mgr, y4m10_path, out, RenderOptions(interpolation=2))
+        assert stats["frames"] == VFRAMES
+        assert stats["pix_fmt"] == "yuv420p10le"
+        r = Y4MReader(out)
+        assert (r.width, r.height, r.bit_depth) == (VW, VH, 10)
+        n = 0
+        for ts, planes in r:
+            assert planes[0].shape == (VH, VW, 1)
+            assert planes[1].shape == (VH // 2, VW // 2, 1)
+            assert int(planes[0].max()) <= 1023
+            n += 1
+        r.close()
+        assert n == VFRAMES
+
+    def test_luma_matches_direct_process(self, y4m10_path, gcsv_path, tmp_path):  # noqa: F811
+        """The rendered luma plane == process_pixels on the same plane."""
+        mgr = make_manager(gcsv_path)
+        out = str(tmp_path / "outp.y4m")
+        render(mgr, y4m10_path, out, RenderOptions(interpolation=2))
+        rin = Y4MReader(y4m10_path)
+        rout = Y4MReader(out)
+        ts, planes_in = next(iter(rin))
+        _, planes_out = next(iter(rout))
+        rin.close(); rout.close()
+        direct, _ = mgr.process_pixels(ts, planes_in[0].astype(np.float32),
+                                       interpolation=2, use_pallas=False,
+                                       plane_index=0, max_pixel_value=1023.0,
+                                       plane_rects=True)
+        direct = np.clip(np.rint(np.asarray(direct)), 0, 1023).astype(np.uint16)
+        np.testing.assert_allclose(planes_out[0].astype(np.int32),
+                                   direct.astype(np.int32), atol=1)
+
+
+class TestChromaPlaneRects:
+    def test_uv_plane_matches_oracle_rects(self, gcsv_path):  # noqa: F811
+        """Chroma processed with luma geometry + rects == oracle with the
+        same source/output rects + out_size (HAS_SOURCE_RECT semantics)."""
+        mgr = make_manager(gcsv_path)
+        rng = np.random.default_rng(2)
+        uv = rng.integers(0, 1024, (VH // 2, VW // 2, 2)).astype(np.float32)
+        ts = int(1e6 / VFPS * 2)
+        out, _ = mgr.process_pixels(ts, uv, interpolation=2, use_pallas=False,
+                                    plane_index=1, max_pixel_value=1023.0,
+                                    plane_rects=True)
+        out = np.asarray(out)
+        assert out.shape == (VH // 2, VW // 2, 2)
+
+        ft = mgr.frame_transform_at(ts / 1000.0)
+        p = oracle.default_params(VW, VH, VW, VH)
+        dyn = ft.kernel_dyn
+        p.update(f=tuple(np.asarray(dyn.f)), c=tuple(np.asarray(dyn.c)),
+                 k=list(np.asarray(dyn.k)), fov=float(dyn.fov),
+                 r_limit=float(dyn.r_limit),
+                 translation2d=tuple(np.asarray(dyn.translation2d)),
+                 max_pixel_value=1023.0, pixel_value_limit=1023.0,
+                 flags=ft.kernel_cfg.flags, plane_index=1,
+                 distortion_model=ft.kernel_cfg.distortion_model,
+                 background_mode=ft.kernel_cfg.background_mode,
+                 source_rect=(0, 0, VW // 2, VH // 2),
+                 output_rect=(0, 0, VW // 2, VH // 2),
+                 out_size=(VW // 2, VH // 2),
+                 interpolation=2)
+        ref = oracle.undistort_image(uv.astype(np.float64), p, ft.matrices)
+        np.testing.assert_allclose(out, ref, atol=1.0)
+
+
+class TestEXRSequence:
+    def test_end_to_end_float(self, gcsv_path, tmp_path):  # noqa: F811
+        from gyroflow_tpu.utils.exr import read_exr, write_exr
+        indir = tmp_path / "seq"
+        indir.mkdir()
+        rng = np.random.default_rng(3)
+        frames = []
+        for i in range(4):
+            ch = {n: rng.uniform(0, 1, (VH, VW)).astype(np.float32)
+                  for n in ("R", "G", "B")}
+            ch["A"] = np.ones((VH, VW), np.float32)
+            write_exr(str(indir / f"frame_{i:04d}.exr"), ch)
+            frames.append(ch)
+        mgr = make_manager(gcsv_path)
+        # underwater refraction end-to-end (eval config 4)
+        mgr.params.light_refraction_coefficient = 1.33
+        mgr.invalidate()
+        mgr.recompute_blocking()
+        outdir = tmp_path / "out"
+        stats = render(mgr, str(indir), str(outdir),
+                       RenderOptions(interpolation=2))
+        assert stats["frames"] == 4
+        outs = sorted(os.listdir(outdir))
+        assert len(outs) == 4
+        ch0 = read_exr(str(outdir / outs[0]))
+        assert set(ch0) == {"R", "G", "B", "A"}
+        assert ch0["R"].shape == (VH, VW)
+        assert np.isfinite(ch0["R"]).all()
+
+        # parity: rendered frame 0 == direct float process_pixels (refraction on)
+        rgba = np.stack([frames[0][n] for n in ("R", "G", "B", "A")], axis=-1)
+        direct, _ = mgr.process_pixels(0, rgba.astype(np.float32),
+                                       interpolation=2, use_pallas=False,
+                                       max_pixel_value=1.0, plane_rects=True)
+        got = np.stack([ch0[n] for n in ("R", "G", "B", "A")], axis=-1)
+        np.testing.assert_allclose(got, np.asarray(direct), atol=1e-5)
+
+
+class TestCLIY4M:
+    def test_cli_stabilizes_y4m_10bit(self, y4m10_path, gcsv_path, capsys):  # noqa: F811
+        from gyroflow_tpu import cli
+        rc = cli.main([y4m10_path, "-g", gcsv_path, "-f",
+                       "-p", '{"interpolation": 2}'])
+        assert rc == 0
+        out = os.path.splitext(y4m10_path)[0] + "_stabilized.y4m"
+        assert os.path.exists(out)
+        r = Y4MReader(out)
+        assert (r.bit_depth, r.pix_fmt) == (10, "yuv420p10le")
+        assert r.frame_count == VFRAMES
+        r.close()
+
+
+FAKE_FFPROBE = """#!%PY%
+import json, sys
+print(json.dumps({"streams": [{"width": 64, "height": 48,
+  "r_frame_rate": "30/1", "nb_frames": "3", "pix_fmt": "yuv420p10le",
+  "duration": "0.1"}]}))
+"""
+
+FAKE_FFMPEG = """#!%PY%
+import sys, os
+import numpy as np
+args = sys.argv[1:]
+if "pipe:1" in args:   # decode mode: emit 3 deterministic raw frames
+    fb = 64*48*2 + 2*(32*24*2)
+    out = sys.stdout.buffer
+    for i in range(3):
+        rng = np.random.default_rng(i)
+        out.write(rng.integers(0, 1024, fb // 2).astype("<u2").tobytes())
+    out.flush()
+else:                   # encode mode: read raw stdin, dump to the output file
+    data = sys.stdin.buffer.read()
+    with open(args[-1], "wb") as f:
+        f.write(b"FAKEENC!" + len(data).to_bytes(8, "little") + data)
+"""
+
+
+class TestFFmpegPipes:
+    @pytest.fixture()
+    def stub_bins(self, tmp_path, monkeypatch):
+        for name, body in (("ffmpeg", FAKE_FFMPEG), ("ffprobe", FAKE_FFPROBE)):
+            p = tmp_path / name
+            p.write_text(body.replace("%PY%", sys.executable))
+            p.chmod(p.stat().st_mode | stat.S_IEXEC)
+        monkeypatch.setenv("PATH", f"{tmp_path}{os.pathsep}{os.environ['PATH']}")
+        import gyroflow_tpu.render.ffmpeg_io as fio
+        monkeypatch.setattr(fio, "FFMPEG", str(tmp_path / "ffmpeg"))
+        monkeypatch.setattr(fio, "FFPROBE", str(tmp_path / "ffprobe"))
+        return fio
+
+    def test_reader_pipes_planes(self, stub_bins):
+        r = stub_bins.FFmpegReader("dummy.mp4")
+        assert (r.width, r.height, r.pix_fmt) == (64, 48, "yuv420p10le")
+        frames = list(r)
+        r.close()
+        assert len(frames) == 3
+        ts, planes = frames[0]
+        assert planes[0].shape == (48, 64, 1)
+        assert planes[1].shape == (24, 32, 1)
+        rng = np.random.default_rng(0)
+        fb = 64 * 48 + 2 * (32 * 24)
+        expect = rng.integers(0, 1024, fb).astype("<u2")
+        np.testing.assert_array_equal(planes[0].ravel(), expect[:64 * 48])
+
+    def test_writer_pipes_and_encodes(self, stub_bins, tmp_path):
+        out = str(tmp_path / "enc.mp4")
+        w = stub_bins.FFmpegWriter(out, 64, 48, 30.0, "yuv420p10le", "h265",
+                                   bitrate_mbps=10.0)
+        planes = [np.full((48, 64, 1), 512, "<u2"),
+                  np.full((24, 32, 1), 100, "<u2"),
+                  np.full((24, 32, 1), 900, "<u2")]
+        for _ in range(2):
+            w.write_planes(planes)
+        w.close()
+        blob = open(out, "rb").read()
+        assert blob[:8] == b"FAKEENC!"
+        n = int.from_bytes(blob[8:16], "little")
+        fmt = RAW_FORMATS["yuv420p10le"]
+        assert n == 2 * fmt.frame_bytes(64, 48)
+        back = fmt.unpack(blob[16:16 + fmt.frame_bytes(64, 48)], 64, 48)
+        np.testing.assert_array_equal(back[0], planes[0])
