@@ -130,16 +130,24 @@ def find_offset_for_range(mgr, of_items: List[TimeIMU], initial_offset: float,
     return None
 
 
+OFFSET_METHODS = ("essential_matrix", "rs_sync", "visual_features")
+
+
 def run_autosync(mgr, video_path: str, search_size: float = 3000.0,
                  initial_offset: float = 0.0, sync_points: int = 2,
                  processing_resolution: int = 720,
                  time_per_syncpoint: float = 1.5,
-                 of_method: str = "pyrlk") -> List[Tuple[float, float]]:
-    """AutosyncProcess (autosync.rs:15-130). Returns [(ts_ms, offset_ms)] and
-    applies them to the manager's gyro offsets."""
+                 of_method: str = "pyrlk",
+                 offset_method: str = "rs_sync",
+                 calc_initial_fast: bool = True) -> List[Tuple[float, float]]:
+    """AutosyncProcess (autosync.rs:15-130) + offsets-method dispatch
+    (sync/mod.rs:382-389; default rs-sync like the reference). Returns
+    [(ts_ms, offset_ms)] and applies them to the manager's gyro offsets."""
     import cv2
     from ..render.video_io import VideoReader
 
+    if offset_method not in OFFSET_METHODS:
+        offset_method = "rs_sync"
     cp = mgr.get_compute_params()
     points = pick_sync_points(mgr, sync_points)
     reader = VideoReader(video_path)
@@ -153,6 +161,7 @@ def run_autosync(mgr, video_path: str, search_size: float = 3000.0,
         frame1 = int((ts_mid + time_per_syncpoint * 500.0) / 1000.0 * fps)
         est = PoseEstimator(cp, size, of_method=of_method)
         reader.seek_frame(frame0)
+        range_us = (int(frame0 / fps * 1e6), int((frame1 + 1) / fps * 1e6))
         for idx in range(frame0, frame1 + 1):
             try:
                 ts_us, rgb = next(reader)
@@ -162,10 +171,31 @@ def run_autosync(mgr, video_path: str, search_size: float = 3000.0,
             if scale < 1.0:
                 gray = cv2.resize(gray, size)
             est.feed_frame(ts_us, gray, fps)
-        of_items = est.recalculate_gyro_data(fps)
-        res = find_offset_for_range(mgr, of_items, initial_offset, search_size)
-        if res is not None:
-            offset_ms, _cost = res
+
+        # fast essential-matrix estimate — the result for the essential
+        # method, the initial guess for rs-sync (rs_sync.rs:26-45)
+        ess = None
+        if offset_method != "visual_features" and \
+                (offset_method == "essential_matrix" or calc_initial_fast):
+            of_items = est.recalculate_gyro_data(fps)
+            ess = find_offset_for_range(mgr, of_items, initial_offset, search_size)
+
+        if offset_method == "essential_matrix":
+            if ess is not None:
+                mgr.set_sync_offset(int(ts_mid * 1000.0), ess[0])
+                applied.append((ts_mid, ess[0]))
+            continue
+
+        from .find_offset import (find_offsets_rs_sync,
+                                  find_offsets_visual_features)
+        if offset_method == "rs_sync":
+            offs = find_offsets_rs_sync(
+                mgr, est, [range_us], initial_offset, search_size,
+                initial_from_essential=ess[0] if ess is not None else None)
+        else:
+            offs = find_offsets_visual_features(
+                mgr, est, [range_us], initial_offset, search_size)
+        for (_mid_ms, offset_ms, _cost) in offs:
             mgr.set_sync_offset(int(ts_mid * 1000.0), offset_ms)
             applied.append((ts_mid, offset_ms))
     reader.close()

@@ -29,6 +29,10 @@ class FrameResult:
     timestamp_us: int
     rotvec: Optional[np.ndarray] = None     # rad/s (already fps-scaled)
     points: int = 0
+    # matched optical-flow pixel pairs (for rs-sync / visual_features):
+    # p0 at timestamp_us, p1 at next_ts (sync/mod.rs optical_flow map)
+    of_points: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    next_ts: int = 0
 
 
 OF_METHODS = ("pyrlk", "dis", "akaze")  # OpticalFlowMethod (optical_flow/mod.rs:11-36)
@@ -90,6 +94,12 @@ class PoseEstimator:
             prev_ts, prev_gray, prev_pts = self._prev
             p0, p1 = self._flow_pairs(prev_gray, gray, prev_pts)
             if len(p0) >= 8:
+                # retain raw pairs for rs-sync / visual_features (rs_sync.rs
+                # collect_points); pose estimation may still fail below
+                self.results[prev_ts] = FrameResult(
+                    prev_ts, of_points=(np.asarray(p0, np.float64),
+                                        np.asarray(p1, np.float64)),
+                    next_ts=timestamp_us, points=int(len(p0)))
                 u0 = np.asarray(undistort_points_for_optical_flow(
                     p0.astype(np.float64), prev_ts, self.cp, self.size), np.float64)
                 u1 = np.asarray(undistort_points_for_optical_flow(
@@ -110,9 +120,10 @@ class PoseEstimator:
                             rv, _ = cv2.Rodrigues(R)
                             dt_s = (timestamp_us - prev_ts) / 1e6
                             if dt_s > 0:
-                                self.results[prev_ts] = FrameResult(
-                                    prev_ts, rotvec=rv.reshape(3) / dt_s,
-                                    points=int(len(u0)))
+                                fr = self.results.get(prev_ts) or FrameResult(prev_ts)
+                                fr.rotvec = rv.reshape(3) / dt_s
+                                fr.points = int(len(u0))
+                                self.results[prev_ts] = fr
         self._prev = (timestamp_us, gray, pts)
 
     def recalculate_gyro_data(self, fps: float, lpf_hz: float = 0.0):
