@@ -40,12 +40,16 @@ def parse_telemetry_file(path: str, options: Optional[dict] = None,
     if ext in (".mp4", ".mov", ".360", ".insv"):
         from .camm import parse_camm_mp4
         from .gpmf import has_gpmf, parse_gpmf_mp4
+        from .sony import has_sony_rtmd, parse_sony_mp4
         if has_gpmf(path):
             return parse_gpmf_mp4(path, progress_cb=progress_cb)
+        if has_sony_rtmd(path):
+            return parse_sony_mp4(path, fps=fps, size=size,
+                                  progress_cb=progress_cb)
         try:
             return parse_camm_mp4(path, progress_cb=progress_cb)
         except TelemetryError:
             raise TelemetryError(
-                f"no telemetry track (GPMF/CAMM) in {os.path.basename(path)}")
+                f"no telemetry track (GPMF/CAMM/RTMD) in {os.path.basename(path)}")
     raise TelemetryError(f"Unsupported telemetry format: {ext} "
                          f"(supported: .gcsv, .csv, blackbox csv, GPMF .mp4/.mov)")
