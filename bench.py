@@ -62,20 +62,26 @@ def main():
         mats = jnp.asarray(make_matrices(W, H, f, fov, H))
         planes.append((cfg, dyn, img, mats))
 
-    # probe the smallest non-overflowing sampler window per plane
-    # (tile_h=16 measured ~6% faster than 8 at 4K; see experiments/perf_probe.py)
+    # probe the smallest non-overflowing sampler window per plane.
+    # Rolled configs first (win_k=128: single MXU K-pass after the in-kernel
+    # lane roll; tile_w=96 keeps the source span under 128); classic
+    # full-width windows as fallback for stronger zoom-out.
     TILE_H = 16
+    CANDS = ((24, 256, 128, 96), (32, 256, 128, 96), (40, 256, 128, 96),
+             (48, 256, 128, 96), (56, 256, 128, 96),
+             (48, 256, 0, 128), (64, 384, 0, 128), (96, 768, 0, 128))
+
     def pick_window(cfg, dyn, img, mats):
-        for cand in ((24, 256), (32, 256), (40, 256), (48, 256), (56, 256),
-                     (64, 384), (96, 768)):
+        for cand in CANDS:
             if cand[0] < TILE_H + 8:
                 continue
             out, ov = remap.remap_plane_pallas_jit(img, mats, cfg, dyn, None,
                                                    win_h=cand[0], win_w=cand[1],
+                                                   win_k=cand[2], tile_w=cand[3],
                                                    tile_h=TILE_H)
             if not bool(ov):
                 return cand
-        return (96, 768)
+        return CANDS[-1]
 
     win_y = pick_window(planes[0][0], planes[0][1], planes[0][2], planes[0][3])
     win_uv = pick_window(planes[1][0], planes[1][1], planes[1][2], planes[1][3])
@@ -86,9 +92,11 @@ def main():
         cfg1, dyn1 = planes[1][0], planes[1][1]
         out_y, _ = remap.remap_plane_pallas(y + salt, yl, cfg0, dyn0,
                                             win_h=win_y[0], win_w=win_y[1],
+                                            win_k=win_y[2], tile_w=win_y[3],
                                             tile_h=TILE_H)
         out_uv, _ = remap.remap_plane_pallas(uv + salt, uvm, cfg1, dyn1,
                                              win_h=win_uv[0], win_w=win_uv[1],
+                                             win_k=win_uv[2], tile_w=win_uv[3],
                                              tile_h=TILE_H)
         return jnp.sum(out_y) + jnp.sum(out_uv) + salt
 

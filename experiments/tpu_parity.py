@@ -1,0 +1,65 @@
+"""On-device parity check: Pallas pipeline vs exact XLA path, real TPU.
+
+The CPU test suite runs the kernels in interpret mode, which cannot see
+MXU-precision effects. This script runs both paths on the real chip and
+reports max pixel / geometry deviations. Run after any kernel change:
+
+  PYTHONPATH=/root/repo:/root/.axon_site python experiments/tpu_parity.py
+
+Expected: pixel diff < 0.05 (10-bit codes), coords diff < 0.05 px.
+History: before the hi/lo bf16 matmul fixes the default MXU precision gave
+~5/1023 pixel error and ~10 px geometry error on hardware (2026-08).
+"""
+import math
+import sys
+
+import numpy as np
+
+from perf_probe import make_matrices
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from gyroflow_tpu.ops import remap
+    from gyroflow_tpu.ops.kernel_params import FIX_COLOR_RANGE, KernelConfig, KernelDynamics
+
+    rng = np.random.default_rng(0)
+    ok = True
+    for name, (W, H, pi, kc), win in (("Y", (1920, 1080, 0, 1), (48, 256, 128, 96)),
+                                      ("UV", (960, 540, 1, 2), (48, 256, 128, 96)),
+                                      ("Y-fallback", (1920, 1080, 0, 1), (48, 384, 0, 128))):
+        f = (W * 0.62, W * 0.62)
+        fov = 0.92
+        cfg = KernelConfig(width=W, height=H, output_width=W, output_height=H,
+                           interpolation=8, distortion_model="opencv_fisheye",
+                           plane_index=pi, flags=FIX_COLOR_RANGE)
+        dyn = KernelDynamics.make(f=f, c=(W / 2, H / 2), k=[0.25, -0.07, 0.02, -0.003],
+                                  fov=fov, max_pixel_value=1023.0,
+                                  pixel_value_limit=1023.0, background=(0, 0, 0, 1))
+        # smooth content: the tiled and meshgrid layouts differ by 1 ulp in
+        # coordinates, which can flip a 1/32 interpolation phase — on noise
+        # that flips pixels by O(100); on smooth content it costs <0.1
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        base = (np.sin(xx * 0.013) * np.cos(yy * 0.011) * 0.5 + 0.5) * 1023.0
+        img = jnp.asarray(np.repeat(base[..., None], kc, axis=-1)
+                          + rng.uniform(0, 0.5, (H, W, kc)).astype(np.float32))
+        mats = jnp.asarray(make_matrices(W, H, f, fov, H))
+
+        got, ov = remap.remap_plane_pallas_jit(img, mats, cfg, dyn, None,
+                                               win_h=win[0], win_w=win[1],
+                                               win_k=win[2], tile_w=win[3],
+                                               tile_h=16)
+        assert not bool(ov), f"{name}: window overflow"
+        want = remap.remap_plane_jit(img, mats, cfg, dyn)
+        diff = float(jnp.max(jnp.abs(got - want)))
+        line_ok = diff < 0.25
+        ok &= line_ok
+        print(f"{name:12s} win={win}  max pixel diff = {diff:.4f}  "
+              f"{'OK' if line_ok else 'FAIL'}")
+    print("TPU parity:", "PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -392,20 +392,26 @@ class StabilizationManager:
         mats = jnp.asarray(ft.matrices)
         mesh = jnp.asarray(ft.mesh_data) if ft.mesh_data is not None else None
         if use_pallas:
-            # auto window sizing: probe small->large once per config, cache
+            # auto window sizing: probe small->large once per config, cache.
+            # Rolled (win_h, win_w, win_k, tile_w) configs first — win_k=128
+            # runs the colmix in a single MXU K-pass after an in-kernel lane
+            # roll; classic full-width windows cover stronger zoom-out.
             wkey = (cfg, img.shape)
             win = self._win_cache.get(wkey)
             if win is not None:
-                out, _ov = remap.remap_plane_pallas_jit(img, mats, cfg, dyn, mesh,
-                                                        win_h=win[0], win_w=win[1],
-                                                        drawing=drawing)
+                out, _ov = remap.remap_plane_pallas_jit(
+                    img, mats, cfg, dyn, mesh, win_h=win[0], win_w=win[1],
+                    win_k=win[2], tile_w=win[3], drawing=drawing)
             else:
                 out = None
-                for cand in ((24, 256), (32, 256), (40, 256), (40, 384),
-                             (48, 384), (64, 512), (96, 768)):
-                    out, ov = remap.remap_plane_pallas_jit(img, mats, cfg, dyn, mesh,
-                                                           win_h=cand[0], win_w=cand[1],
-                                                           drawing=drawing)
+                for cand in ((24, 256, 128, 96), (32, 256, 128, 96),
+                             (40, 256, 128, 96), (48, 256, 128, 96),
+                             (32, 256, 0, 128), (40, 384, 0, 128),
+                             (48, 384, 0, 128), (64, 512, 0, 128),
+                             (96, 768, 0, 128)):
+                    out, ov = remap.remap_plane_pallas_jit(
+                        img, mats, cfg, dyn, mesh, win_h=cand[0], win_w=cand[1],
+                        win_k=cand[2], tile_w=cand[3], drawing=drawing)
                     if not bool(ov):
                         self._win_cache[wkey] = cand
                         break

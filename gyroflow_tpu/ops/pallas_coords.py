@@ -3,10 +3,18 @@
 The XLA path's cost is the per-pixel gather of 14-float rows from the (M, 14)
 rolling-shutter matrix tensor (measured ~10 ms/frame @1080p — TPU gathers are
 slow). Here each output tile DMAs only the small matrix-row window its pixels
-reference (origins planned from the RS row-select indices), replaces the gather
-with a one-hot matmul E(SrM,P) against the window, and then runs the full
-rotate_and_distort math (remap.rotate_and_distort_core — distortion model,
-refraction, IBIS, digital lens, stretch) on the VPU with zero HBM traffic.
+reference, replaces the gather with a one-hot contraction E(win_m, P) against
+the window, and then runs the full rotate_and_distort math
+(remap.rotate_and_distort_core — distortion model, refraction, IBIS, digital
+lens, stretch) on the VPU with zero HBM traffic.
+
+Matrices are stored (Mpad, 16): the matrix index lives on the SUBLANE axis, so
+window origins only need 8-row alignment (lane-axis DMA slices would force
+128-alignment and ~2 extra K-passes of slack, measured on v5e). The one-hot
+contraction runs as TWO bf16 MXU passes over a hi/lo split of the window —
+E is an exact 0/1 matrix, so this reproduces the f32 row gather exactly
+(the MXU's 1-pass default rounds matrix entries to bf16: ~10 px geometry
+error at 4K, invisible to CPU-interpret goldens).
 """
 from __future__ import annotations
 
@@ -56,18 +64,16 @@ def _unpack_params(g, cfg: KernelConfig):
 
 def _coords_kernel(cfg: KernelConfig, win_m: int,
                    m0_ref,                    # scalar prefetch (ntiles,)
-                   mats_ref,                  # ANY: (M, 14)
+                   mats_ref,                  # ANY: (Mpad, 16)
                    x_ref, y_ref, idx_ref,     # VMEM (1, 1, P)
                    par_ref,                   # SMEM (1, N_PARAMS)
                    u_out, v_out, valid_out,   # VMEM (1, 1, P)
-                   matwin_ref, sem):          # scratch (win_m, 14) + DMA sem
+                   matwin_ref, sem):          # scratch (win_m, 128) + DMA sem
     from .remap import rotate_and_distort_core
 
     t = pl.program_id(0)
-    m0 = pl.multiple_of(m0_ref[t], 128)
-    # mats are stored TRANSPOSED (16, Mpad): matrix index on the lane axis, so
-    # the one-hot contraction produces a (16, P) result instead of (128, P)
-    cp = pltpu.make_async_copy(mats_ref.at[:, pl.ds(m0, win_m)], matwin_ref, sem)
+    m0 = pl.multiple_of(m0_ref[t], SUBLANE)
+    cp = pltpu.make_async_copy(mats_ref.at[pl.ds(m0, win_m), :], matwin_ref, sem)
     cp.start()
 
     px = x_ref[0]
@@ -81,10 +87,16 @@ def _coords_kernel(cfg: KernelConfig, win_m: int,
     idx_rel = idx - m0
     rid = jax.lax.broadcasted_iota(jnp.int32, (win_m, P), 0)
     E = (rid == idx_rel).astype(jnp.float32)                   # (win_m, P)
-    m_mat = jax.lax.dot_general(                                # (16, P)
-        matwin_ref[:], E,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    # contract the sublane (matrix index) axis of both operands: exact 0/1
+    # one-hot x hi/lo window split -> f32-exact gather in 2 bf16 passes
+    matwin = matwin_ref[:, :16]
+    mat_hi = matwin.astype(jnp.bfloat16).astype(jnp.float32)
+    mat_lo = matwin - mat_hi
+    dn = (((0,), (0,)), ((), ()))                               # (16, P)
+    m_mat = (jax.lax.dot_general(mat_hi, E, dimension_numbers=dn,
+                                 preferred_element_type=jnp.float32)
+             + jax.lax.dot_general(mat_lo, E, dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32))
     m = [m_mat[i:i + 1] for i in range(14)]
 
     u, v, valid = rotate_and_distort_core(px, py, m, cfg, dyn_view, lp)
@@ -113,7 +125,7 @@ def _coords_call(cfg: KernelConfig, win_m: int, mats, x_t, y_t, idx_t, m0s, para
             pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((16, win_m), jnp.float32),
+            pltpu.VMEM((win_m, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -129,29 +141,33 @@ def _coords_call(cfg: KernelConfig, win_m: int, mats, x_t, y_t, idx_t, m0s, para
 def plan_matrix_windows(idx_t, win_m: int, matrix_count: int):
     """Per-tile matrix window origin from RS indices; returns (m0s, overflow).
 
-    Origins are 128-aligned (lane-axis DMA slices on the transposed layout)."""
+    Origins are 8-aligned (sublane-axis DMA slices on the (Mpad, 16) layout)."""
     imin = idx_t.min(axis=(1, 2))
     imax = idx_t.max(axis=(1, 2))
-    m0 = (imin // 128) * 128
+    m0 = (imin // SUBLANE) * SUBLANE
     m0 = jnp.clip(m0, 0, max(matrix_count - win_m, 0))
     overflow = ((imax - m0) >= win_m).any()
     return m0.astype(jnp.int32), overflow
 
 
 def project_tiles(cfg: KernelConfig, dyn: KernelDynamics, matrices,
-                  x_t, y_t, idx_t, win_m: int = 256):
+                  x_t, y_t, idx_t, win_m: int = 64):
     """Tile-flattened (ntiles,1,P) positions+indices -> (u, v, valid, overflow).
 
-    Matrices ship transposed (16, Mpad) so the per-tile window DMA slices the
-    lane axis and the one-hot contraction yields a compact (16, P) result."""
+    Matrices ship as (Mpad, 16): matrix index on the sublane axis, so the
+    per-tile window DMA is an 8-aligned sublane slice and the one-hot
+    contraction runs at K=win_m (64 by default vs the 256 a lane-aligned
+    window would force)."""
     matrix_count = matrices.shape[0]
-    mpad = max(-(-matrix_count // 128) * 128, win_m)
+    mpad = max(-(-matrix_count // SUBLANE) * SUBLANE, win_m)
     win_m = min(win_m, mpad)
-    matsT = jnp.pad(matrices, ((0, mpad - matrix_count),
-                               (0, 16 - matrices.shape[1]))).T  # (16, Mpad)
+    # lanes padded 16 -> 128 so the array gets the standard (8,128) f32
+    # tiling (a 16-lane memref can't be dynamically sublane-sliced by Mosaic)
+    mats = jnp.pad(matrices, ((0, mpad - matrix_count),
+                              (0, 128 - matrices.shape[1])))   # (Mpad, 128)
     m0s, overflow = plan_matrix_windows(idx_t, win_m, mpad)
     params = pack_params(dyn)
     interpret = jax.default_backend() == "cpu"
-    u_t, v_t, valid_t = _coords_call(cfg, win_m, matsT, x_t, y_t, idx_t,
+    u_t, v_t, valid_t = _coords_call(cfg, win_m, mats, x_t, y_t, idx_t,
                                      m0s, params, interpret=interpret)
     return u_t, v_t, valid_t, overflow

@@ -52,19 +52,33 @@ class SamplerSpec(NamedTuple):
     win_h: int = 64
     win_w: int = 512
     source_rect: tuple = None  # (x, y, w, h)
+    win_k: int = 0         # rolled compute width (0 = full win_w, no roll)
 
     @classmethod
     def create(cls, height, width, out_height, out_width, interpolation,
-               tile_h=8, tile_w=128, win_h=64, win_w=512, source_rect=None):
+               tile_h=8, tile_w=128, win_h=64, win_w=512, source_rect=None,
+               win_k=0):
         # plane dims padded to the f32 tile grid so aligned window origins can
-        # reach every edge; src_rect keeps the true extent (padding reads bg)
+        # reach every edge; src_rect keeps the true extent (padding reads bg).
+        # win_k < win_w enables the ROLLED mode: the DMA window stays
+        # 128-lane-aligned and win_w wide (Mosaic requires aligned lane
+        # slices), but the kernel rolls the tile's actual source band to lane
+        # 0 and computes the column mix on only win_k lanes — with win_k=128
+        # the colmix matmul needs a single K-pass instead of ceil(win_w/128).
         pheight = -(-height // SUBLANE) * SUBLANE
         pwidth = -(-width // LANE) * LANE
         win_h = min(-(-win_h // SUBLANE) * SUBLANE, pheight)
         win_w = min(-(-win_w // LANE) * LANE, pwidth)
+        if win_k:
+            win_k = min(-(-win_k // LANE) * LANE, win_w)
         rect = source_rect or (0, 0, width, height)
         return cls(pheight, pwidth, out_height, out_width, interpolation,
-                   tile_h, tile_w, win_h, win_w, rect)
+                   tile_h, tile_w, win_h, win_w, rect, win_k)
+
+    @property
+    def kw(self) -> int:
+        """Effective column-mix width (lanes the matmul contracts over)."""
+        return self.win_k or self.win_w
 
     @property
     def taps(self) -> int:
@@ -135,17 +149,51 @@ _WEIGHT_FNS = {2: _weights_bilinear, 4: _weights_bicubic, 8: _weights_lanczos4}
 
 
 # ---------------------------------------------------------------------------
+# f32-accurate MXU matmuls.
+#
+# The TPU MXU multiplies bf16; the DEFAULT matmul precision rounds f32
+# operands to bf16 in ONE pass (measured: ~0.5% relative error -> ~5/1023
+# pixel error and ~10 px geometry error in these kernels — invisible to the
+# CPU-interpret goldens, real on hardware). The fixes below decompose each
+# f32 operand into an exactly-bf16-representable hi part plus a residual:
+# products of bf16-exact values accumulate exactly in the MXU's f32
+# accumulator, so the only error left is the dropped lo*lo cross term
+# (<= ~0.01 of a 10-bit code for this kernel's magnitudes).
+# ---------------------------------------------------------------------------
+
+def _dot3(a, b):
+    """a @ b to ~f32 accuracy in 3 bf16 MXU passes (drops the lo*lo term)."""
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    b_lo = b - b_hi
+    return (jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32))
+
+
+def _dot2_onehot(a, b01):
+    """a @ b01 where b01 is exactly bf16-representable (0/1 one-hots):
+    2 bf16 MXU passes, exact up to the bf16 rounding of a's residual."""
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    return (jnp.dot(a_hi, b01, preferred_element_type=jnp.float32)
+            + jnp.dot(a_lo, b01, preferred_element_type=jnp.float32))
+
+
+# ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
 
 def _sampler_kernel(spec: SamplerSpec,
-                    y0_ref, x0_ref,            # scalar prefetch (ntiles,)
+                    y0_ref, x0_ref, xoff_ref,  # scalar prefetch (ntiles,)
                     img_ref,                   # ANY (HBM): (C, H, W)
                     u_ref, v_ref,              # VMEM (1, P) — tile-flattened
                     bg_ref,                    # SMEM (1, C)
                     out_ref,                   # VMEM (1, C, P)
                     win_ref, sem):             # scratch: (C, Sr, Sc) + DMA sem
     Sr, Sc = spec.win_h, spec.win_w
+    Kw = spec.kw                     # rolled compute width (== Sc if no roll)
     nchan = win_ref.shape[0]
     taps = spec.taps
     P = spec.tile_h * spec.tile_w
@@ -154,6 +202,7 @@ def _sampler_kernel(spec: SamplerSpec,
     t_idx = pl.program_id(0)
     y0 = pl.multiple_of(y0_ref[t_idx], SUBLANE)   # host aligns origins
     x0 = pl.multiple_of(x0_ref[t_idx], LANE)
+    xoff = pl.multiple_of(xoff_ref[t_idx], SUBLANE)
 
     copy = pltpu.make_async_copy(
         img_ref.at[:, pl.ds(y0, Sr), pl.ds(x0, Sc)], win_ref, sem)
@@ -174,10 +223,10 @@ def _sampler_kernel(spec: SamplerSpec,
     wx = _WEIGHT_FNS[spec.interpolation](phx)  # taps x (1, P)
     wy = _WEIGHT_FNS[spec.interpolation](phy)
 
-    fx_rel = fx - x0
+    fx_rel = fx - x0 - xoff           # xoff == 0 when rolling is disabled
     fy_rel = fy - y0
 
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (Sc, P), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (Kw, P), 0)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (Sr, P), 0)
 
     def _tap_tree(T, ws):
@@ -237,7 +286,7 @@ def _sampler_kernel(spec: SamplerSpec,
         wxm.append(w)
         csum = csum + w
     if taps == 8:
-        C = build_onehot8_blocked(Sc, fx_rel, wxm)
+        C = build_onehot8_blocked(Kw, fx_rel, wxm)
     else:
         C = build_onehot(col_ids, fx_rel, wxm)
 
@@ -255,25 +304,31 @@ def _sampler_kernel(spec: SamplerSpec,
 
     copy.wait()
 
-    # the expensive C/R builds are shared across channels; per-channel work is
-    # just one MXU matmul + row reduce. NOTE (measured): a manual bf16x3
-    # decomposition of this matmul is SLOWER (28 vs 25 ms/4K-frame) than
-    # Mosaic's default f32 matmul — don't retry.
+    # All channels share the C/R builds AND one stacked colmix matmul:
+    # win (C, Sr, Sc) viewed as (C*Sr, Sc) puts channels on the M axis, which
+    # is free on the MXU up to 128 rows. The matmul itself runs as 3 bf16
+    # passes (_dot3) for f32-accurate pixels — the MXU's 1-pass default
+    # rounds operands to bf16 (~5/1023 pixel error, fails 10-bit parity).
     bg_weight = 1.0 - rsum * csum
+    win_all = win_ref[:].reshape(nchan * Sr, Sc)
+    if Kw < Sc:
+        # roll the tile's source band to lane 0 and compute on Kw lanes only
+        win_all = pltpu.roll(win_all, (Sc - xoff) % Sc, 1)[:, :Kw]
+    colmix = _dot3(win_all, C)                       # (C*Sr, P)
     for ch in range(nchan):
-        # colmix[r, p] = sum_c win[ch][r, c] * C[c, p]   (MXU)
-        colmix = jnp.dot(win_ref[ch], C, preferred_element_type=jnp.float32)
-        sampled = jnp.sum(R * colmix, axis=0, keepdims=True)  # (1, P)
+        sampled = jnp.sum(R * colmix[ch * Sr:(ch + 1) * Sr], axis=0,
+                          keepdims=True)             # (1, P)
         out_ref[0, ch] = (sampled + bg_weight * bg_ref[0, ch])[0]
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
-def _sample_call(spec: SamplerSpec, img, u_t, v_t, y0s, x0s, bg, interpret=False):
+def _sample_call(spec: SamplerSpec, img, u_t, v_t, y0s, x0s, xoffs, bg,
+                 interpret=False):
     ntiles = u_t.shape[0]
     nchan = img.shape[0]
     P = spec.tile_h * spec.tile_w
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                 # img (C, H, W) HBM
@@ -292,7 +347,7 @@ def _sample_call(spec: SamplerSpec, img, u_t, v_t, y0s, x0s, bg, interpret=False
         out_shape=jax.ShapeDtypeStruct((ntiles, nchan, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(y0s, x0s, img, u_t.reshape(ntiles, 1, P), v_t.reshape(ntiles, 1, P), bg)
+    )(y0s, x0s, xoffs, img, u_t.reshape(ntiles, 1, P), v_t.reshape(ntiles, 1, P), bg)
 
 
 def _tileize(spec: SamplerSpec, x):
@@ -356,10 +411,14 @@ def plan_windows(spec: SamplerSpec, u, v, valid):
     vmax = jnp.where(any_valid, vmax, 0.0)
 
     off = spec.offset
-    x0 = (jnp.floor(umin - off).astype(jnp.int32) - 1) & ~(LANE - 1)
+    xf = (jnp.floor(umin - off).astype(jnp.int32) - 1) & ~(SUBLANE - 1)
+    x0 = xf & ~(LANE - 1)
     y0 = (jnp.floor(vmin - off).astype(jnp.int32) - 1) & ~(SUBLANE - 1)
     x0 = jnp.clip(x0, 0, max(spec.width - spec.win_w, 0))
     y0 = jnp.clip(y0, 0, max(spec.height - spec.win_h, 0))
+    xf = jnp.clip(xf, x0, x0 + spec.win_w - SUBLANE)
+    xoff = (xf - x0) if spec.kw < spec.win_w else jnp.zeros_like(x0)
+    xband = xf if spec.kw < spec.win_w else x0
 
     # the farthest in-rect tap each tile needs
     srx, sry, srw, srh = spec.src_rect
@@ -367,10 +426,11 @@ def plan_windows(spec: SamplerSpec, u, v, valid):
     ylast = jnp.minimum(jnp.floor(vmax - off).astype(jnp.int32) + taps, sry + srh - 1)
     xfirst = jnp.maximum(jnp.floor(umin - off).astype(jnp.int32), srx)
     yfirst = jnp.maximum(jnp.floor(vmin - off).astype(jnp.int32), sry)
-    overflow = (((xlast - x0 >= spec.win_w) | (ylast - y0 >= spec.win_h)) &
+    overflow = (((xlast - xband >= spec.kw) | (xlast - x0 >= spec.win_w) |
+                 (ylast - y0 >= spec.win_h)) &
                 (xlast >= xfirst) & (ylast >= yfirst) & any_valid)
 
-    return y0.reshape(-1), x0.reshape(-1), overflow.any()
+    return y0.reshape(-1), x0.reshape(-1), xoff.reshape(-1), overflow.any()
 
 
 def sample_planes(spec: SamplerSpec, imgs, u, v, valid, bg_vec):
@@ -392,11 +452,11 @@ def sample_planes(spec: SamplerSpec, imgs, u, v, valid, bg_vec):
     up = jnp.clip(up, -32768.0, 32768.0)
     vp = jnp.clip(vp, -32768.0, 32768.0)
 
-    y0s, x0s, overflow = plan_windows(spec, up, vp, validp)
+    y0s, x0s, xoffs, overflow = plan_windows(spec, up, vp, validp)
     bg = jnp.asarray(bg_vec, jnp.float32).reshape(1, nchan)
     interpret = jax.default_backend() == "cpu"  # Mosaic is TPU-only; tests interpret
     out_t = _sample_call(spec, imgs, _tileize(spec, up), _tileize(spec, vp),
-                         y0s, x0s, bg, interpret=interpret)
+                         y0s, x0s, xoffs, bg, interpret=interpret)
     ny, nx = spec.grid
     TH, TW = spec.tile_h, spec.tile_w
     out = (out_t.reshape(ny, nx, nchan, TH, TW)
@@ -507,6 +567,15 @@ def _ewa_kernel(spec: SamplerSpec,
 
     copy.wait()
 
+    # hi/lo split once per window: the per-tap colmix matmuls contract an
+    # EXACT 0/1 one-hot, so two bf16 passes over (win_hi, win_lo) reproduce
+    # the f32 gather exactly (the MXU's 1-pass default rounds pixels to bf16)
+    win_hi = [None] * nchan
+    win_lo = [None] * nchan
+    for ch in range(nchan):
+        win_hi[ch] = win_ref[ch].astype(jnp.bfloat16).astype(jnp.float32)
+        win_lo[ch] = win_ref[ch] - win_hi[ch]
+
     acc = [jnp.zeros((1, P), jnp.float32) for _ in range(nchan)]
     ksum_all = jnp.zeros((1, P), jnp.float32)
     ksum_rect = jnp.zeros((1, P), jnp.float32)
@@ -545,7 +614,8 @@ def _ewa_kernel(spec: SamplerSpec,
 
         Cm = jnp.where(col_ids == bx_rel + txp, 1.0, 0.0)
         for ch in range(nchan):
-            colmix = jnp.dot(win_ref[ch], Cm, preferred_element_type=jnp.float32)
+            colmix = (jnp.dot(win_hi[ch], Cm, preferred_element_type=jnp.float32)
+                      + jnp.dot(win_lo[ch], Cm, preferred_element_type=jnp.float32))
             acc[ch] = acc[ch] + jnp.sum(R * colmix, axis=0, keepdims=True)
 
     denom = jnp.where(ksum_all == 0.0, 1.0, ksum_all)
@@ -601,7 +671,7 @@ def sample_planes_ewa(spec: SamplerSpec, imgs, u, v, jac, valid, bg_vec,
     up = jnp.clip(jnp.where(jnp.isfinite(up), up, 0.0), -32768.0, 32768.0)
     vp = jnp.clip(jnp.where(jnp.isfinite(vp), vp, 0.0), -32768.0, 32768.0)
 
-    y0s, x0s, overflow = plan_windows(spec, up, vp, validp)
+    y0s, x0s, _xoffs, overflow = plan_windows(spec, up, vp, validp)
     P = spec.tile_h * spec.tile_w
     ntiles = spec.grid[0] * spec.grid[1]
     jac_t = jnp.stack([_tileize(spec, _pad_to(jac[..., i], spec.tile_h, spec.tile_w))
@@ -641,19 +711,24 @@ def plan_windows_t(spec: SamplerSpec, u_t, v_t, valid_t):
 
     off = spec.offset
     taps = spec.taps
-    x0 = (jnp.floor(umin - off).astype(jnp.int32) - 1) & ~(LANE - 1)
+    xf = (jnp.floor(umin - off).astype(jnp.int32) - 1) & ~(SUBLANE - 1)
+    x0 = xf & ~(LANE - 1)
     y0 = (jnp.floor(vmin - off).astype(jnp.int32) - 1) & ~(SUBLANE - 1)
     x0 = jnp.clip(x0, 0, max(spec.width - spec.win_w, 0))
     y0 = jnp.clip(y0, 0, max(spec.height - spec.win_h, 0))
+    xf = jnp.clip(xf, x0, x0 + spec.win_w - SUBLANE)
+    xoff = (xf - x0) if spec.kw < spec.win_w else jnp.zeros_like(x0)
+    xband = xf if spec.kw < spec.win_w else x0
 
     srx, sry, srw, srh = spec.src_rect
     xlast = jnp.minimum(jnp.floor(umax - off).astype(jnp.int32) + taps, srx + srw - 1)
     ylast = jnp.minimum(jnp.floor(vmax - off).astype(jnp.int32) + taps, sry + srh - 1)
     xfirst = jnp.maximum(jnp.floor(umin - off).astype(jnp.int32), srx)
     yfirst = jnp.maximum(jnp.floor(vmin - off).astype(jnp.int32), sry)
-    overflow = (((xlast - x0 >= spec.win_w) | (ylast - y0 >= spec.win_h)) &
+    overflow = (((xlast - xband >= spec.kw) | (xlast - x0 >= spec.win_w) |
+                 (ylast - y0 >= spec.win_h)) &
                 (xlast >= xfirst) & (ylast >= yfirst) & any_valid)
-    return y0, x0, overflow.any()
+    return y0, x0, xoff, overflow.any()
 
 
 def _pad_imgs(spec: SamplerSpec, imgs):
@@ -672,10 +747,11 @@ def sample_planes_t(spec: SamplerSpec, imgs, u_t, v_t, valid_t, bg_vec):
     imgs = _pad_imgs(spec, imgs)
     u_t = _guard_uv(u_t)
     v_t = _guard_uv(v_t)
-    y0s, x0s, overflow = plan_windows_t(spec, u_t, v_t, valid_t)
+    y0s, x0s, xoffs, overflow = plan_windows_t(spec, u_t, v_t, valid_t)
     bg = jnp.asarray(bg_vec, jnp.float32).reshape(1, imgs.shape[0])
     interpret = jax.default_backend() == "cpu"
-    out_t = _sample_call(spec, imgs, u_t, v_t, y0s, x0s, bg, interpret=interpret)
+    out_t = _sample_call(spec, imgs, u_t, v_t, y0s, x0s, xoffs, bg,
+                         interpret=interpret)
     return out_t, overflow
 
 
@@ -685,7 +761,7 @@ def sample_planes_ewa_t(spec: SamplerSpec, imgs, u_t, v_t, jac_t, valid_t,
     imgs = _pad_imgs(spec, imgs)
     u_t = _guard_uv(u_t)
     v_t = _guard_uv(v_t)
-    y0s, x0s, overflow = plan_windows_t(spec, u_t, v_t, valid_t)
+    y0s, x0s, _xoffs, overflow = plan_windows_t(spec, u_t, v_t, valid_t)
     ntiles = u_t.shape[0]
     P = spec.tile_h * spec.tile_w
     jac4 = jnp.moveaxis(jac_t, -1, 1)            # (ntiles, 4, P)

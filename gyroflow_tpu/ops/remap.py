@@ -625,7 +625,7 @@ def to_uint8_jit(img):
 def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
                        mesh=None, win_h: int = 64, win_w: int = 512,
                        drawing=None, out_rows: int = None, oy0=0,
-                       tile_h: int = 8):
+                       tile_h: int = 8, tile_w: int = 128, win_k: int = 0):
     """Drop-in replacement for remap_plane using the Pallas sampling kernels.
 
     Returns (output, overflow) — overflow True means some tile's source bbox
@@ -661,8 +661,8 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
 
     spec = ps.SamplerSpec.create(
         height=img.shape[0], width=img.shape[1], out_height=oh_local, out_width=ow,
-        interpolation=cfg.interpolation, tile_h=tile_h, win_h=win_h, win_w=win_w,
-        source_rect=cfg.src_rect)
+        interpolation=cfg.interpolation, tile_h=tile_h, tile_w=tile_w,
+        win_h=win_h, win_w=win_w, source_rect=cfg.src_rect, win_k=win_k)
     P = spec.tile_h * spec.tile_w
     ox, oy, pad_ok = ps.tiled_grid(spec)            # (ntiles, P)
     oy = oy + jnp.asarray(oy0, jnp.float32)         # absolute output row
@@ -685,9 +685,12 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         from . import pallas_coords as pc
         x, y, idx, _probe = coords_pre(out_pos, matrices, cfg, dyn, out_c, out_f)
         ntiles = x.shape[0]
+        # matrix window scales with the sampler ladder: small for the rolled
+        # fast path, generous for the full-width fallback configs
         u_t, v_t, valid_t, coords_overflow = pc.project_tiles(
             cfg, dyn, matrices, x.reshape(ntiles, 1, P),
-            y.reshape(ntiles, 1, P), idx.reshape(ntiles, 1, P))
+            y.reshape(ntiles, 1, P), idx.reshape(ntiles, 1, P),
+            win_m=64 if win_k else 256)
         u = u_t.reshape(ntiles, P)
         v = v_t.reshape(ntiles, P)
         valid = valid_t.reshape(ntiles, P) > 0.5
@@ -845,11 +848,11 @@ def _remap_colorrange_t(px, is_y: bool, max_pixel_value):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "win_h", "win_w", "out_rows",
-                                             "tile_h"))
+                                             "tile_h", "tile_w", "win_k"))
 def remap_plane_pallas_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
                            mesh=None, win_h: int = 64, win_w: int = 512,
                            drawing=None, out_rows: int = None, oy0=0,
-                           tile_h: int = 8):
+                           tile_h: int = 8, tile_w: int = 128, win_k: int = 0):
     return remap_plane_pallas(img, matrices, cfg, dyn, mesh, win_h, win_w,
                               drawing=drawing, out_rows=out_rows, oy0=oy0,
-                              tile_h=tile_h)
+                              tile_h=tile_h, tile_w=tile_w, win_k=win_k)

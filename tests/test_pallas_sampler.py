@@ -57,5 +57,54 @@ class TestPallasSampler:
         compare_pallas(*make_pair(fov=1.6), img=make_image())
 
 
+class TestRolledWindow:
+    """win_k < win_w: the kernel DMAs a 128-aligned 256-wide window but rolls
+    the tile's source band to lane 0 and contracts only 128 lanes (one MXU
+    K-pass). Needs a frame wide enough that win_w=256 < padded width."""
+
+    def _run(self, interpolation, c=1, tol=0.05):
+        from gyroflow_tpu.ops import pallas_sampler as ps
+        from gyroflow_tpu.ops.kernel_params import KernelConfig, KernelDynamics
+
+        Wb, Hb = 640, 64
+        rng = np.random.default_rng(3)
+        img = rng.uniform(0, 255, (Hb, Wb, c)).astype(np.float32)
+        cfg = KernelConfig(width=Wb, height=Hb, output_width=Wb, output_height=Hb,
+                           interpolation=interpolation,
+                           distortion_model="opencv_fisheye")
+        dyn = KernelDynamics.make(f=(300.0, 300.0), c=(Wb / 2, Hb / 2),
+                                  k=[0.0] * 4, fov=1.0, max_pixel_value=255.0,
+                                  pixel_value_limit=1e30, background=(0, 0, 0, 1))
+        # synthetic uv: zoom + shift, spans ~104 source cols per 96-px tile
+        spec = ps.SamplerSpec.create(
+            height=Hb, width=Wb, out_height=Hb, out_width=Wb,
+            interpolation=interpolation, tile_h=16, tile_w=96,
+            win_h=48, win_w=256, win_k=128)
+        assert spec.win_k == 128 and spec.win_w == 256
+        ox, oy, pad_ok = ps.tiled_grid(spec)
+        u_t = ox * 1.07 - 12.3
+        v_t = oy * 0.95 + 3.7
+        valid_t = pad_ok
+        imgs = jnp.moveaxis(jnp.asarray(img), -1, 0)
+        out_t, overflow = ps.sample_planes_t(spec, imgs, u_t, v_t, valid_t,
+                                             jnp.zeros(c))
+        assert not bool(overflow)
+        want = remap.sample_input(jnp.asarray(img),
+                                  jnp.stack([u_t, v_t], axis=-1),
+                                  jnp.zeros(c), cfg, dyn)
+        got = np.asarray(jnp.moveaxis(out_t, 1, -1))
+        diff = np.abs(got - np.asarray(want))[np.asarray(valid_t)]
+        assert diff.max() < tol, f"rolled vs xla diff {diff.max()}"
+
+    def test_rolled_bilinear(self):
+        self._run(2)
+
+    def test_rolled_lanczos4(self):
+        self._run(8, tol=0.2)
+
+    def test_rolled_multichannel(self):
+        self._run(4, c=2)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
