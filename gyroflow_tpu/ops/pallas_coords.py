@@ -62,88 +62,119 @@ def _unpack_params(g, cfg: KernelConfig):
     return dyn_view, lp
 
 
-def _coords_kernel(cfg: KernelConfig, win_m: int,
+GROUP = 8   # tiles per grid step (the (GROUP, P) block tiles natively)
+
+
+def _coords_kernel(cfg: KernelConfig, win_m: int, G: int,
                    m0_ref,                    # scalar prefetch (ntiles,)
-                   mats_ref,                  # ANY: (Mpad, 16)
-                   x_ref, y_ref, idx_ref,     # VMEM (1, 1, P)
+                   mats_ref,                  # ANY: (Mpad, 128)
+                   x_ref, y_ref, idx_ref,     # VMEM (1, G, P)
                    par_ref,                   # SMEM (1, N_PARAMS)
-                   u_out, v_out, valid_out,   # VMEM (1, 1, P)
-                   matwin_ref, sem):          # scratch (win_m, 128) + DMA sem
+                   u_out, v_out, valid_out,   # VMEM (1, G, P)
+                   matwin_ref, sems):         # scratch (G, win_m, 128) + G sems
     from .remap import rotate_and_distort_core
 
-    t = pl.program_id(0)
-    m0 = pl.multiple_of(m0_ref[t], SUBLANE)
-    cp = pltpu.make_async_copy(mats_ref.at[pl.ds(m0, win_m), :], matwin_ref, sem)
-    cp.start()
+    g = pl.program_id(0)
 
-    px = x_ref[0]
-    py = y_ref[0]
-    idx = idx_ref[0]
-    P = px.shape[-1]
+    def win_dma(j):
+        m0 = pl.multiple_of(m0_ref[g * G + j], SUBLANE)
+        return pltpu.make_async_copy(mats_ref.at[pl.ds(m0, win_m), :],
+                                     matwin_ref.at[j], sems.at[j])
 
+    for j in range(G):
+        win_dma(j).start()
+
+    P = x_ref.shape[-1]
     dyn_view, lp = _unpack_params(lambda i: par_ref[0, i], cfg)
-
-    cp.wait()
-    idx_rel = idx - m0
     rid = jax.lax.broadcasted_iota(jnp.int32, (win_m, P), 0)
-    E = (rid == idx_rel).astype(jnp.float32)                   # (win_m, P)
-    # contract the sublane (matrix index) axis of both operands: exact 0/1
-    # one-hot x hi/lo window split -> f32-exact gather in 2 bf16 passes
-    matwin = matwin_ref[:, :16]
-    mat_hi = matwin.astype(jnp.bfloat16).astype(jnp.float32)
-    mat_lo = matwin - mat_hi
-    dn = (((0,), (0,)), ((), ()))                               # (16, P)
-    m_mat = (jax.lax.dot_general(mat_hi, E, dimension_numbers=dn,
-                                 preferred_element_type=jnp.float32)
-             + jax.lax.dot_general(mat_lo, E, dimension_numbers=dn,
-                                   preferred_element_type=jnp.float32))
-    m = [m_mat[i:i + 1] for i in range(14)]
 
-    u, v, valid = rotate_and_distort_core(px, py, m, cfg, dyn_view, lp)
-    u_out[0] = u
-    v_out[0] = v
-    valid_out[0] = valid.astype(jnp.float32)
+    for j in range(G):
+        px = x_ref[0, j:j + 1]
+        py = y_ref[0, j:j + 1]
+        idx = idx_ref[0, j:j + 1]
+        m0 = pl.multiple_of(m0_ref[g * G + j], SUBLANE)
+        win_dma(j).wait()
+        idx_rel = idx - m0
+        E = (rid == idx_rel).astype(jnp.float32)               # (win_m, P)
+        # contract the sublane (matrix index) axis of both operands: exact
+        # 0/1 one-hot x hi/lo window split -> f32-exact gather in 2 bf16
+        # passes
+        matwin = matwin_ref[j, :, :16]
+        mat_hi = matwin.astype(jnp.bfloat16).astype(jnp.float32)
+        mat_lo = matwin - mat_hi
+        dn = (((0,), (0,)), ((), ()))                           # (16, P)
+        m_mat = (jax.lax.dot_general(mat_hi, E, dimension_numbers=dn,
+                                     preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(mat_lo, E, dimension_numbers=dn,
+                                       preferred_element_type=jnp.float32))
+        m = [m_mat[i:i + 1] for i in range(14)]
+
+        u, v, valid = rotate_and_distort_core(px, py, m, cfg, dyn_view, lp)
+        u_out[0, j] = u[0]
+        v_out[0, j] = v[0]
+        valid_out[0, j] = valid.astype(jnp.float32)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "win_m", "interpret"))
 def _coords_call(cfg: KernelConfig, win_m: int, mats, x_t, y_t, idx_t, m0s, params,
                  interpret=False):
-    ntiles, _, P = x_t.shape
+    """Grouped projection kernel: (ntiles, P) pixel rows -> (ntiles, P) u/v.
+
+    G (usually 8) tiles per grid step so every operand crosses the Pallas
+    boundary as a natural (8, 128)-tiled block; (1, P) rows force a
+    degenerate T(1,128) layout on the producing XLA fusions."""
+    ntiles, P = x_t.shape
+    G = GROUP
+    ng = pl.cdiv(ntiles, G)
+    pad = ng * G - ntiles
+    if pad:
+        x_t = jnp.pad(x_t, ((0, pad), (0, 0)))
+        y_t = jnp.pad(y_t, ((0, pad), (0, 0)))
+        idx_t = jnp.pad(idx_t, ((0, pad), (0, 0)))
+        m0s = jnp.pad(m0s, (0, pad))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ntiles,),
+        grid=(ng,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                 # mats
-            pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, G, P), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, G, P), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, G, P), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, N_PARAMS), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, G, P), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, G, P), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, G, P), lambda i, *_: (i, 0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((win_m, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((G, win_m, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((G,)),
         ],
     )
-    shape = jax.ShapeDtypeStruct((ntiles, 1, P), jnp.float32)
-    return pl.pallas_call(
-        functools.partial(_coords_kernel, cfg, win_m),
+    shape = jax.ShapeDtypeStruct((ng, G, P), jnp.float32)
+    u, v, valid = pl.pallas_call(
+        functools.partial(_coords_kernel, cfg, win_m, G),
         out_shape=(shape, shape, shape),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(m0s, mats, x_t, y_t, idx_t, params)
+    )(m0s, mats, x_t.reshape(ng, G, P), y_t.reshape(ng, G, P),
+      idx_t.reshape(ng, G, P), params)
+    u = u.reshape(ng * G, P)
+    v = v.reshape(ng * G, P)
+    valid = valid.reshape(ng * G, P)
+    if pad:
+        u, v, valid = u[:ntiles], v[:ntiles], valid[:ntiles]
+    return u, v, valid
 
 
 def plan_matrix_windows(idx_t, win_m: int, matrix_count: int):
     """Per-tile matrix window origin from RS indices; returns (m0s, overflow).
 
-    Origins are 8-aligned (sublane-axis DMA slices on the (Mpad, 16) layout)."""
-    imin = idx_t.min(axis=(1, 2))
-    imax = idx_t.max(axis=(1, 2))
+    idx_t: (ntiles, P). Origins are 8-aligned (sublane-axis DMA slices on the
+    (Mpad, 128) layout)."""
+    imin = idx_t.min(axis=1)
+    imax = idx_t.max(axis=1)
     m0 = (imin // SUBLANE) * SUBLANE
     m0 = jnp.clip(m0, 0, max(matrix_count - win_m, 0))
     overflow = ((imax - m0) >= win_m).any()
@@ -152,9 +183,9 @@ def plan_matrix_windows(idx_t, win_m: int, matrix_count: int):
 
 def project_tiles(cfg: KernelConfig, dyn: KernelDynamics, matrices,
                   x_t, y_t, idx_t, win_m: int = 64):
-    """Tile-flattened (ntiles,1,P) positions+indices -> (u, v, valid, overflow).
+    """Tile-flattened (ntiles, P) positions+indices -> (u, v, valid, overflow).
 
-    Matrices ship as (Mpad, 16): matrix index on the sublane axis, so the
+    Matrices ship as (Mpad, 128): matrix index on the sublane axis, so the
     per-tile window DMA is an 8-aligned sublane slice and the one-hot
     contraction runs at K=win_m (64 by default vs the 256 a lane-aligned
     window would force)."""

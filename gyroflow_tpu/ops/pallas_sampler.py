@@ -185,46 +185,73 @@ def _dot2_onehot(a, b01):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _sampler_kernel(spec: SamplerSpec,
+GROUP = 8   # output tiles per grid step (the (GROUP, P) block tiles natively)
+
+
+def _group_size(spec: SamplerSpec, nchan: int) -> int:
+    """Tiles per grid step, bounded by a VMEM budget for the windows."""
+    budget = 6 * 1024 * 1024
+    per = nchan * spec.win_h * spec.win_w * 4
+    return max(1, min(GROUP, budget // max(per, 1)))
+
+
+def _sampler_kernel(spec: SamplerSpec, G: int,
                     y0_ref, x0_ref, xoff_ref,  # scalar prefetch (ntiles,)
                     img_ref,                   # ANY (HBM): (C, H, W)
-                    u_ref, v_ref,              # VMEM (1, P) — tile-flattened
+                    u_ref, v_ref,              # VMEM (1, G, P)
                     bg_ref,                    # SMEM (1, C)
-                    out_ref,                   # VMEM (1, C, P)
-                    win_ref, sem):             # scratch: (C, Sr, Sc) + DMA sem
+                    out_ref,                   # VMEM (C, 1, G, P)
+                    win_ref, sems):            # scratch: (G, C, Sr, Sc) + G sems
     Sr, Sc = spec.win_h, spec.win_w
     Kw = spec.kw                     # rolled compute width (== Sc if no roll)
-    nchan = win_ref.shape[0]
+    nchan = win_ref.shape[1]
     taps = spec.taps
     P = spec.tile_h * spec.tile_w
     srx, sry, srw, srh = spec.src_rect
 
-    t_idx = pl.program_id(0)
-    y0 = pl.multiple_of(y0_ref[t_idx], SUBLANE)   # host aligns origins
-    x0 = pl.multiple_of(x0_ref[t_idx], LANE)
-    xoff = pl.multiple_of(xoff_ref[t_idx], SUBLANE)
+    g = pl.program_id(0)
 
-    copy = pltpu.make_async_copy(
-        img_ref.at[:, pl.ds(y0, Sr), pl.ds(x0, Sc)], win_ref, sem)
-    copy.start()
+    def win_dma(j):
+        tile = g * G + j
+        ty0 = pl.multiple_of(y0_ref[tile], SUBLANE)   # host aligns origins
+        tx0 = pl.multiple_of(x0_ref[tile], LANE)
+        return pltpu.make_async_copy(
+            img_ref.at[:, pl.ds(ty0, Sr), pl.ds(tx0, Sc)],
+            win_ref.at[j], sems.at[j])
 
-    # per-pixel quantities live on the LANE axis as (1, P) rows — no reshapes,
-    # broadcasts against (Sc, P)/(Sr, P) iotas are layout-natural for Mosaic
-    u = u_ref[0] - spec.offset
+    for j in range(G):
+        win_dma(j).start()
+
+    # Per-pixel math runs ONCE on the whole (G, P) block — natural (8, 128)
+    # tiling; the per-tile one-hot builds below slice (1, P) rows out of it.
+    u = u_ref[0] - spec.offset        # (G, P)
     v = v_ref[0] - spec.offset
 
     sx0 = jnp.rint(u * INTER_TAB_SIZE).astype(jnp.int32)
     sy0 = jnp.rint(v * INTER_TAB_SIZE).astype(jnp.int32)
-    fx = (sx0 >> INTER_BITS)          # absolute source col of tap 0, (1, P)
+    fx = (sx0 >> INTER_BITS)          # absolute source col of tap 0, (G, P)
     fy = (sy0 >> INTER_BITS)
     phx = sx0 & (INTER_TAB_SIZE - 1)
     phy = sy0 & (INTER_TAB_SIZE - 1)
 
-    wx = _WEIGHT_FNS[spec.interpolation](phx)  # taps x (1, P)
+    wx = _WEIGHT_FNS[spec.interpolation](phx)  # taps x (G, P)
     wy = _WEIGHT_FNS[spec.interpolation](phy)
 
-    fx_rel = fx - x0 - xoff           # xoff == 0 when rolling is disabled
-    fy_rel = fy - y0
+    wxm = []   # x weights with source-rect mask folded in, (G, P) each
+    csum = jnp.zeros_like(u)
+    for t in range(taps):
+        ok = ((fx + t >= srx) & (fx + t < srx + srw)).astype(jnp.float32)
+        w = wx[t] * ok
+        wxm.append(w)
+        csum = csum + w
+    wym = []
+    rsum = jnp.zeros_like(v)
+    for t in range(taps):
+        ok = ((fy + t >= sry) & (fy + t < sry + srh)).astype(jnp.float32)
+        w = wy[t] * ok
+        wym.append(w)
+        rsum = rsum + w
+    bg_weight = 1.0 - rsum * csum     # (G, P)
 
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (Kw, P), 0)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (Sr, P), 0)
@@ -278,76 +305,86 @@ def _sampler_kernel(spec: SamplerSpec,
         Ve = jax.lax.broadcast_in_dim(V, (nb, 8, P), (1, 2)).reshape(S, P)
         return jnp.where(A0, Ue, jnp.where(A1, Ve, 0.0))
 
-    wxm = []   # x weights with source-rect mask folded in, (1, P) each
-    csum = jnp.zeros((1, P), jnp.float32)
-    for t in range(taps):
-        ok = ((fx + t >= srx) & (fx + t < srx + srw)).astype(jnp.float32)
-        w = wx[t] * ok
-        wxm.append(w)
-        csum = csum + w
-    if taps == 8:
-        C = build_onehot8_blocked(Kw, fx_rel, wxm)
-    else:
-        C = build_onehot(col_ids, fx_rel, wxm)
+    for j in range(G):
+        tile = g * G + j
+        y0 = pl.multiple_of(y0_ref[tile], SUBLANE)
+        x0 = pl.multiple_of(x0_ref[tile], LANE)
+        xoff = pl.multiple_of(xoff_ref[tile], SUBLANE)
+        fx_rel = fx[j:j + 1] - x0 - xoff   # xoff == 0 when rolling is disabled
+        fy_rel = fy[j:j + 1] - y0
+        wxm_j = [w[j:j + 1] for w in wxm]
+        wym_j = [w[j:j + 1] for w in wym]
+        if taps == 8:
+            C = build_onehot8_blocked(Kw, fx_rel, wxm_j)
+            R = build_onehot8_blocked(Sr, fy_rel, wym_j)
+        else:
+            C = build_onehot(col_ids, fx_rel, wxm_j)
+            R = build_onehot(row_ids, fy_rel, wym_j)
 
-    wym = []
-    rsum = jnp.zeros((1, P), jnp.float32)
-    for t in range(taps):
-        ok = ((fy + t >= sry) & (fy + t < sry + srh)).astype(jnp.float32)
-        w = wy[t] * ok
-        wym.append(w)
-        rsum = rsum + w
-    if taps == 8:
-        R = build_onehot8_blocked(Sr, fy_rel, wym)
-    else:
-        R = build_onehot(row_ids, fy_rel, wym)
+        win_dma(j).wait()
 
-    copy.wait()
-
-    # All channels share the C/R builds AND one stacked colmix matmul:
-    # win (C, Sr, Sc) viewed as (C*Sr, Sc) puts channels on the M axis, which
-    # is free on the MXU up to 128 rows. The matmul itself runs as 3 bf16
-    # passes (_dot3) for f32-accurate pixels — the MXU's 1-pass default
-    # rounds operands to bf16 (~5/1023 pixel error, fails 10-bit parity).
-    bg_weight = 1.0 - rsum * csum
-    win_all = win_ref[:].reshape(nchan * Sr, Sc)
-    if Kw < Sc:
-        # roll the tile's source band to lane 0 and compute on Kw lanes only
-        win_all = pltpu.roll(win_all, (Sc - xoff) % Sc, 1)[:, :Kw]
-    colmix = _dot3(win_all, C)                       # (C*Sr, P)
-    for ch in range(nchan):
-        sampled = jnp.sum(R * colmix[ch * Sr:(ch + 1) * Sr], axis=0,
-                          keepdims=True)             # (1, P)
-        out_ref[0, ch] = (sampled + bg_weight * bg_ref[0, ch])[0]
+        # All channels share the C/R builds AND one stacked colmix matmul:
+        # win (C, Sr, Sc) viewed as (C*Sr, Sc) puts channels on the M axis,
+        # which is free on the MXU up to 128 rows. The matmul itself runs as
+        # 3 bf16 passes (_dot3) for f32-accurate pixels — the MXU's 1-pass
+        # default rounds operands to bf16 (~5/1023 pixel error, fails parity).
+        win_all = win_ref[j].reshape(nchan * Sr, Sc)
+        if Kw < Sc:
+            # roll the tile's source band to lane 0, compute on Kw lanes only
+            win_all = pltpu.roll(win_all, (Sc - xoff) % Sc, 1)[:, :Kw]
+        colmix = _dot3(win_all, C)                       # (C*Sr, P)
+        bg_w = bg_weight[j:j + 1]
+        for ch in range(nchan):
+            sampled = jnp.sum(R * colmix[ch * Sr:(ch + 1) * Sr], axis=0,
+                              keepdims=True)             # (1, P)
+            out_ref[ch, 0, j] = (sampled + bg_w * bg_ref[0, ch])[0]
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
 def _sample_call(spec: SamplerSpec, img, u_t, v_t, y0s, x0s, xoffs, bg,
                  interpret=False):
+    """Run the grouped sampler. Returns (C, ntiles, P) channel-major output.
+
+    Tiles run G (usually 8) per grid step so every pixel-row operand crosses
+    the Pallas boundary as a natural (8, 128)-tiled (G, P) block — (1, P)
+    rows force a degenerate T(1,128) layout on the producing/consuming XLA
+    fusions (measured ~2x the cost on the coords feed path) — and the G
+    window DMAs prefetch ahead of the per-tile compute."""
     ntiles = u_t.shape[0]
     nchan = img.shape[0]
     P = spec.tile_h * spec.tile_w
+    G = _group_size(spec, nchan)
+    ng = pl.cdiv(ntiles, G)
+    pad = ng * G - ntiles
+    if pad:
+        u_t = jnp.pad(u_t, ((0, pad), (0, 0)))
+        v_t = jnp.pad(v_t, ((0, pad), (0, 0)))
+        y0s = jnp.pad(y0s, (0, pad))
+        x0s = jnp.pad(x0s, (0, pad))
+        xoffs = jnp.pad(xoffs, (0, pad))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(ntiles,),
+        grid=(ng,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                 # img (C, H, W) HBM
-            pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, G, P), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, G, P), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, nchan), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, nchan, P), lambda i, *_: (i, 0, 0)),
+        out_specs=pl.BlockSpec((nchan, 1, G, P), lambda i, *_: (0, i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((nchan, spec.win_h, spec.win_w), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((G, nchan, spec.win_h, spec.win_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((G,)),
         ],
     )
-    return pl.pallas_call(
-        functools.partial(_sampler_kernel, spec),
-        out_shape=jax.ShapeDtypeStruct((ntiles, nchan, P), jnp.float32),
+    out = pl.pallas_call(
+        functools.partial(_sampler_kernel, spec, G),
+        out_shape=jax.ShapeDtypeStruct((nchan, ng, G, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(y0s, x0s, xoffs, img, u_t.reshape(ntiles, 1, P), v_t.reshape(ntiles, 1, P), bg)
+    )(y0s, x0s, xoffs, img, u_t.reshape(ng, G, P), v_t.reshape(ng, G, P), bg)
+    out = out.reshape(nchan, ng * G, P)
+    return out[:, :ntiles] if pad else out
 
 
 def _tileize(spec: SamplerSpec, x):
@@ -457,12 +494,7 @@ def sample_planes(spec: SamplerSpec, imgs, u, v, valid, bg_vec):
     interpret = jax.default_backend() == "cpu"  # Mosaic is TPU-only; tests interpret
     out_t = _sample_call(spec, imgs, _tileize(spec, up), _tileize(spec, vp),
                          y0s, x0s, xoffs, bg, interpret=interpret)
-    ny, nx = spec.grid
-    TH, TW = spec.tile_h, spec.tile_w
-    out = (out_t.reshape(ny, nx, nchan, TH, TW)
-                .transpose(2, 0, 3, 1, 4)
-                .reshape(nchan, ny * TH, nx * TW))
-    return out[:, :spec.out_height, :spec.out_width], overflow
+    return out_untileize_c(spec, out_t), overflow
 
 
 def sample_plane(spec: SamplerSpec, img, u, v, valid, bg_scalar):
@@ -683,12 +715,7 @@ def sample_planes_ewa(spec: SamplerSpec, imgs, u, v, jac, valid, bg_vec,
     interpret = jax.default_backend() == "cpu"
     out_t = _ewa_call(spec, imgs, _tileize(spec, up), _tileize(spec, vp),
                       jac_t, y0s, x0s, pq, bg, interpret=interpret)
-    ny, nx = spec.grid
-    TH, TW = spec.tile_h, spec.tile_w
-    out = (out_t.reshape(ny, nx, nchan, TH, TW)
-                .transpose(2, 0, 3, 1, 4)
-                .reshape(nchan, ny * TH, nx * TW))
-    return out[:, :spec.out_height, :spec.out_width], overflow
+    return out_untileize_c(spec, jnp.moveaxis(out_t, 1, 0)), overflow
 
 
 # ---------------------------------------------------------------------------
@@ -743,7 +770,7 @@ def _guard_uv(a):
 
 
 def sample_planes_t(spec: SamplerSpec, imgs, u_t, v_t, valid_t, bg_vec):
-    """Tiled separable sampling: u_t/v_t/valid_t (ntiles, P) -> (ntiles, C, P)."""
+    """Tiled separable sampling: u_t/v_t/valid_t (ntiles, P) -> (C, ntiles, P)."""
     imgs = _pad_imgs(spec, imgs)
     u_t = _guard_uv(u_t)
     v_t = _guard_uv(v_t)
@@ -757,7 +784,7 @@ def sample_planes_t(spec: SamplerSpec, imgs, u_t, v_t, valid_t, bg_vec):
 
 def sample_planes_ewa_t(spec: SamplerSpec, imgs, u_t, v_t, jac_t, valid_t,
                         bg_vec, pq_coeffs):
-    """Tiled EWA sampling: jac_t (ntiles, P, 4) -> (ntiles, C, P)."""
+    """Tiled EWA sampling: jac_t (ntiles, P, 4) -> (C, ntiles, P)."""
     imgs = _pad_imgs(spec, imgs)
     u_t = _guard_uv(u_t)
     v_t = _guard_uv(v_t)
@@ -773,16 +800,16 @@ def sample_planes_ewa_t(spec: SamplerSpec, imgs, u_t, v_t, jac_t, valid_t,
     out_t = _ewa_call(spec, imgs, u_t.reshape(ntiles, 1, P),
                       v_t.reshape(ntiles, 1, P), jac4, y0s, x0s, pq, bg,
                       interpret=interpret)
-    return out_t, overflow
+    return jnp.moveaxis(out_t, 1, 0), overflow   # (C, ntiles, P)
 
 
 def out_untileize_c(spec: SamplerSpec, out_t):
-    """(ntiles, C, P) -> (C, OH, OW) (cropped)."""
+    """(C, ntiles, P) -> (C, OH, OW) (cropped)."""
     ny, nx = spec.grid
     TH, TW = spec.tile_h, spec.tile_w
-    nchan = out_t.shape[1]
-    out = (out_t.reshape(ny, nx, nchan, TH, TW)
-                .transpose(2, 0, 3, 1, 4)
+    nchan = out_t.shape[0]
+    out = (out_t.reshape(nchan, ny, nx, TH, TW)
+                .transpose(0, 1, 3, 2, 4)
                 .reshape(nchan, ny * TH, nx * TW))
     return out[:, :spec.out_height, :spec.out_width]
 

@@ -684,28 +684,25 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         # output hurt Mosaic's pipelining more than the saved XLA passes).
         from . import pallas_coords as pc
         x, y, idx, _probe = coords_pre(out_pos, matrices, cfg, dyn, out_c, out_f)
-        ntiles = x.shape[0]
         # matrix window scales with the sampler ladder: small for the rolled
         # fast path, generous for the full-width fallback configs
-        u_t, v_t, valid_t, coords_overflow = pc.project_tiles(
-            cfg, dyn, matrices, x.reshape(ntiles, 1, P),
-            y.reshape(ntiles, 1, P), idx.reshape(ntiles, 1, P),
-            win_m=64 if win_k else 256)
-        u = u_t.reshape(ntiles, P)
-        v = v_t.reshape(ntiles, P)
-        valid = valid_t.reshape(ntiles, P) > 0.5
-        uv, valid = coords_post(u, v, valid, cfg)
+        u, v, valid_t, coords_overflow = pc.project_tiles(
+            cfg, dyn, matrices, x, y, idx, win_m=64 if win_k else 256)
+        valid = valid_t > 0.5
+        u, v = coords_post_uv(u, v, cfg)
     else:
         # single-matrix, or mesh/FPD (XLA coords incl. one-hot mesh eval +
         # per-pixel RS matrix gather)
-        uv, valid = undistort_coord(out_pos, matrices, cfg, dyn, out_c, out_f,
-                                    mesh=mesh)
+        uv0, valid = undistort_coord(out_pos, matrices, cfg, dyn, out_c, out_f,
+                                     mesh=mesh)
+        u, v = uv0[..., 0], uv0[..., 1]
     valid = valid & pad_ok
 
     jac = None
     if is_ewa:
         # finite-difference Jacobian, eps=0.01 (cpu_undistort.rs:566-571)
         eps = 0.01
+        uv = jnp.stack([u, v], axis=-1)
         uv_x, _vx = undistort_coord(out_pos + jnp.asarray([eps, 0.0], jnp.float32),
                                     matrices, cfg, dyn, out_c, out_f, mesh=mesh)
         uv_y, _vy = undistort_coord(out_pos + jnp.asarray([0.0, eps], jnp.float32),
@@ -717,21 +714,19 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
 
     imgs = jnp.moveaxis(img, -1, 0)
 
-    def sample_all(uvq):
+    def sample_all(uq, vq):
         if is_ewa:
             out_t, overflow = ps.sample_planes_ewa_t(
-                spec, imgs, uvq[..., 0], uvq[..., 1], jac, valid, bg,
+                spec, imgs, uq, vq, jac, valid, bg,
                 (dyn.ewa_coeffs_p, dyn.ewa_coeffs_q))
         else:
-            out_t, overflow = ps.sample_planes_t(spec, imgs, uvq[..., 0],
-                                                 uvq[..., 1], valid, bg)
+            out_t, overflow = ps.sample_planes_t(spec, imgs, uq, vq, valid, bg)
         return jnp.minimum(out_t, dyn.pixel_value_limit), overflow
 
     if cfg.background_mode == 3:
         fw, fh = float(cfg.width), float(cfg.height)
         widthf, heightf = fw - 1.0, fh - 1.0
         feather = jnp.maximum(dyn.background_margin_feather * heightf, 0.0001)
-        u, v = uv[..., 0], uv[..., 1]
         near_edge = (u > widthf - feather) | (u < feather) | (v > heightf - feather) | (v < feather)
         alpha = jnp.where(
             near_edge,
@@ -742,33 +737,31 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         frame_w, frame_h = (float(cfg.width), float(cfg.height)) if cfg.input_rotation == 0.0 \
             else _rotated_frame_size(cfg)
         srx, sry, srw, srh = cfg.src_rect
-        m1 = jnp.stack([map_coord(u, 0.0, frame_w, float(srx), float(srx + srw)),
-                        map_coord(v, 0.0, frame_h, float(sry), float(sry + srh))], axis=-1)
-        m2 = jnp.stack([map_coord(pt2u, 0.0, frame_w, float(srx), float(srx + srw)),
-                        map_coord(pt2v, 0.0, frame_h, float(sry), float(sry + srh))], axis=-1)
-        c1, ov1 = sample_all(m1)
-        c2, ov2 = sample_all(m2)
-        pixel = c1 * alpha[:, None, :] + c2 * (1.0 - alpha[:, None, :])
+        c1, ov1 = sample_all(map_coord(u, 0.0, frame_w, float(srx), float(srx + srw)),
+                             map_coord(v, 0.0, frame_h, float(sry), float(sry + srh)))
+        c2, ov2 = sample_all(map_coord(pt2u, 0.0, frame_w, float(srx), float(srx + srw)),
+                             map_coord(pt2v, 0.0, frame_h, float(sry), float(sry + srh)))
+        pixel = c1 * alpha[None] + c2 * (1.0 - alpha[None])
         overflow = ov1 | ov2 | coords_overflow
     else:
-        pixel, overflow = sample_all(uv)
+        pixel, overflow = sample_all(u, v)
         overflow = overflow | coords_overflow
 
-    # pixel is (ntiles, C, P); masks are (ntiles, P)
-    bg_c = bg.reshape(1, C, 1)
-    pixel = jnp.where(valid[:, None, :], pixel, bg_c)
+    # pixel is (C, ntiles, P); masks are (ntiles, P)
+    bg_c = bg.reshape(C, 1, 1)
+    pixel = jnp.where(valid[None], pixel, bg_c)
 
     orx, ory, orw, orh = cfg.out_rect
     lx = map_coord(ox, float(orx), float(orx + orw), 0.0, float(cfg.output_width))
     ly = map_coord(oy, float(ory), float(ory + orh), 0.0, float(cfg.output_height))
     in_bounds = (lx >= 0.0) & (ly >= 0.0) & (lx < cfg.output_width) & (ly < cfg.output_height)
-    pixel = jnp.where(in_bounds[:, None, :], pixel, bg_c)
+    pixel = jnp.where(in_bounds[None], pixel, bg_c)
 
     if cfg.has(FIX_COLOR_RANGE):
         pixel = _remap_colorrange_t(pixel, cfg.plane_index == 0, dyn.max_pixel_value)
 
     if drawing is not None and cfg.has(DRAWING_ENABLED):
-        pixel, ov_d = _draw_overlay_tiled(ps, spec, pixel, uv, ox, oy, drawing,
+        pixel, ov_d = _draw_overlay_tiled(ps, spec, pixel, u, v, ox, oy, drawing,
                                           cfg, dyn)
         overflow = overflow | ov_d
 
@@ -791,13 +784,13 @@ def _canvas_fetch_t(ps, canvas_f32, x, y, scale):
                                    jnp.where(inb, xi, 0.0),
                                    jnp.where(inb, yi, 0.0), inb,
                                    jnp.zeros(1))
-    data = jnp.where(inb, out_t[:, 0, :], 0.0)
+    data = jnp.where(inb, out_t[0], 0.0)
     return jnp.rint(data).astype(jnp.int32), ov
 
 
 def _blend_overlay_t(pixel, data, active_extra, dyn):
     """draw_pixel blend (stabilize_spirv/src/drawing.rs:37-49) on tiled
-    (ntiles, C, P) pixels with (ntiles, P) packed canvas bytes. Color table
+    (C, ntiles, P) pixels with (ntiles, P) packed canvas bytes. Color table
     lookups are one-hot selects (gather-free); ALPHAS is arithmetic
     (1 - 0.25·idx)."""
     from ..core.drawing import COLORS
@@ -805,25 +798,24 @@ def _blend_overlay_t(pixel, data, active_extra, dyn):
     alpha_i = (data & 0x06) >> 1
     active = (data > 0) & (color < 9) & active_extra
     alphaf = 1.0 - 0.25 * alpha_i.astype(jnp.float32)
-    C = pixel.shape[1]
+    C = pixel.shape[0]
     colorf = jnp.zeros(pixel.shape, jnp.float32)
     for ci in range(1, 9):
-        sel = (color == ci)[:, None, :]
-        col = jnp.asarray(COLORS[ci][:C], jnp.float32).reshape(1, C, 1)
+        sel = (color == ci)[None]
+        col = jnp.asarray(COLORS[ci][:C], jnp.float32).reshape(C, 1, 1)
         colorf = jnp.where(sel, col, colorf)
     colorf = colorf * dyn.max_pixel_value
-    blended = colorf * alphaf[:, None, :] + pixel * (1.0 - alphaf[:, None, :])
-    return jnp.where(active[:, None, :], blended, pixel)
+    blended = colorf * alphaf[None] + pixel * (1.0 - alphaf[None])
+    return jnp.where(active[None], blended, pixel)
 
 
-def _draw_overlay_tiled(ps, spec, pixel, uv, ox, oy, drawing, cfg, dyn):
+def _draw_overlay_tiled(ps, spec, pixel, u, v, ox, oy, drawing, cfg, dyn):
     """process_final_pixel's drawing stages (spirv drawing.rs:78-99) in the
     tiled Pallas pipeline: canvas fetches ride the sampling kernel."""
     canvas = jnp.asarray(drawing.canvas, jnp.float32)
     scale = jnp.float32(drawing.scale)
     # input stage, gated by source_rect
     srx, sry, srw, srh = cfg.src_rect
-    u, v = uv[..., 0], uv[..., 1]
     src_in = (v >= float(sry)) & (v < float(sry + srh)) & \
              (u >= float(srx)) & (u < float(srx + srw))
     d_in, ov1 = _canvas_fetch_t(ps, canvas, u, v, scale)
@@ -837,12 +829,12 @@ def _draw_overlay_tiled(ps, spec, pixel, uv, ox, oy, drawing, cfg, dyn):
         safe = (ox >= rx) & (ox <= rz) & (oy >= ry) & (oy <= rw)
         border = (ox > rx - 5.0) & (ox < rz + 5.0) & (oy > ry - 5.0) & (oy < rw + 5.0)
         dim = jnp.where(safe, 1.0, jnp.where(border, 0.25, 0.5))
-        pixel = pixel * dim[:, None, :]
+        pixel = pixel * dim[None]
     return pixel, ov1 | ov2
 
 
 def _remap_colorrange_t(px, is_y: bool, max_pixel_value):
-    """_remap_colorrange for (ntiles, C, P) layout."""
+    """_remap_colorrange for (C, ntiles, P) layout."""
     px = px * (0.85882352 if is_y else 0.87843137)
     return px + (16.0 / 255.0) * max_pixel_value
 

@@ -92,7 +92,7 @@ class TestRolledWindow:
         want = remap.sample_input(jnp.asarray(img),
                                   jnp.stack([u_t, v_t], axis=-1),
                                   jnp.zeros(c), cfg, dyn)
-        got = np.asarray(jnp.moveaxis(out_t, 1, -1))
+        got = np.asarray(jnp.moveaxis(out_t, 0, -1))   # (C, nt, P) -> (nt, P, C)
         diff = np.abs(got - np.asarray(want))[np.asarray(valid_t)]
         assert diff.max() < tol, f"rolled vs xla diff {diff.max()}"
 
