@@ -88,9 +88,11 @@ def _coords_kernel(cfg: KernelConfig, win_m: int, G: int,
     dyn_view, lp = _unpack_params(lambda i: par_ref[0, i], cfg)
     rid = jax.lax.broadcasted_iota(jnp.int32, (win_m, P), 0)
 
+    # per-sub-tile matrix gathers (each against its own window), then ONE
+    # rotate_and_distort_core evaluation on the whole (G, P) block — the
+    # core's long dependency chain amortizes over 8 tiles of data
+    m_rows = [[] for _ in range(14)]
     for j in range(G):
-        px = x_ref[0, j:j + 1]
-        py = y_ref[0, j:j + 1]
         idx = idx_ref[0, j:j + 1]
         m0 = pl.multiple_of(m0_ref[g * G + j], SUBLANE)
         win_dma(j).wait()
@@ -107,12 +109,15 @@ def _coords_kernel(cfg: KernelConfig, win_m: int, G: int,
                                      preferred_element_type=jnp.float32)
                  + jax.lax.dot_general(mat_lo, E, dimension_numbers=dn,
                                        preferred_element_type=jnp.float32))
-        m = [m_mat[i:i + 1] for i in range(14)]
+        for i in range(14):
+            m_rows[i].append(m_mat[i:i + 1])
 
-        u, v, valid = rotate_and_distort_core(px, py, m, cfg, dyn_view, lp)
-        u_out[0, j] = u[0]
-        v_out[0, j] = v[0]
-        valid_out[0, j] = valid.astype(jnp.float32)[0]
+    m = [jnp.concatenate(rows, axis=0) for rows in m_rows]      # 14 x (G, P)
+    u, v, valid = rotate_and_distort_core(x_ref[0], y_ref[0], m, cfg,
+                                          dyn_view, lp)
+    u_out[0] = u
+    v_out[0] = v
+    valid_out[0] = valid.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "win_m", "interpret"))
