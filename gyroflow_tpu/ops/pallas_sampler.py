@@ -305,6 +305,7 @@ def _sampler_kernel(spec: SamplerSpec, G: int,
         Ve = jax.lax.broadcast_in_dim(V, (nb, 8, P), (1, 2)).reshape(S, P)
         return jnp.where(A0, Ue, jnp.where(A1, Ve, 0.0))
 
+    sampled_rows = [[] for _ in range(nchan)]
     for j in range(G):
         tile = g * G + j
         y0 = pl.multiple_of(y0_ref[tile], SUBLANE)
@@ -333,11 +334,15 @@ def _sampler_kernel(spec: SamplerSpec, G: int,
             # roll the tile's source band to lane 0, compute on Kw lanes only
             win_all = pltpu.roll(win_all, (Sc - xoff) % Sc, 1)[:, :Kw]
         colmix = _dot3(win_all, C)                       # (C*Sr, P)
-        bg_w = bg_weight[j:j + 1]
         for ch in range(nchan):
-            sampled = jnp.sum(R * colmix[ch * Sr:(ch + 1) * Sr], axis=0,
-                              keepdims=True)             # (1, P)
-            out_ref[ch, 0, j] = (sampled + bg_w * bg_ref[0, ch])[0]
+            sampled_rows[ch].append(
+                jnp.sum(R * colmix[ch * Sr:(ch + 1) * Sr], axis=0,
+                        keepdims=True))                  # (1, P)
+
+    # background blend + output write once per group on (G, P) blocks
+    for ch in range(nchan):
+        s_all = jnp.concatenate(sampled_rows[ch], axis=0)     # (G, P)
+        out_ref[ch, 0] = s_all + bg_weight * bg_ref[0, ch]
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
