@@ -37,10 +37,13 @@ def parse_telemetry_file(path: str, options: Optional[dict] = None,
                 raise TelemetryError(
                     f"{os.path.basename(path)} is neither a binary nor a CSV "
                     f"blackbox log: {e}")
-    if ext in (".mp4", ".mov", ".360", ".insv"):
+    if ext in (".mp4", ".mov", ".360", ".insv", ".insp"):
         from .camm import parse_camm_mp4
         from .gpmf import has_gpmf, parse_gpmf_mp4
+        from .insta360 import has_insv_trailer, parse_insv
         from .sony import has_sony_rtmd, parse_sony_mp4
+        if has_insv_trailer(path):
+            return parse_insv(path, fps=fps, progress_cb=progress_cb)
         if has_gpmf(path):
             return parse_gpmf_mp4(path, progress_cb=progress_cb)
         if has_sony_rtmd(path):
@@ -50,6 +53,6 @@ def parse_telemetry_file(path: str, options: Optional[dict] = None,
             return parse_camm_mp4(path, progress_cb=progress_cb)
         except TelemetryError:
             raise TelemetryError(
-                f"no telemetry track (GPMF/CAMM/RTMD) in {os.path.basename(path)}")
+                f"no telemetry track (GPMF/CAMM/RTMD/insv) in {os.path.basename(path)}")
     raise TelemetryError(f"Unsupported telemetry format: {ext} "
                          f"(supported: .gcsv, .csv, blackbox csv, GPMF .mp4/.mov)")
