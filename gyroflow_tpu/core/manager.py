@@ -37,6 +37,10 @@ class StabilizationManager:
         self._win_cache: Dict[object, tuple] = {}    # cfg -> sampler window size
         self.current_compute_id = 0
         self._recompute_thread = None
+        # production-surface counters (VERDICT r1 weak #7): a render that
+        # trips the ~40x-slower XLA fallback must show it in stats, not just
+        # in a log line
+        self.stats = {"xla_fallbacks": 0, "window_reprobes": 0}
 
     # ---- loading (lib.rs:155-354, 1909-1976) -------------------------------
 
@@ -396,14 +400,24 @@ class StabilizationManager:
             # Rolled (win_h, win_w, win_k, tile_w) configs first — win_k=128
             # runs the colmix in a single MXU K-pass after an in-kernel lane
             # roll; classic full-width windows cover stronger zoom-out.
+            backend = "pallas-tpu"
             wkey = (cfg, img.shape)
             win = self._win_cache.get(wkey)
+            out = None
             if win is not None:
-                out, _ov = remap.remap_plane_pallas_jit(
+                out, ov = remap.remap_plane_pallas_jit(
                     img, mats, cfg, dyn, mesh, win_h=win[0], win_w=win[1],
                     win_k=win[2], tile_w=win[3], drawing=drawing)
-            else:
-                out = None
+                if bool(ov):
+                    # geometry changed since the probe (zoom/fov keyframes):
+                    # the cached window no longer covers some tile — re-probe
+                    # rather than ship silently-corrupt tiles
+                    log.info("cached sampler window overflowed; re-probing")
+                    self.stats["window_reprobes"] += 1
+                    del self._win_cache[wkey]
+                    win = None
+                    out = None
+            if win is None:
                 for cand in ((24, 256, 128, 96), (32, 256, 128, 96),
                              (40, 256, 128, 96), (48, 256, 128, 96),
                              (32, 256, 0, 128), (40, 384, 0, 128),
@@ -417,16 +431,19 @@ class StabilizationManager:
                         break
                 else:
                     log.warning("all sampler windows overflow; using XLA path")
+                    self.stats["xla_fallbacks"] += 1
+                    backend = "xla-fallback"
                     out = remap.remap_plane_jit(img, mats, cfg, dyn, mesh,
                                                 drawing=drawing)
-            backend = "pallas-tpu"
         else:
             out = remap.remap_plane_jit(img, mats, cfg, dyn, mesh, drawing=drawing)
             backend = "xla"
         if to_u8:
             out = remap.to_uint8_jit(out)
         info = {"fov": ft.fov, "minimal_fov": ft.minimal_fov,
-                "focal_length": ft.focal_length, "backend": backend}
+                "focal_length": ft.focal_length, "backend": backend,
+                "xla_fallbacks": self.stats["xla_fallbacks"],
+                "window_reprobes": self.stats["window_reprobes"]}
         return out, info
 
     # ---- misc --------------------------------------------------------------

@@ -274,6 +274,15 @@ def render(mgr, input_path: str, output_path: str,
              "backend": "pallas-tpu" if use_pallas else "xla",
              "pix_fmt": getattr(out_fmt, "name", "rgb24"),
              "fps": round(frames_done / wall, 2) if wall > 0 else 0.0}
+    # surface slow-path trips (manager counts them; a render that silently
+    # ran the ~40x-slower XLA fallback must say so in its stats)
+    mstats = getattr(mgr, "stats", None)
+    if mstats and (mstats.get("xla_fallbacks") or mstats.get("window_reprobes")):
+        stats["xla_fallbacks"] = mstats.get("xla_fallbacks", 0)
+        stats["window_reprobes"] = mstats.get("window_reprobes", 0)
+        if mstats.get("xla_fallbacks"):
+            log.warning("%d frame plane(s) rendered via the slow XLA fallback",
+                        mstats["xla_fallbacks"])
     if options.trace:
         # per-stage timing summary (SURVEY §5: structured per-stage timing +
         # the frames/sec north-star counter)

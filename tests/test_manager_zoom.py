@@ -131,3 +131,52 @@ class TestMaxZoom:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestFallbackSurfacing:
+    """VERDICT r1 weak #7: slow-path trips must be counted and surfaced."""
+
+    def test_xla_fallback_counted(self, manager, monkeypatch):
+        import numpy as np
+        from gyroflow_tpu.ops import remap
+        m = manager.get_cloned()
+        m.recompute_blocking()
+
+        def always_overflow(img, mats, cfg, dyn, mesh=None, **kw):
+            oh, ow = cfg.out_buffer[1], cfg.out_buffer[0]
+            import jax.numpy as jnp
+            return jnp.zeros((oh, ow, img.shape[-1])), jnp.asarray(True)
+
+        monkeypatch.setattr(remap, "remap_plane_pallas_jit", always_overflow)
+        img = np.random.default_rng(0).uniform(0, 255, (H, W, 1)).astype(np.float32)
+        out, info = m.process_pixels(500_000, img, interpolation=2, use_pallas=True)
+        assert info["backend"] == "xla-fallback"
+        assert info["xla_fallbacks"] == 1
+        assert out.shape[-1] == 1
+
+    def test_cached_window_overflow_reprobes(self, manager, monkeypatch):
+        import numpy as np
+        from gyroflow_tpu.ops import remap
+        m = manager.get_cloned()
+        m.recompute_blocking()
+        img = np.random.default_rng(0).uniform(0, 255, (H, W, 1)).astype(np.float32)
+        # prime the window cache with the real path
+        out, info = m.process_pixels(500_000, img, interpolation=2, use_pallas=True)
+        assert info["backend"] == "pallas-tpu"
+        assert len(m._win_cache) == 1
+
+        real = remap.remap_plane_pallas_jit
+        calls = {"n": 0}
+
+        def overflow_once(img, mats, cfg, dyn, mesh=None, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:   # the cached-window attempt overflows
+                import jax.numpy as jnp
+                oh, ow = cfg.out_buffer[1], cfg.out_buffer[0]
+                return jnp.zeros((oh, ow, img.shape[-1])), jnp.asarray(True)
+            return real(img, mats, cfg, dyn, mesh=mesh, **kw)
+
+        monkeypatch.setattr(remap, "remap_plane_pallas_jit", overflow_once)
+        out, info = m.process_pixels(500_000, img, interpolation=2, use_pallas=True)
+        assert info["window_reprobes"] == 1
+        assert info["backend"] == "pallas-tpu"   # ladder re-probe succeeded
