@@ -49,7 +49,9 @@ def make_frame_mesh(n_devices: Optional[int] = None, sp: int = 1) -> Mesh:
 
 def stabilize_window_sharded(mesh: Mesh, imgs, matrices, cfg: KernelConfig,
                              dyns: KernelDynamics, win_h: int = 64,
-                             win_w: int = 512, use_pallas: bool = True):
+                             win_w: int = 512, use_pallas: bool = True,
+                             win_k: int = 0, tile_w: int = 128,
+                             tile_h: int = 8):
     """Frame-window DP across chips (+ output-row sharding on 'sp').
 
     imgs (F,H,W,C) split over 'dp' (replicated over 'sp'); each device runs
@@ -87,6 +89,7 @@ def stabilize_window_sharded(mesh: Mesh, imgs, matrices, cfg: KernelConfig,
             if use_pallas:
                 out, ov = remap.remap_plane_pallas(
                     imgs_l[i], mats_l[i], cfg, dyn_i, win_h=win_h, win_w=win_w,
+                    win_k=win_k, tile_w=tile_w, tile_h=tile_h,
                     out_rows=rows_local, oy0=oy0)
             else:
                 full = remap.remap_plane(imgs_l[i], mats_l[i], cfg, dyn_i)

@@ -97,3 +97,20 @@ def test_row_band_offset_assembles():
         bands.append(np.asarray(band))
     np.testing.assert_allclose(np.concatenate(bands, axis=0), np.asarray(full),
                                atol=1e-5)
+
+
+def test_sharded_rolled_window_matches_single_device():
+    """Rolled (win_k < win_w) sharded path == single-device rolled path."""
+    imgs, matss, cfg, dyns = _make_window(W=384, H=64)
+    F = imgs.shape[0]
+    mesh = make_frame_mesh(8, sp=2)
+    kw = dict(win_h=48, win_w=256, win_k=128, tile_w=96, tile_h=16)
+    out, overflow = stabilize_window_sharded(mesh, imgs, matss, cfg, dyns, **kw)
+    assert not bool(jnp.any(overflow))
+    for i in range(F):
+        dyn_i = jax.tree.map(lambda x: x[i], dyns)
+        want, ov = remap.remap_plane_pallas_jit(imgs[i], matss[i], cfg, dyn_i,
+                                                **kw)
+        assert not bool(ov)
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(want),
+                                   atol=2e-2)
