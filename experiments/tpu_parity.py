@@ -57,6 +57,34 @@ def main():
         ok &= line_ok
         print(f"{name:12s} win={win}  max pixel diff = {diff:.4f}  "
               f"{'OK' if line_ok else 'FAIL'}")
+
+    # EWA elliptical kernel (interpolation 11 = RobidouxSharp): single matrix,
+    # grouped Pallas kernel vs the XLA gather path
+    W, H = 1920, 1080
+    f = (W * 0.62, W * 0.62)
+    cfg = KernelConfig(width=W, height=H, output_width=W, output_height=H,
+                       interpolation=11, distortion_model="opencv_fisheye",
+                       flags=FIX_COLOR_RANGE)
+    from gyroflow_tpu.ops.remap import ewa_coeffs
+    pw, qw = ewa_coeffs(11)
+    dyn = KernelDynamics.make(f=f, c=(W / 2, H / 2), k=[0.25, -0.07, 0.02, -0.003],
+                              fov=0.92, max_pixel_value=1023.0,
+                              pixel_value_limit=1023.0, background=(0, 0, 0, 1),
+                              ewa_coeffs_p=pw, ewa_coeffs_q=qw)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    base = (np.sin(xx * 0.013) * np.cos(yy * 0.011) * 0.5 + 0.5) * 1023.0
+    img = jnp.asarray(base[..., None] + rng.uniform(0, 0.5, (H, W, 1)).astype(np.float32))
+    mats = jnp.asarray(make_matrices(W, H, f, 0.92, 1))
+    got, ov = remap.remap_plane_pallas_jit(img, mats, cfg, dyn, None,
+                                           win_h=48, win_w=384, tile_w=128)
+    assert not bool(ov), "EWA: window overflow"
+    want = remap.remap_plane_jit(img, mats, cfg, dyn)
+    diff = float(jnp.max(jnp.abs(got - want)))
+    line_ok = diff < 0.25
+    ok &= line_ok
+    print(f"{'EWA-11':12s} win=(48, 384)  max pixel diff = {diff:.4f}  "
+          f"{'OK' if line_ok else 'FAIL'}")
+
     print("TPU parity:", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 
