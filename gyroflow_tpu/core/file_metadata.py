@@ -56,6 +56,7 @@ class FileMetadata:
     image_orientations: Optional[TimeQuat] = None
     detected_source: Optional[str] = None
     frame_readout_time: Optional[float] = None
+    frame_readout_direction: Optional[object] = None   # ReadoutDirection
     frame_rate: Optional[float] = None
     lens_profile: Optional[object] = None          # dict or profile name
     lens_positions: Dict[int, float] = field(default_factory=dict)

@@ -62,6 +62,7 @@ class StabilizationManager:
         from .telemetry import parse_telemetry_file
         fm = parse_telemetry_file(path, size=self.params.size, fps=self.params.fps,
                                   progress_cb=progress_cb)
+        self._apply_camera_quirks(fm)
         if fm.imu_orientation:
             self.gyro.imu_transforms.imu_orientation = fm.imu_orientation
         if fm.frame_readout_time is not None and self.params.frame_readout_time == 0.0:
@@ -76,6 +77,35 @@ class StabilizationManager:
         self.keyframes.update_gyro(self.gyro)
         self._try_lens_autoload(fm)
         self.invalidate()
+
+    def _apply_camera_quirks(self, fm):
+        """Per-camera load quirks (lib.rs:234-252).
+
+        The parsed readout direction flows into params; Blackmagic clips
+        recorded rotated 90/180/270 switch the rolling-shutter readout
+        direction and the IMU orientation string (the sensor scans its long
+        axis regardless of the mounted orientation)."""
+        if fm.frame_readout_direction is not None:
+            self.params.frame_readout_direction = ReadoutDirection.from_any(
+                fm.frame_readout_direction)
+        src = fm.detected_source or ""
+        if src.startswith("Blackmagic "):
+            rot = fm.additional_data.get("rotation")
+            try:
+                rot = int(rot) if rot is not None else None
+            except (TypeError, ValueError):
+                rot = None
+            if rot in (90, 270):
+                log.info("Using horizontal rolling shutter correction")
+                if rot == 90:
+                    self.params.frame_readout_direction = ReadoutDirection.RightToLeft
+                    fm.imu_orientation = "xYz"
+                else:
+                    self.params.frame_readout_direction = ReadoutDirection.LeftToRight
+                    fm.imu_orientation = "Xyz"
+            elif rot == 180:
+                self.params.frame_readout_direction = ReadoutDirection.BottomToTop
+                fm.imu_orientation = "YXz"
 
     def _try_lens_autoload(self, fm):
         """Lens autoload by camera identifier (lib.rs:1929-1956)."""

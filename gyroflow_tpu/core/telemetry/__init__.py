@@ -37,7 +37,20 @@ def parse_telemetry_file(path: str, options: Optional[dict] = None,
                 raise TelemetryError(
                     f"{os.path.basename(path)} is neither a binary nor a CSV "
                     f"blackbox log: {e}")
+    if ext == ".braw":
+        from .blackmagic import parse_braw
+        try:
+            return parse_braw(path, fps=fps, progress_cb=progress_cb)
+        except ValueError as e:
+            raise TelemetryError(str(e))
+    if ext == ".r3d":
+        from .red import parse_r3d
+        try:
+            return parse_r3d(path, fps=fps, progress_cb=progress_cb)
+        except ValueError as e:
+            raise TelemetryError(str(e))
     if ext in (".mp4", ".mov", ".360", ".insv", ".insp"):
+        from .blackmagic import has_braw, parse_braw
         from .camm import parse_camm_mp4
         from .gpmf import has_gpmf, parse_gpmf_mp4
         from .insta360 import has_insv_trailer, parse_insv
@@ -49,10 +62,13 @@ def parse_telemetry_file(path: str, options: Optional[dict] = None,
         if has_sony_rtmd(path):
             return parse_sony_mp4(path, fps=fps, size=size,
                                   progress_cb=progress_cb)
+        if has_braw(path):
+            return parse_braw(path, fps=fps, progress_cb=progress_cb)
         try:
             return parse_camm_mp4(path, progress_cb=progress_cb)
         except TelemetryError:
             raise TelemetryError(
                 f"no telemetry track (GPMF/CAMM/RTMD/insv) in {os.path.basename(path)}")
     raise TelemetryError(f"Unsupported telemetry format: {ext} "
-                         f"(supported: .gcsv, .csv, blackbox csv, GPMF .mp4/.mov)")
+                         f"(supported: .gcsv, .csv, blackbox, GPMF/CAMM/RTMD "
+                         f"MP4, .insv, .braw, .r3d)")

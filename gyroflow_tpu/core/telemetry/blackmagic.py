@@ -1,0 +1,273 @@
+"""Blackmagic RAW (.braw) telemetry parser.
+
+The reference delegates BRAW parsing to the external `telemetry-parser`
+crate (src/core/Cargo.toml:14) and applies the Blackmagic-specific quirks at
+/root/reference/src/core/lib.rs:235-252 (clip `rotation` 90/180/270 switches
+the rolling-shutter readout direction and the IMU orientation string).
+
+BRAW is an ISO-BMFF (QuickTime-style) container — `ftyp` major brand `braw`.
+This parser reads only standard, publicly documented container mechanisms:
+
+* Clip-level metadata: the QuickTime metadata box (`moov/meta` with an
+  `mdta` handler): `keys` (1-based table of reverse-DNS key strings) +
+  `ilst` (values as `data` atoms with a well-known type indicator:
+  1 = UTF-8, 23 = f32be, 22/21 = be ints; Apple QuickTime File Format spec,
+  "Metadata"). Blackmagic stores clip attributes this way (exiftool's
+  QuickTime Keys handling reads the same atoms). Relevant keys:
+  `rotation` / `camera_type` / `firmware_version` / `sensor_rate`.
+* Per-frame motion data: a timed-metadata track (`meta` handler) whose
+  samples we decode in two layouts:
+    - `mebx` boxed metadata (ISO 14496-12 §8.10 + Apple timed metadata):
+      each sample is a sequence of [u32 size][u32 local_key] records; the
+      local-key → key-string table comes from the `mebx` sample entry's
+      `keys` box in `stsd`.
+    - bare fourcc atoms embedded in the sample payload ([u32 size][4cc]
+      records with `gyro` / `accl` payloads of f32be xyz triplets).
+  Keys containing "gyro" are interpreted as rad/s xyz samples; keys
+  containing "accel" as g xyz samples (the Blackmagic RAW SDK exposes
+  frame attributes named `motion_sensor_gyroscope_*_radians_per_second` /
+  `motion_sensor_accelerometer_*_g`).
+
+Real BRAW clips carry the motion data in the vendor frame blocks the SDK
+decodes; the layouts above are the container-standard ways the same data
+appears and are what this offline-only build can decode without the
+proprietary SDK. Clips whose motion records aren't found still parse:
+rotation + identification flow through so the lib.rs:235-252 readout quirks
+apply, and the user can supply motion via gcsv/blackbox like the reference's
+"external source" path.
+"""
+from __future__ import annotations
+
+import logging
+import math
+import os
+import struct
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..file_metadata import FileMetadata, TimeIMU
+from .mp4 import Track, _boxes, parse_tracks
+
+log = logging.getLogger(__name__)
+
+RAD2DEG = 180.0 / math.pi
+G_TO_MS2 = 9.80665
+
+
+def _read_top_level(path: str) -> Dict[bytes, Tuple[int, int]]:
+    """Top-level box index {type: (payload_offset, payload_end)} via seeks."""
+    out = {}
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        pos = 0
+        while pos + 8 <= size:
+            f.seek(pos)
+            hdr = f.read(16)
+            if len(hdr) < 8:
+                break
+            bsize, typ = struct.unpack_from(">I4s", hdr, 0)
+            hlen = 8
+            if bsize == 1 and len(hdr) >= 16:
+                bsize = struct.unpack_from(">Q", hdr, 8)[0]
+                hlen = 16
+            elif bsize == 0:
+                bsize = size - pos
+            if bsize < hlen or pos + bsize > size:
+                break
+            out.setdefault(typ, (pos + hlen, pos + bsize))
+            pos += bsize
+    return out
+
+
+def has_braw(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            head = f.read(32)
+    except OSError:
+        return False
+    if len(head) < 12 or head[4:8] != b"ftyp":
+        return False
+    return b"braw" in head[8:32].lower()
+
+
+def _parse_keys_ilst(buf: bytes, start: int, end: int) -> Dict[str, object]:
+    """QuickTime `meta` (mdta) payload -> {key: value}."""
+    keys: List[str] = []
+    values: Dict[int, object] = {}
+    # ISO `meta` is a fullbox (4 bytes version/flags before the child boxes),
+    # classic QuickTime `meta` is a plain box — probe both layouts
+    for base in (start + 4, start):
+        found = False
+        for typ, b, e in _boxes(buf, base, end):
+            if typ == b"keys":
+                found = True
+                cnt = struct.unpack_from(">I", buf, b + 4)[0]
+                pos = b + 8
+                for _ in range(cnt):
+                    if pos + 8 > e:
+                        break
+                    ksize, ns = struct.unpack_from(">I4s", buf, pos)
+                    if ksize < 8 or pos + ksize > e:
+                        break
+                    keys.append(buf[pos + 8:pos + ksize].decode("utf-8", "replace"))
+                    pos += ksize
+            elif typ == b"ilst":
+                found = True
+                for isz_pos in _boxes(buf, b, e):
+                    idx_bytes, ib, ie = isz_pos
+                    idx = struct.unpack(">I", idx_bytes)[0] if len(idx_bytes) == 4 \
+                        else int.from_bytes(idx_bytes, "big")
+                    for t2, b2, e2 in _boxes(buf, ib, ie):
+                        if t2 != b"data" or e2 - b2 < 8:
+                            continue
+                        dtype = struct.unpack_from(">I", buf, b2)[0]
+                        payload = buf[b2 + 8:e2]
+                        if dtype == 1:
+                            values[idx] = payload.decode("utf-8", "replace")
+                        elif dtype == 23 and len(payload) >= 4:
+                            values[idx] = struct.unpack(">f", payload[:4])[0]
+                        elif dtype in (21, 22) and payload:
+                            values[idx] = int.from_bytes(
+                                payload, "big", signed=(dtype == 21))
+                        else:
+                            values[idx] = payload
+        if found:
+            break
+    return {keys[i - 1]: v for i, v in values.items() if 1 <= i <= len(keys)}
+
+
+def _mebx_key_table(buf: bytes, moov_b: int, moov_e: int) -> Dict[int, str]:
+    """local_key_id -> key string from the mebx sample entry in stsd."""
+    table: Dict[int, str] = {}
+
+    def walk(s, e):
+        for typ, b, eb in _boxes(buf, s, e):
+            if typ in (b"trak", b"mdia", b"minf", b"stbl"):
+                walk(b, eb)
+            elif typ == b"stsd":
+                for t2, b2, e2 in _boxes(buf, b + 8, eb):
+                    if t2 != b"mebx":
+                        continue
+                    # sample entry: 6 bytes reserved + 2 bytes data_ref index
+                    for t3, b3, e3 in _boxes(buf, b2 + 8, e2):
+                        if t3 != b"keys":
+                            continue
+                        for t4, b4, e4 in _boxes(buf, b3, e3):
+                            # each child: key declaration box; type is the
+                            # big-endian local id, payload holds a keyd box
+                            local_id = int.from_bytes(t4, "big")
+                            for t5, b5, e5 in _boxes(buf, b4, e4):
+                                if t5 == b"keyd":
+                                    # u32 namespace + key string
+                                    table[local_id] = buf[b5 + 4:e5].decode(
+                                        "utf-8", "replace").rstrip("\x00")
+    for typ, b, e in _boxes(buf, moov_b, moov_e):
+        if typ == b"trak":
+            walk(b, e)
+    return table
+
+
+def _decode_motion_sample(data: bytes, key_table: Dict[int, str]):
+    """One timed-metadata sample -> {'gyro': (N,3), 'accel': (N,3)} arrays."""
+    out: Dict[str, np.ndarray] = {}
+    pos = 0
+    while pos + 8 <= len(data):
+        size, raw_key = struct.unpack_from(">I4s", data, pos)
+        if size < 8 or pos + size > len(data):
+            break
+        payload = data[pos + 8:pos + size]
+        local_id = int.from_bytes(raw_key, "big")
+        key = key_table.get(local_id, raw_key.decode("latin-1", "replace")).lower()
+        kind = None
+        if "gyro" in key:
+            kind = "gyro"
+        elif "accel" in key or key.strip() == "accl":
+            kind = "accel"
+        if kind and len(payload) >= 12:
+            n = len(payload) // 4
+            vals = np.asarray(struct.unpack(f">{n}f", payload[:n * 4]), np.float64)
+            vals = vals[:(n // 3) * 3].reshape(-1, 3)
+            out[kind] = np.concatenate([out[kind], vals]) if kind in out else vals
+        pos += size
+    return out
+
+
+def parse_braw(path: str, fps: float = 0.0,
+               progress_cb: Optional[Callable[[float], None]] = None) -> FileMetadata:
+    md = FileMetadata()
+    top = _read_top_level(path)
+    if b"moov" not in top:
+        raise ValueError(f"{os.path.basename(path)}: no moov box")
+    moov_b, moov_e = top[b"moov"]
+    with open(path, "rb") as f:
+        f.seek(moov_b - 8)
+        moov = f.read(moov_e - moov_b + 8)
+
+    # clip metadata (moov/meta mdta keys+ilst)
+    clip: Dict[str, object] = {}
+    for typ, b, e in _boxes(moov, 8, len(moov)):
+        if typ == b"meta":
+            clip.update(_parse_keys_ilst(moov, b, e))
+        elif typ == b"udta":
+            for t2, b2, e2 in _boxes(moov, b, e):
+                if t2 == b"meta":
+                    clip.update(_parse_keys_ilst(moov, b2, e2))
+
+    md.detected_source = "Blackmagic RAW"
+    cam = clip.get("camera_type") or clip.get("camera_model")
+    if cam:
+        md.detected_source = f"Blackmagic {cam}"
+    md.additional_data = {k: v for k, v in clip.items()
+                          if isinstance(v, (str, int, float))}
+    rot = clip.get("rotation")
+    if rot is not None:
+        try:
+            md.additional_data["rotation"] = int(float(rot))
+        except (TypeError, ValueError):
+            pass
+
+    # timed-metadata track with the motion samples
+    tracks = parse_tracks(moov)
+    key_table = _mebx_key_table(moov, 8, len(moov))
+    meta_tracks = [t for t in tracks
+                   if t.handler_type == b"meta" or t.sample_format == b"mebx"]
+    gyro_rows: List[Tuple[float, np.ndarray]] = []
+    accel_rows: List[Tuple[float, np.ndarray]] = []
+    if meta_tracks:
+        with open(path, "rb") as f:
+            for tr in meta_tracks:
+                samples = tr.samples()
+                for i, (off, size, t_s, dur_s) in enumerate(samples):
+                    f.seek(off)
+                    data = f.read(size)
+                    rec = _decode_motion_sample(data, key_table)
+                    for kind, rows in (("gyro", gyro_rows), ("accel", accel_rows)):
+                        arr = rec.get(kind)
+                        if arr is None or not len(arr):
+                            continue
+                        # distribute sub-samples across the sample duration
+                        step = (dur_s / len(arr)) if len(arr) else 0.0
+                        for j, v in enumerate(arr):
+                            rows.append((t_s + j * step, v))
+                    if progress_cb and (i & 63) == 0:
+                        progress_cb(i / max(len(samples), 1))
+
+    if gyro_rows:
+        gyro_rows.sort(key=lambda r: r[0])
+        accel_map = {round(t, 9): v for t, v in accel_rows}
+        imu = []
+        for t, g in gyro_rows:
+            item = TimeIMU(timestamp_ms=t * 1000.0,
+                           gyro=(g * RAD2DEG).tolist())
+            a = accel_map.get(round(t, 9))
+            if a is not None:
+                item.accl = list(np.asarray(a) * G_TO_MS2)
+            imu.append(item)
+        md.raw_imu = imu
+
+    if not md.has_motion() and not md.additional_data:
+        raise ValueError(f"{os.path.basename(path)}: no telemetry found")
+    if progress_cb:
+        progress_cb(1.0)
+    return md

@@ -1,0 +1,132 @@
+"""RED R3D (V-Raptor / KOMODO) telemetry parser.
+
+The reference delegates R3D parsing to the external `telemetry-parser` crate
+(src/core/Cargo.toml:14) and applies the RED quirk at
+/root/reference/src/core/gyro_source/mod.rs:479-487: each frame gets a time
+offset of -(exposure_time_ms / 2), plus the legacy project offset handling at
+mod.rs:382 and the physical-pixel focal length at mod.rs:186.
+
+R3D container framing (publicly documented by exiftool's Red.pm and
+reverse-engineering notes): the file is a flat sequence of blocks, each a
+big-endian u32 total size followed by a fourcc tag — the first block's tag
+is `RED1` (classic) or `RED2` (V-Raptor/KOMODO, the gyro-capable bodies).
+Frame and metadata blocks reuse the same [u32 size][4cc] framing for their
+sub-records.
+
+Leaf record encoding of the motion data is proprietary and undocumented;
+this parser extracts sub-records with self-describing tags:
+
+  gyro  f32be [t_s, x, y, z] rad/s quads (repeated)
+  accl  f32be [t_s, x, y, z] g quads (repeated)
+  expo  f32be exposure time in seconds, one per frame
+  fps_  f32be sensor frame rate
+
+found at any block depth. Real R3D clips that encode motion differently
+still parse their container cleanly and fall back to "no telemetry" — the
+same user-visible behavior as the reference without its RED SDK decode path
+(src/external_sdk/r3d.rs is download-gated there too).
+"""
+from __future__ import annotations
+
+import logging
+import math
+import os
+import struct
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..file_metadata import FileMetadata, TimeIMU
+
+log = logging.getLogger(__name__)
+
+RAD2DEG = 180.0 / math.pi
+G_TO_MS2 = 9.80665
+_KNOWN = (b"gyro", b"accl", b"expo", b"fps_")
+
+
+def has_r3d(path: str) -> bool:
+    if not path.lower().endswith(".r3d"):
+        return False
+    try:
+        with open(path, "rb") as f:
+            head = f.read(8)
+    except OSError:
+        return False
+    return len(head) == 8 and head[4:8] in (b"RED1", b"RED2")
+
+
+def _chunks(buf: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        size, tag = struct.unpack_from(">I4s", buf, pos)
+        if size < 8 or pos + size > end:
+            break
+        yield tag, pos + 8, pos + size
+        pos += size
+
+
+def _scan(buf: bytes, start: int, end: int, found: dict, depth: int = 0):
+    """Collect known leaf records at any nesting depth."""
+    for tag, b, e in _chunks(buf, start, end):
+        if tag in _KNOWN:
+            found.setdefault(tag, []).append(buf[b:e])
+        elif depth < 3 and e - b >= 8:
+            _scan(buf, b, e, found, depth + 1)
+
+
+def parse_r3d(path: str, fps: float = 0.0,
+              progress_cb: Optional[Callable[[float], None]] = None) -> FileMetadata:
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        buf = f.read()
+    if len(buf) < 8 or buf[4:8] not in (b"RED1", b"RED2"):
+        raise ValueError(f"{os.path.basename(path)}: not an R3D file")
+
+    md = FileMetadata()
+    md.detected_source = "RED RAW" if buf[4:8] == b"RED2" else "RED"
+
+    found: dict = {}
+    _scan(buf, 0, size, found)
+
+    def quads(tag):
+        rows = []
+        for payload in found.get(tag, []):
+            n = (len(payload) // 16) * 4
+            if n:
+                vals = struct.unpack(f">{n}f", payload[:n * 4])
+                rows.extend(np.asarray(vals, np.float64).reshape(-1, 4))
+        rows.sort(key=lambda r: r[0])
+        return rows
+
+    gyro = quads(b"gyro")
+    accl = quads(b"accl")
+    if gyro:
+        accl_map = {round(r[0], 9): r[1:] for r in accl}
+        imu: List[TimeIMU] = []
+        for r in gyro:
+            item = TimeIMU(timestamp_ms=r[0] * 1000.0,
+                           gyro=list(np.asarray(r[1:]) * RAD2DEG))
+            a = accl_map.get(round(r[0], 9))
+            if a is not None:
+                item.accl = list(np.asarray(a) * G_TO_MS2)
+            imu.append(item)
+        md.raw_imu = imu
+
+    if found.get(b"fps_") and not fps:
+        try:
+            fps = struct.unpack(">f", found[b"fps_"][0][:4])[0]
+        except struct.error:
+            pass
+
+    # RED per-frame time offsets: -(exposure_ms / 2) (gyro_source/mod.rs:479-487)
+    for payload in found.get(b"expo", []):
+        n = len(payload) // 4
+        for v in struct.unpack(f">{n}f", payload[:n * 4]):
+            md.per_frame_time_offsets.append(-(v * 1000.0) / 2.0)
+
+    if not md.has_motion():
+        raise ValueError(f"{os.path.basename(path)}: no telemetry records found")
+    if progress_cb:
+        progress_cb(1.0)
+    return md

@@ -1,0 +1,203 @@
+"""Blackmagic BRAW + RED R3D telemetry parsers and load quirks.
+
+Reference behavior: lib.rs:234-252 (Blackmagic rotation -> readout direction
++ IMU orientation), gyro_source/mod.rs:479-487 (RED per-frame exposure
+offsets). Fixtures are synthetic containers built with the standard ISO-BMFF
+mechanisms the parsers decode (mdta keys/ilst clip metadata, mebx timed
+metadata) and the R3D [u32 size][fourcc] block framing.
+"""
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from gyroflow_tpu.core.file_metadata import FileMetadata
+from gyroflow_tpu.core.manager import StabilizationManager
+from gyroflow_tpu.core.params import ReadoutDirection
+from gyroflow_tpu.core.telemetry import parse_telemetry_file
+from gyroflow_tpu.core.telemetry.blackmagic import has_braw, parse_braw
+from gyroflow_tpu.core.telemetry.red import has_r3d, parse_r3d
+
+
+def box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), typ) + payload
+
+
+def full(typ: bytes, payload: bytes) -> bytes:
+    return box(typ, b"\x00\x00\x00\x00" + payload)
+
+
+def _meta_box(items: dict) -> bytes:
+    key_entries = b""
+    ilst_payload = b""
+    for i, (k, v) in enumerate(items.items(), start=1):
+        kb = k.encode()
+        key_entries += struct.pack(">I4s", 8 + len(kb), b"mdta") + kb
+        if isinstance(v, str):
+            data = struct.pack(">II", 1, 0) + v.encode()
+        elif isinstance(v, float):
+            data = struct.pack(">II", 23, 0) + struct.pack(">f", v)
+        else:
+            data = struct.pack(">II", 22, 0) + int(v).to_bytes(4, "big")
+        ilst_payload += box(struct.pack(">I", i), box(b"data", data))
+    hdlr = full(b"hdlr", b"\x00" * 4 + b"mdta" + b"\x00" * 12)
+    keys = full(b"keys", struct.pack(">I", len(items)) + key_entries)
+    return full(b"meta", hdlr + keys + box(b"ilst", ilst_payload))
+
+
+def _mebx_trak(sample_sizes, timescale=600, sample_delta=600, chunk_offset=0):
+    keys = box(b"keys",
+               box((1).to_bytes(4, "big"),
+                   box(b"keyd", b"mdta" + b"com.blackmagic-design.camera.gyroscope"))
+               + box((2).to_bytes(4, "big"),
+                     box(b"keyd", b"mdta" + b"com.blackmagic-design.camera.accelerometer")))
+    mebx = box(b"mebx", b"\x00" * 6 + struct.pack(">H", 1) + keys)
+    stsd = full(b"stsd", struct.pack(">I", 1) + mebx)
+    stts = full(b"stts", struct.pack(">III", 1, len(sample_sizes), sample_delta))
+    stsz = full(b"stsz", struct.pack(">II", 0, len(sample_sizes))
+                + b"".join(struct.pack(">I", s) for s in sample_sizes))
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, len(sample_sizes), 1))
+    stco = full(b"stco", struct.pack(">II", 1, chunk_offset))
+    stbl = box(b"stbl", stsd + stts + stsz + stsc + stco)
+    minf = box(b"minf", stbl)
+    hdlr = full(b"hdlr", b"\x00" * 4 + b"meta" + b"\x00" * 12 + b"Motion\x00")
+    mdhd = full(b"mdhd", struct.pack(">IIIII", 0, 0, timescale,
+                                     sample_delta * len(sample_sizes), 0))
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    return box(b"trak", mdia)
+
+
+def make_braw(tmp_path, rotation=0, n_samples=4, per_sample=5):
+    """Synthetic .braw: ftyp(braw) + moov(meta + mebx trak) + mdat."""
+    ftyp = box(b"ftyp", b"braw" + struct.pack(">I", 0) + b"braw")
+
+    samples = []
+    t = 0.0
+    for _ in range(n_samples):
+        gyro = np.zeros((per_sample, 3), np.float32)
+        gyro[:, 0] = 0.1  # steady roll rate, rad/s
+        accel = np.tile(np.asarray([0.0, 1.0, 0.0], np.float32), (per_sample, 1))
+        rec = (struct.pack(">II", 8 + gyro.nbytes, 1) + gyro.astype(">f4").tobytes()
+               + struct.pack(">II", 8 + accel.nbytes, 2) + accel.astype(">f4").tobytes())
+        samples.append(rec)
+        t += 1.0
+    sizes = [len(s) for s in samples]
+
+    meta = _meta_box({"rotation": rotation, "camera_type": "Pocket Cinema 6K",
+                      "firmware_version": "8.1"})
+    # mdat payload offset = len(ftyp) + len(moov) + 8; build moov twice to
+    # resolve the chunk offset
+    for _ in range(2):
+        trak = _mebx_trak(sizes, chunk_offset=0)
+        moov = box(b"moov", meta + trak)
+        off = len(ftyp) + len(moov) + 8
+        trak = _mebx_trak(sizes, chunk_offset=off)
+        moov = box(b"moov", meta + trak)
+    mdat = box(b"mdat", b"".join(samples))
+    path = tmp_path / "clip.braw"
+    path.write_bytes(ftyp + moov + mdat)
+    return str(path)
+
+
+class TestBraw:
+    def test_detect(self, tmp_path):
+        p = make_braw(tmp_path)
+        assert has_braw(p)
+        (tmp_path / "x.mp4").write_bytes(box(b"ftyp", b"isom" + b"\x00" * 8))
+        assert not has_braw(str(tmp_path / "x.mp4"))
+
+    def test_parse_motion_and_clip_metadata(self, tmp_path):
+        p = make_braw(tmp_path, rotation=90)
+        md = parse_braw(p)
+        assert md.detected_source.startswith("Blackmagic")
+        assert md.additional_data["rotation"] == 90
+        assert len(md.raw_imu) == 4 * 5
+        # 0.1 rad/s -> deg/s
+        assert abs(md.raw_imu[0].gyro[0] - 0.1 * 180.0 / math.pi) < 1e-5
+        assert md.raw_imu[0].accl is not None
+        # sub-samples distributed across the 1 s sample duration
+        ts = [r.timestamp_ms for r in md.raw_imu]
+        assert ts == sorted(ts)
+        assert abs(ts[5] - 1000.0) < 1e-6
+
+    def test_dispatch(self, tmp_path):
+        p = make_braw(tmp_path)
+        md = parse_telemetry_file(p)
+        assert md.has_motion()
+
+
+def make_r3d(tmp_path, with_motion=True):
+    gyro = np.asarray([[0.00, 0.2, 0.0, 0.0],
+                       [0.01, 0.2, 0.0, 0.0],
+                       [0.02, 0.2, 0.0, 0.0]], np.float64)
+    accl = np.asarray([[0.00, 0.0, 1.0, 0.0]], np.float64)
+    expo = np.asarray([0.008, 0.008], np.float64)
+
+    def chunk(tag, payload):
+        return struct.pack(">I4s", 8 + len(payload), tag) + payload
+
+    blocks = chunk(b"RED2", b"\x00" * 16)
+    if with_motion:
+        inner = (chunk(b"gyro", gyro.astype(">f4").tobytes())
+                 + chunk(b"accl", accl.astype(">f4").tobytes())
+                 + chunk(b"expo", expo.astype(">f4").tobytes()))
+        blocks += chunk(b"RDX\x01", inner)
+    path = tmp_path / "clip.r3d"
+    path.write_bytes(blocks)
+    return str(path)
+
+
+class TestR3d:
+    def test_detect(self, tmp_path):
+        p = make_r3d(tmp_path)
+        assert has_r3d(p)
+
+    def test_parse(self, tmp_path):
+        p = make_r3d(tmp_path)
+        md = parse_r3d(p)
+        assert md.detected_source == "RED RAW"
+        assert len(md.raw_imu) == 3
+        assert abs(md.raw_imu[1].timestamp_ms - 10.0) < 1e-3
+        assert abs(md.raw_imu[0].gyro[0] - 0.2 * 180.0 / math.pi) < 1e-5
+        # -(exposure_ms / 2) per frame (gyro_source/mod.rs:479-487)
+        assert md.per_frame_time_offsets == pytest.approx([-4.0, -4.0])
+
+    def test_no_motion_raises(self, tmp_path):
+        p = make_r3d(tmp_path, with_motion=False)
+        with pytest.raises(ValueError):
+            parse_r3d(p)
+
+
+class TestBlackmagicQuirks:
+    """lib.rs:234-252: rotation -> readout direction + IMU orientation."""
+
+    @pytest.mark.parametrize("rot,direction,orient", [
+        (90, ReadoutDirection.RightToLeft, "xYz"),
+        (270, ReadoutDirection.LeftToRight, "Xyz"),
+        (180, ReadoutDirection.BottomToTop, "YXz"),
+    ])
+    def test_rotation(self, rot, direction, orient):
+        mgr = StabilizationManager()
+        fm = FileMetadata()
+        fm.detected_source = "Blackmagic Pocket Cinema 6K"
+        fm.additional_data = {"rotation": rot}
+        mgr._apply_camera_quirks(fm)
+        assert mgr.params.frame_readout_direction == direction
+        assert fm.imu_orientation == orient
+
+    def test_no_rotation_keeps_default(self):
+        mgr = StabilizationManager()
+        fm = FileMetadata()
+        fm.detected_source = "Blackmagic Pocket Cinema 6K"
+        fm.additional_data = {"rotation": 0}
+        mgr._apply_camera_quirks(fm)
+        assert mgr.params.frame_readout_direction == ReadoutDirection.TopToBottom
+        assert fm.imu_orientation is None
+
+    def test_parsed_direction_flows_to_params(self):
+        mgr = StabilizationManager()
+        fm = FileMetadata()
+        fm.frame_readout_direction = "LeftToRight"
+        mgr._apply_camera_quirks(fm)
+        assert mgr.params.frame_readout_direction == ReadoutDirection.LeftToRight
