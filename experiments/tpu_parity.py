@@ -58,8 +58,34 @@ def main():
         print(f"{name:12s} win={win}  max pixel diff = {diff:.4f}  "
               f"{'OK' if line_ok else 'FAIL'}")
 
-    # EWA elliptical kernel (interpolation 11 = RobidouxSharp): single matrix,
-    # grouped Pallas kernel vs the XLA gather path
+    # uint8 content (exact8 fast path: 2-pass colmix, no pixel hi/lo split)
+    W, H = 1920, 1080
+    f = (W * 0.62, W * 0.62)
+    cfg = KernelConfig(width=W, height=H, output_width=W, output_height=H,
+                       interpolation=8, distortion_model="opencv_fisheye",
+                       flags=FIX_COLOR_RANGE)
+    dyn = KernelDynamics.make(f=f, c=(W / 2, H / 2), k=[0.25, -0.07, 0.02, -0.003],
+                              fov=0.92, max_pixel_value=255.0,
+                              pixel_value_limit=255.0, background=(0, 0, 0, 1))
+    # smooth content (same reason as above: 1-ulp coordinate differences can
+    # flip a 1/32 phase; random content would turn that into O(100) diffs)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    base8 = (np.sin(xx * 0.013) * np.cos(yy * 0.011) * 0.5 + 0.5) * 255.0
+    img8 = jnp.asarray(np.rint(base8[..., None]).astype(np.uint8))
+    mats = jnp.asarray(make_matrices(W, H, f, 0.92, H))
+    got, ov = remap.remap_plane_pallas_jit(img8, mats, cfg, dyn, None,
+                                           win_h=48, win_w=256, win_k=128,
+                                           tile_w=96, tile_h=16)
+    assert not bool(ov), "uint8: window overflow"
+    want = remap.remap_plane_jit(img8.astype(jnp.float32), mats, cfg, dyn)
+    diff = float(jnp.max(jnp.abs(got - want)))
+    line_ok = diff < 0.25
+    ok &= line_ok
+    print(f"{'Y-uint8':12s} win=(48, 256, 128, 96)  max pixel diff = {diff:.4f}  "
+          f"{'OK' if line_ok else 'FAIL'}")
+
+    # EWA elliptical kernel (interpolation 11 = RobidouxSharp): single
+    # matrix, Pallas elliptical kernel vs the XLA gather path
     W, H = 1920, 1080
     f = (W * 0.62, W * 0.62)
     cfg = KernelConfig(width=W, height=H, output_width=W, output_height=H,

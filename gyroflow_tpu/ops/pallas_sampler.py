@@ -53,11 +53,13 @@ class SamplerSpec(NamedTuple):
     win_w: int = 512
     source_rect: tuple = None  # (x, y, w, h)
     win_k: int = 0         # rolled compute width (0 = full win_w, no roll)
+    exact8: bool = False   # content is exactly bf16-representable (uint8
+                           # codes): the colmix needs no hi/lo pixel split
 
     @classmethod
     def create(cls, height, width, out_height, out_width, interpolation,
                tile_h=8, tile_w=128, win_h=64, win_w=512, source_rect=None,
-               win_k=0):
+               win_k=0, exact8=False):
         # plane dims padded to the f32 tile grid so aligned window origins can
         # reach every edge; src_rect keeps the true extent (padding reads bg).
         # win_k < win_w enables the ROLLED mode: the DMA window stays
@@ -73,7 +75,7 @@ class SamplerSpec(NamedTuple):
             win_k = min(-(-win_k // LANE) * LANE, win_w)
         rect = source_rect or (0, 0, width, height)
         return cls(pheight, pwidth, out_height, out_width, interpolation,
-                   tile_h, tile_w, win_h, win_w, rect, win_k)
+                   tile_h, tile_w, win_h, win_w, rect, win_k, exact8)
 
     @property
     def kw(self) -> int:
@@ -179,6 +181,17 @@ def _dot2_onehot(a, b01):
     a_lo = a - a_hi
     return (jnp.dot(a_hi, b01, preferred_element_type=jnp.float32)
             + jnp.dot(a_lo, b01, preferred_element_type=jnp.float32))
+
+
+def _dot2_exact_a(a, b):
+    """a @ b where a is ALREADY exactly bf16-representable (uint8 pixel
+    codes 0..255 fit bf16's 8-bit mantissa): only the weight operand needs a
+    hi/lo split — 2 bf16 MXU passes. The dropped error is a @ (b_lo -
+    bf16(b_lo)) <= 255 * taps * 2^-18: far below 8-bit quantization."""
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    b_lo = b - b_hi
+    return (jnp.dot(a, b_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(a, b_lo, preferred_element_type=jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -328,12 +341,14 @@ def _sampler_kernel(spec: SamplerSpec, G: int,
         # win (C, Sr, Sc) viewed as (C*Sr, Sc) puts channels on the M axis,
         # which is free on the MXU up to 128 rows. The matmul itself runs as
         # 3 bf16 passes (_dot3) for f32-accurate pixels — the MXU's 1-pass
-        # default rounds operands to bf16 (~5/1023 pixel error, fails parity).
+        # default rounds operands to bf16 (~5/1023 pixel error, fails parity)
+        # — or 2 passes when the content is uint8 codes (exactly bf16).
         win_all = win_ref[j].reshape(nchan * Sr, Sc)
         if Kw < Sc:
             # roll the tile's source band to lane 0, compute on Kw lanes only
             win_all = pltpu.roll(win_all, (Sc - xoff) % Sc, 1)[:, :Kw]
-        colmix = _dot3(win_all, C)                       # (C*Sr, P)
+        colmix = (_dot2_exact_a(win_all, C) if spec.exact8
+                  else _dot3(win_all, C))                # (C*Sr, P)
         for ch in range(nchan):
             sampled_rows[ch].append(
                 jnp.sum(R * colmix[ch * Sr:(ch + 1) * Sr], axis=0,
@@ -606,12 +621,17 @@ def _ewa_kernel(spec: SamplerSpec,
 
     # hi/lo split once per window: the per-tap colmix matmuls contract an
     # EXACT 0/1 one-hot, so two bf16 passes over (win_hi, win_lo) reproduce
-    # the f32 gather exactly (the MXU's 1-pass default rounds pixels to bf16)
+    # the f32 gather exactly (the MXU's 1-pass default rounds pixels to
+    # bf16). uint8 content is already bf16-exact: single pass, no split.
     win_hi = [None] * nchan
     win_lo = [None] * nchan
     for ch in range(nchan):
-        win_hi[ch] = win_ref[ch].astype(jnp.bfloat16).astype(jnp.float32)
-        win_lo[ch] = win_ref[ch] - win_hi[ch]
+        if spec.exact8:
+            win_hi[ch] = win_ref[ch]
+            win_lo[ch] = None
+        else:
+            win_hi[ch] = win_ref[ch].astype(jnp.bfloat16).astype(jnp.float32)
+            win_lo[ch] = win_ref[ch] - win_hi[ch]
 
     acc = [jnp.zeros((1, P), jnp.float32) for _ in range(nchan)]
     ksum_all = jnp.zeros((1, P), jnp.float32)
@@ -651,8 +671,10 @@ def _ewa_kernel(spec: SamplerSpec,
 
         Cm = jnp.where(col_ids == bx_rel + txp, 1.0, 0.0)
         for ch in range(nchan):
-            colmix = (jnp.dot(win_hi[ch], Cm, preferred_element_type=jnp.float32)
-                      + jnp.dot(win_lo[ch], Cm, preferred_element_type=jnp.float32))
+            colmix = jnp.dot(win_hi[ch], Cm, preferred_element_type=jnp.float32)
+            if win_lo[ch] is not None:
+                colmix = colmix + jnp.dot(win_lo[ch], Cm,
+                                          preferred_element_type=jnp.float32)
             acc[ch] = acc[ch] + jnp.sum(R * colmix, axis=0, keepdims=True)
 
     denom = jnp.where(ksum_all == 0.0, 1.0, ksum_all)

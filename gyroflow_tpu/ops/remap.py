@@ -648,6 +648,7 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     has_mesh = cfg.has(HAS_MESH_DATA) or cfg.has(HAS_FPD_DATA)
     is_ewa = cfg.interpolation > 8
 
+    exact8 = img.dtype == jnp.uint8     # codes 0..255 are exactly bf16
     if img.dtype != jnp.float32:
         img = img.astype(jnp.float32)   # uint8 frames convert on-device
     C = img.shape[-1]
@@ -662,7 +663,8 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     spec = ps.SamplerSpec.create(
         height=img.shape[0], width=img.shape[1], out_height=oh_local, out_width=ow,
         interpolation=cfg.interpolation, tile_h=tile_h, tile_w=tile_w,
-        win_h=win_h, win_w=win_w, source_rect=cfg.src_rect, win_k=win_k)
+        win_h=win_h, win_w=win_w, source_rect=cfg.src_rect, win_k=win_k,
+        exact8=exact8)
     P = spec.tile_h * spec.tile_w
     ox, oy, pad_ok = ps.tiled_grid(spec)            # (ntiles, P)
     oy = oy + jnp.asarray(oy0, jnp.float32)         # absolute output row
@@ -778,7 +780,7 @@ def _canvas_fetch_t(ps, canvas_f32, x, y, scale):
     yi = jnp.floor(y / scale)
     spec_c = ps.SamplerSpec.create(
         height=hc, width=wc, out_height=0, out_width=0, interpolation=2,
-        win_h=64, win_w=512, source_rect=(0, 0, wc, hc))
+        win_h=64, win_w=512, source_rect=(0, 0, wc, hc), exact8=True)
     inb = (xi >= 0) & (yi >= 0) & (xi < wc) & (yi < hc)
     out_t, ov = ps.sample_planes_t(spec_c, canvas_f32[None],
                                    jnp.where(inb, xi, 0.0),

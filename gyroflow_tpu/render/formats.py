@@ -79,6 +79,13 @@ RAW_FORMATS = {f.name: f for f in [
     _yuv("yuv444p", 8, 1, 1, "444"),
     _yuv("yuv444p10le", 10, 1, 1, "444p10"),
     _yuv("yuv444p16le", 16, 1, 1, "444p16"),
+    # semi-planar (interleaved chroma): NV12 -> Luma8 + one UV8 pair plane,
+    # P010/P016 -> Luma16 + UV16 (rendering/mod.rs:583-600). P010 carries
+    # its 10 bits in the high bits of each u16, so it is processed at
+    # 16-bit scale exactly like the reference's Luma16/UV16 mapping.
+    RawFormat("nv12", np.dtype(np.uint8), 8, ((1, 1, 1), (2, 2, 2))),
+    RawFormat("p010le", np.dtype("<u2"), 16, ((1, 1, 1), (2, 2, 2))),
+    RawFormat("p016le", np.dtype("<u2"), 16, ((1, 1, 1), (2, 2, 2))),
     # grayscale
     RawFormat("gray", np.dtype(np.uint8), 8, ((1, 1, 1),), True, "mono"),
     RawFormat("gray10le", np.dtype("<u2"), 10, ((1, 1, 1),), True, "mono10"),

@@ -100,6 +100,11 @@ def _plane_groups(fmt: RawFormat, planes: List[np.ndarray]):
         y = planes[0].astype(np.float32)
         uv = np.concatenate([planes[1], planes[2]], axis=-1).astype(np.float32)
         return [(y, 0), (uv, 1)]
+    if fmt.is_yuv and len(planes) == 2:
+        # semi-planar (NV12/P010): the chroma plane is already an
+        # interleaved (h/2, w/2, 2) UV pair — the kernel's native UV group
+        return [(planes[0].astype(np.float32), 0),
+                (planes[1].astype(np.float32), 1)]
     if len(planes) == 1:
         return [(planes[0].astype(np.float32), 0)]
     # planar RGB float (gbrpf32le etc.): process as one multi-channel plane
@@ -115,6 +120,8 @@ def _ungroup_planes(fmt: RawFormat, groups: List[np.ndarray]):
     if fmt.is_yuv and len(fmt.planes) == 3:
         y, uv = groups
         return [cast(y), cast(uv[..., :1]), cast(uv[..., 1:2])]
+    if fmt.is_yuv and len(fmt.planes) == 2:
+        return [cast(groups[0]), cast(groups[1])]
     if len(fmt.planes) == 1:
         return [cast(groups[0])]
     g = groups[0]
@@ -125,7 +132,7 @@ def _plane_backgrounds(fmt: RawFormat, bg_rgba01, limited: bool):
     """Per-plane-group background color, 0..1 (rendering/mod.rs:506-516)."""
     if fmt.is_yuv:
         yuva = rgb_to_yuv(np.asarray(bg_rgba01, np.float32), limited)
-        if len(fmt.planes) == 3:
+        if len(fmt.planes) in (2, 3):
             return [yuva[..., :1], yuva[..., 1:3]]
         return [yuva[..., :1]]
     return [np.asarray(bg_rgba01, np.float32)]

@@ -47,7 +47,7 @@ def y4m10_path(tmp_path_factory):
 class TestFormats:
     @pytest.mark.parametrize("name", ["yuv420p", "yuv420p10le", "yuv422p10le",
                                       "yuv444p16le", "gray16le", "rgb48le",
-                                      "gbrpf32le"])
+                                      "gbrpf32le", "nv12", "p010le"])
     def test_pack_unpack_roundtrip(self, name):
         fmt = RAW_FORMATS[name]
         rng = np.random.default_rng(0)
@@ -63,6 +63,29 @@ class TestFormats:
         back = fmt.unpack(buf, 64, 48)
         for a, b in zip(planes, back):
             np.testing.assert_array_equal(a, b)
+
+    @pytest.mark.parametrize("name", ["nv12", "p010le"])
+    def test_semiplanar_groups(self, name):
+        """NV12/P010 semi-planar: Luma + interleaved-UV plane groups map to
+        the kernel's (Y plane 0, UV pair plane 1) like rendering/mod.rs
+        NV12 -> (Luma8, UV8), P010 -> (Luma16, UV16)."""
+        from gyroflow_tpu.render.renderer import (_plane_groups,
+                                                  _plane_backgrounds,
+                                                  _ungroup_planes)
+        fmt = RAW_FORMATS[name]
+        rng = np.random.default_rng(1)
+        planes = [rng.integers(0, int(fmt.max_value) + 1, (ph, pw, ch))
+                  .astype(fmt.dtype)
+                  for (ph, pw, ch) in fmt.plane_shapes(64, 48)]
+        groups = _plane_groups(fmt, planes)
+        assert [g[1] for g in groups] == [0, 1]          # plane indices
+        assert groups[0][0].shape == (48, 64, 1)
+        assert groups[1][0].shape == (24, 32, 2)          # interleaved UV pair
+        back = _ungroup_planes(fmt, [g[0] for g in groups])
+        for a, b in zip(planes, back):
+            np.testing.assert_array_equal(a, b)
+        bgs = _plane_backgrounds(fmt, (0.2, 0.4, 0.6, 1.0), True)
+        assert bgs[0].shape[-1] == 1 and bgs[1].shape[-1] == 2
 
 
 class TestY4M10BitRender:
