@@ -294,6 +294,22 @@ class GyroSource:
     def offset_at_gyro_timestamp(self, timestamp_ms):
         return self._offset_at(self.offsets, timestamp_ms)
 
+    def find_bias(self, timestamp_start_ms: float, timestamp_stop_ms: float):
+        """Mean negated gyro over a (presumed stationary) video-time range
+        (gyro_source/mod.rs:979-1002). Returns a (bx, by, bz) deg/s triple
+        suitable for set_imu_bias."""
+        ts_start = timestamp_start_ms - float(
+            self.offset_at_video_timestamp(timestamp_start_ms))
+        ts_stop = timestamp_stop_ms - float(
+            self.offset_at_video_timestamp(timestamp_stop_ms))
+        bias = np.zeros(3)
+        n = 0
+        for x in self.file_metadata.raw_imu:
+            if x.gyro is not None and ts_start < x.timestamp_ms < ts_stop:
+                bias -= np.asarray(x.gyro, dtype=np.float64)
+                n += 1
+        return tuple(bias / max(n, 1))
+
     # ---- lookups (gyro_source/mod.rs:857-882) ------------------------------
 
     def _quat_at(self, tq: TimeQuat, timestamp_ms):

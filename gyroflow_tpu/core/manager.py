@@ -186,6 +186,41 @@ class StabilizationManager:
         self.gyro.apply_transforms()
         self.invalidate()
 
+    def estimate_bias(self, timestamps_fract) -> Tuple[float, float, float]:
+        """Estimate gyro bias from ~400 ms of presumed-stationary footage
+        around each fractional timestamp (controller.rs:552-570; uses the
+        first range like the reference). Returns (bx, by, bz) deg/s."""
+        fracts = list(timestamps_fract) if not isinstance(timestamps_fract, str) \
+            else [float(x) for x in timestamps_fract.split(";") if x]
+        dur = self.params.duration_ms
+        for x in fracts:
+            start = max(x * dur - 200.0, 0.0)
+            stop = min(x * dur + 200.0, dur)
+            return self.gyro.find_bias(start, stop)
+        return (0.0, 0.0, 0.0)
+
+    def set_background_color(self, r: float, g: float, b: float, a: float = 1.0):
+        """controller.rs set_background_color (0..1 RGBA)."""
+        self.params.background = (r, g, b, a)
+
+    def get_smoothing_max_angles(self) -> Tuple[float, float, float]:
+        """Max pitch/yaw/roll correction angles (controller.rs
+        get_smoothing_max_angles; computed during recompute_smoothness)."""
+        return tuple(self.gyro.max_angles)
+
+    def quats_at_timestamp(self, timestamp_ms: float):
+        """(org, smoothed) quaternions at a video timestamp — the chart
+        lookup pair (controller.rs quats_at_timestamp)."""
+        return (self.gyro.org_quat_at_timestamp(timestamp_ms),
+                self.gyro.smoothed_quat_at_timestamp(timestamp_ms))
+
+    def export_lens_profile(self, path: str):
+        """Write the active lens profile as reference-compatible JSON
+        (controller.rs export_lens_profile)."""
+        import json
+        with open(path, "w") as fh:
+            json.dump(self.lens.to_dict(), fh, indent=2)
+
     def set_integration_method(self, method: int):
         self.gyro.integration_method = method
         self.gyro.integrate()
