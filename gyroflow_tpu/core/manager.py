@@ -453,11 +453,14 @@ class StabilizationManager:
 
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
-        # ship uint8 frames as uint8 (4x less host<->device traffic); the
-        # f32 conversion happens in-graph (remap casts on entry)
+        # ship integer frames in their native dtype (4x / 2x less
+        # host<->device traffic for uint8 / uint16 10-bit planes); the f32
+        # conversion happens in-graph (remap casts on entry)
         src = np.asarray(frame_plane)
         to_u8 = src.dtype == np.uint8 and max_pixel_value == 255.0
-        img = jnp.asarray(src if to_u8 else src.astype(np.float32, copy=False))
+        ship_native = src.dtype in (np.uint8, np.uint16)
+        img = jnp.asarray(src if ship_native
+                          else src.astype(np.float32, copy=False))
         mats = jnp.asarray(ft.matrices)
         mesh = jnp.asarray(ft.mesh_data) if ft.mesh_data is not None else None
         if use_pallas:

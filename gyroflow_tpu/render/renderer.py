@@ -96,17 +96,22 @@ def _plane_groups(fmt: RawFormat, planes: List[np.ndarray]):
     """Group raw planes for the kernel like the reference's PixelType map:
     [Y] + [UV 2-channel] for 3-plane YUV, single group otherwise. Returns
     list of (data f32 (H,W,C), plane_index)."""
+    # integer planes keep their native dtype — the manager ships uint8/uint16
+    # to the device as-is (2-4x less host->device traffic) and converts
+    # in-graph; float formats go out as f32
+    def native(a):
+        return a if a.dtype in (np.uint8, np.uint16) else a.astype(np.float32)
+
     if fmt.is_yuv and len(planes) == 3:
-        y = planes[0].astype(np.float32)
-        uv = np.concatenate([planes[1], planes[2]], axis=-1).astype(np.float32)
+        y = native(planes[0])
+        uv = native(np.concatenate([planes[1], planes[2]], axis=-1))
         return [(y, 0), (uv, 1)]
     if fmt.is_yuv and len(planes) == 2:
         # semi-planar (NV12/P010): the chroma plane is already an
         # interleaved (h/2, w/2, 2) UV pair — the kernel's native UV group
-        return [(planes[0].astype(np.float32), 0),
-                (planes[1].astype(np.float32), 1)]
+        return [(native(planes[0]), 0), (native(planes[1]), 1)]
     if len(planes) == 1:
-        return [(planes[0].astype(np.float32), 0)]
+        return [(native(planes[0]), 0)]
     # planar RGB float (gbrpf32le etc.): process as one multi-channel plane
     return [(np.concatenate(planes, axis=-1).astype(np.float32), 0)]
 
