@@ -508,6 +508,8 @@ class StabilizationManager:
             backend = "xla"
         if to_u8:
             out = remap.to_uint8_jit(out)
+        elif src.dtype == np.uint16:
+            out = remap.to_uint16_jit(out, np.float32(max_pixel_value))
         info = {"fov": ft.fov, "minimal_fov": ft.minimal_fov,
                 "focal_length": ft.focal_length, "backend": backend,
                 "xla_fallbacks": self.stats["xla_fallbacks"],

@@ -617,6 +617,13 @@ def to_uint8_jit(img):
     return jnp.clip(img, 0, 255).astype(jnp.uint8)
 
 
+@jax.jit
+def to_uint16_jit(img, maxv):
+    """Device-side rint+clip+cast so 10/16-bit planes download 2x smaller
+    (matches render.renderer._ungroup_planes' np.clip(np.rint(...)))."""
+    return jnp.clip(jnp.rint(img), 0, maxv).astype(jnp.uint16)
+
+
 # ---------------------------------------------------------------------------
 # Pallas-accelerated path: XLA computes coords (measured ~0.2ms @1080p), the
 # gather-free Pallas kernel does the sampling (see pallas_sampler.py).

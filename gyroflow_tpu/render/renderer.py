@@ -121,7 +121,10 @@ def _ungroup_planes(fmt: RawFormat, groups: List[np.ndarray]):
     if fmt.dtype == np.float32:
         cast = lambda a: a.astype(np.float32)
     else:
-        cast = lambda a: np.clip(np.rint(a), 0, fmt.max_value).astype(fmt.dtype)
+        # integer outputs usually arrive already rint+clip+cast on-device
+        # (remap.to_uint8_jit / to_uint16_jit) — skip the host pass then
+        cast = lambda a: a if a.dtype == fmt.dtype else \
+            np.clip(np.rint(a), 0, fmt.max_value).astype(fmt.dtype)
     if fmt.is_yuv and len(fmt.planes) == 3:
         y, uv = groups
         return [cast(y), cast(uv[..., :1]), cast(uv[..., 1:2])]
