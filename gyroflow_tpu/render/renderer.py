@@ -59,8 +59,17 @@ def open_reader(input_path: str):
     if ext == ".y4m":
         from .y4m_io import Y4MReader
         return "planar", Y4MReader(input_path)
+    from .img_seq import IMG_SEQ_EXTS
+    if ext in IMG_SEQ_EXTS:
+        from .img_seq import ImageSequenceReader
+        return "planar", ImageSequenceReader(input_path)
     if ext == ".exr" or os.path.isdir(input_path) or "%" in input_path \
             or "*" in input_path:
+        # sequence-ish path without an explicit image extension: PNG/TIFF if
+        # any integer-format frames match, else the float EXR reader
+        from .img_seq import ImageSequenceReader, expand_sequence
+        if expand_sequence(input_path) and ext != ".exr":
+            return "planar", ImageSequenceReader(input_path)
         from .exr_seq import EXRSequenceReader
         return "planar", EXRSequenceReader(input_path)
     from .ffmpeg_io import have_ffmpeg
@@ -78,6 +87,11 @@ def open_writer(output_path: str, ow: int, oh: int, fps: float,
         from .y4m_io import Y4MWriter
         pix = options.pix_fmt or getattr(reader, "pix_fmt", "") or "yuv420p"
         return "planar", Y4MWriter(output_path, ow, oh, fps, pix)
+    from .img_seq import IMG_SEQ_EXTS
+    if ext in IMG_SEQ_EXTS:
+        from .img_seq import ImageSequenceWriter
+        return "planar", ImageSequenceWriter(
+            output_path, ow, oh, src_fmt=getattr(reader, "fmt", None))
     if ext in ("", ".exr") or "%" in output_path or os.path.isdir(output_path):
         from .exr_seq import EXRSequenceWriter
         return "planar", EXRSequenceWriter(output_path, ow, oh)

@@ -28,15 +28,20 @@ class VideoInfo:
 
 def probe_video(path: str) -> VideoInfo:
     ext = os.path.splitext(path)[1].lower()
-    if ext == ".y4m" or ext == ".exr" or os.path.isdir(path) \
-            or "%" in path or "*" in path:
+    from .img_seq import IMG_SEQ_EXTS
+    if ext == ".y4m" or ext == ".exr" or ext in IMG_SEQ_EXTS \
+            or os.path.isdir(path) or "%" in path or "*" in path:
         # header-native probe (cv2 would force 8-bit or fail on sequences)
         if ext == ".y4m":
             from .y4m_io import Y4MReader
             r = Y4MReader(path)
         else:
-            from .exr_seq import EXRSequenceReader
-            r = EXRSequenceReader(path)
+            from .img_seq import ImageSequenceReader, expand_sequence
+            if ext in IMG_SEQ_EXTS or (ext != ".exr" and expand_sequence(path)):
+                r = ImageSequenceReader(path)
+            else:
+                from .exr_seq import EXRSequenceReader
+                r = EXRSequenceReader(path)
         info = VideoInfo(r.width, r.height, r.fps, r.frame_count,
                          r.frame_count * 1000.0 / r.fps if r.fps else 0.0)
         r.close()

@@ -196,6 +196,65 @@ class TestEXRSequence:
         np.testing.assert_allclose(got, np.asarray(direct), atol=1e-5)
 
 
+class TestPNGSequence:
+    def test_end_to_end_16bit(self, gcsv_path, tmp_path):  # noqa: F811
+        import cv2
+        indir = tmp_path / "pngseq"
+        indir.mkdir()
+        rng = np.random.default_rng(4)
+        frames = []
+        for i in range(4):
+            img = rng.integers(0, 65536, (VH, VW, 3)).astype(np.uint16)
+            assert cv2.imwrite(str(indir / f"f_{i:04d}.png"), img[..., ::-1])
+            frames.append(img)
+        mgr = make_manager(gcsv_path)
+        outpat = str(tmp_path / "out" / "o_%04d.png")
+        os.makedirs(str(tmp_path / "out"))
+        stats = render(mgr, str(indir / "f_%04d.png"), outpat,
+                       RenderOptions(interpolation=2))
+        assert stats["frames"] == 4
+        assert stats["pix_fmt"] == "rgb48le"
+        got = cv2.imread(outpat % 0, cv2.IMREAD_UNCHANGED)[..., ::-1]
+        assert got.dtype == np.uint16 and got.shape == (VH, VW, 3)
+
+        # parity: rendered frame 0 == direct process_pixels on the same frame
+        direct, _ = mgr.process_pixels(0, frames[0].astype(np.float32),
+                                       interpolation=2, use_pallas=False,
+                                       max_pixel_value=65535.0, plane_rects=True)
+        direct = np.clip(np.rint(np.asarray(direct)), 0, 65535).astype(np.uint16)
+        np.testing.assert_allclose(got.astype(np.int64),
+                                   direct.astype(np.int64), atol=1)
+
+    def test_glob_and_dir_inputs(self, tmp_path):
+        import cv2
+        from gyroflow_tpu.render.img_seq import ImageSequenceReader
+        d = tmp_path / "g"
+        d.mkdir()
+        for i in range(3):
+            cv2.imwrite(str(d / f"a_{i}.png"),
+                        np.full((8, 12), i * 10, np.uint8))
+        for src in (str(d), str(d / "*.png")):
+            r = ImageSequenceReader(src)
+            assert (r.frame_count, r.width, r.height) == (3, 12, 8)
+            assert r.pix_fmt == "gray"
+            n = sum(1 for _ in r)
+            assert n == 3
+            r.close()
+
+    def test_yuv_to_png_conversion(self, y4m10_path, gcsv_path, tmp_path):  # noqa: F811
+        """10-bit YUV420 input rendered to a PNG sequence converts to 16-bit
+        RGB on the host (the reference's ffmpeg PNG-encode conversion)."""
+        import cv2
+        mgr = make_manager(gcsv_path)
+        outpat = str(tmp_path / "c_%04d.png")
+        stats = render(mgr, y4m10_path, outpat, RenderOptions(interpolation=2))
+        assert stats["frames"] == VFRAMES
+        img = cv2.imread(outpat % 0, cv2.IMREAD_UNCHANGED)
+        assert img.dtype == np.uint16
+        assert img.shape == (VH, VW, 3)
+        assert img.max() > 1024   # scaled to 16-bit range, not left at 10-bit
+
+
 class TestCLIY4M:
     def test_cli_stabilizes_y4m_10bit(self, y4m10_path, gcsv_path, capsys):  # noqa: F811
         from gyroflow_tpu import cli
