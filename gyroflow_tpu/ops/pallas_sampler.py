@@ -164,13 +164,20 @@ _WEIGHT_FNS = {2: _weights_bilinear, 4: _weights_bicubic, 8: _weights_lanczos4}
 # ---------------------------------------------------------------------------
 
 def _dot3(a, b):
-    """a @ b to ~f32 accuracy in 3 bf16 MXU passes (drops the lo*lo term)."""
+    """a @ b to ~f32 accuracy in 3 bf16 MXU passes (drops the lo*lo term).
+
+    The two b_hi terms share one MXU call with [a_hi; a_lo] stacked on the
+    M axis: M here is small (C*Sr ~ 24-96 rows vs the 128-deep array), so a
+    second short stream through the already-loaded b_hi weights is much
+    cheaper than a separate matmul with its own weight-load pipeline fill."""
     a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
     a_lo = a - a_hi
     b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
     b_lo = b - b_hi
-    return (jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
-            + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
+    m = a.shape[0]
+    hh_lh = jnp.dot(jnp.concatenate([a_hi, a_lo], axis=0), b_hi,
+                    preferred_element_type=jnp.float32)
+    return (hh_lh[:m] + hh_lh[m:]
             + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32))
 
 
