@@ -214,6 +214,116 @@ class StabilizationManager:
         return (self.gyro.org_quat_at_timestamp(timestamp_ms),
                 self.gyro.smoothed_quat_at_timestamp(timestamp_ms))
 
+    def get_scaling_ratio(self) -> float:
+        """lib.rs:1013 — input width over output width."""
+        return self.params.size[0] / max(self.params.output_size[0], 1)
+
+    def get_min_fov(self) -> float:
+        """lib.rs:1014."""
+        return self.params.min_fov
+
+    def get_turn_speed(self, timestamp_ms: float) -> float:
+        """Stabilization-roll turn rate in deg/s over a 60-frame lookback
+        (controller.rs:1516-1546; feeds the automatic horizon-lock ramp UI)."""
+        from . import quaternion as quat
+        fps = self.params.fps or 30.0
+        lookback_ms = 60.0 * 1000.0 / fps
+        if timestamp_ms < lookback_ms:
+            return float("nan")
+        def stab_roll(ts):
+            org = self.gyro.org_quat_at_timestamp(ts)
+            smooth = self.gyro.smoothed_quat_at_timestamp(ts)
+            # nalgebra `smooth / org` is smooth * org^-1; stab = its inverse
+            stab = quat.inverse(quat.multiply(smooth, quat.inverse(org)))
+            return quat.euler_angles(stab)[2]
+        change = math.degrees(stab_roll(timestamp_ms)
+                              - stab_roll(timestamp_ms - lookback_ms))
+        while change > 180.0:
+            change -= 360.0
+        while change < -180.0:
+            change += 360.0
+        return change / (lookback_ms / 1000.0)
+
+    def get_x_angle(self, timestamp_ms: float) -> float:
+        """Stabilization roll angle in degrees (controller.rs:1547-1555)."""
+        from . import quaternion as quat
+        org = self.gyro.org_quat_at_timestamp(timestamp_ms)
+        smooth = self.gyro.smoothed_quat_at_timestamp(timestamp_ms)
+        stab = quat.inverse(quat.multiply(smooth, quat.inverse(org)))
+        return math.degrees(float(quat.euler_angles(stab)[2]))
+
+    def mesh_at_frame(self, frame: int):
+        """Mesh-correction floats for one frame (controller.rs:1507-1515)."""
+        mc = self.gyro.file_metadata.mesh_correction \
+            if self.gyro.file_metadata else []
+        if mc and 0 <= frame < len(mc):
+            return list(mc[frame][1])
+        return []
+
+    def set_lens_param(self, param: str, value: float):
+        """Adjust one lens-calibration scalar (lib.rs:1110-1129)."""
+        fp = self.lens.fisheye_params
+        if len(fp.camera_matrix) != 3 or len(fp.distortion_coeffs) < 4:
+            return
+        m = {"fx": (0, 0), "fy": (1, 1), "cx": (0, 2), "cy": (1, 2)}
+        if param in m:
+            i, j = m[param]
+            fp.camera_matrix[i][j] = value
+        elif param in ("k1", "k2", "k3", "k4"):
+            fp.distortion_coeffs[int(param[1]) - 1] = value
+        else:
+            return
+        self.invalidate()
+
+    def frequency_graph(self, idx: int, timestamp_ms: float, sample_rate: float,
+                        fft_size: int):
+        """Uniformly-resampled raw-IMU axis window for the frequency graph
+        (controller.rs:613-667): axis idx 0-2 = gyro xyz, 3-5 = accel xyz,
+        `fft_size` samples at `sample_rate` Hz ending ~fft_size/2 samples
+        after the (offset-corrected) timestamp. Returns (samples, sample_rate)
+        — ([], 0.0) when not enough data, like the reference's empty set."""
+        raw = self.gyro.get_raw_imu()
+        if not raw:
+            return [], 0.0
+        dt_ms = 1000.0 / sample_rate
+        center = timestamp_ms - self.gyro.offset_at_video_timestamp(timestamp_ms)
+        last_ts = center + dt_ms * fft_size / 2.0
+        sample_ts = max(min(last_ts, raw[-1].timestamp_ms) - fft_size * dt_ms, 0.0)
+        prev_ts = 0.0
+        prev_val = 0.0
+        samples = []
+        for x in raw:
+            vec = x.gyro if idx < 3 else x.accl
+            val = float(vec[idx % 3]) if vec is not None else 0.0
+            while x.timestamp_ms > sample_ts and len(samples) < fft_size:
+                denom = x.timestamp_ms - prev_ts
+                frac = (sample_ts - prev_ts) / denom if denom else 0.0
+                samples.append(prev_val + (val - prev_val) * min(max(frac, 0.0), 1.0))
+                sample_ts += dt_ms
+            if len(samples) >= fft_size:
+                break
+            prev_ts = x.timestamp_ms
+            prev_val = val
+        if len(samples) == fft_size:
+            return samples, sample_rate
+        return [], 0.0
+
+    def has_gravity_vectors(self) -> bool:
+        """controller.rs:2142."""
+        fm = self.gyro.file_metadata
+        return bool(fm and fm.gravity_vectors
+                    and len(fm.gravity_vectors.get("vec", ())) > 0)
+
+    def has_per_frame_focal_length(self) -> bool:
+        """controller.rs:2145."""
+        fm = self.gyro.file_metadata
+        return bool(fm and fm.lens_params)
+
+    def has_per_frame_lens_data(self) -> bool:
+        """controller.rs:2380 — per-frame lens params or mesh correction."""
+        fm = self.gyro.file_metadata
+        return bool(fm and (fm.lens_params or fm.mesh_correction))
+
     def export_lens_profile(self, path: str):
         """Write the active lens profile as reference-compatible JSON
         (controller.rs export_lens_profile)."""

@@ -9,6 +9,7 @@ import datetime
 import enum
 import json
 import logging
+import os
 from typing import Optional
 
 import numpy as np
@@ -223,6 +224,41 @@ def _json_default(o):
     if isinstance(o, np.ndarray):
         return o.tolist()
     raise TypeError(f"not JSON serializable: {type(o)}")
+
+
+def get_version_from_gyroflow_file(path: str) -> int:
+    """controller.rs:1280-1293 — the project's `version` field, 0 on error."""
+    try:
+        with open(path) as fh:
+            obj = json.load(fh)
+        return int(obj.get("version", 0))
+    except Exception:
+        return 0
+
+
+def _resolve_near(path: str, project_path: str) -> str:
+    """controller.rs get_new_videofile_url: when the recorded path no longer
+    exists, look for the same filename next to the project file."""
+    if not path or os.path.exists(path):
+        return path
+    sib = os.path.join(os.path.dirname(os.path.abspath(project_path)),
+                       os.path.basename(path))
+    return sib if os.path.exists(sib) else path
+
+
+def get_urls_from_gyroflow_file(path: str):
+    """controller.rs:1294-1342 — [videofile, gyro_source filepath], resolved
+    next to the project file when the stored paths don't exist."""
+    video = gyro = ""
+    try:
+        with open(path) as fh:
+            obj = json.load(fh)
+        video = _resolve_near(str(obj.get("videofile", "") or ""), path)
+        gs = obj.get("gyro_source") or {}
+        gyro = _resolve_near(str(gs.get("filepath", "") or ""), path)
+    except Exception:
+        pass
+    return [video, gyro]
 
 
 def import_gyroflow_data(mgr, data: str, blocking: bool = True):

@@ -67,6 +67,55 @@ class TestSmallInvokables:
             assert np.asarray(q).shape[-1] == 4
             assert abs(np.linalg.norm(np.asarray(q)) - 1.0) < 1e-6
 
+    def test_scaling_ratio_and_min_fov(self, mgr):
+        mgr.set_output_size(320, 240)
+        assert mgr.get_scaling_ratio() == 640 / 320
+        assert mgr.get_min_fov() == mgr.params.min_fov
+
+    def test_turn_speed_and_x_angle(self, mgr):
+        mgr.recompute_blocking()
+        # before the 60-frame lookback: NaN like the reference
+        assert np.isnan(mgr.get_turn_speed(100.0))
+        # 60-frame lookback at 30 fps = 2000 ms: the clip end is the first
+        # timestamp with enough history
+        ts = DUR_S * 1000.0
+        v = mgr.get_turn_speed(ts)
+        assert np.isfinite(v)
+        a = mgr.get_x_angle(ts)
+        assert np.isfinite(a) and -180.0 <= a <= 180.0
+
+    def test_mesh_at_frame_empty(self, mgr):
+        assert mgr.mesh_at_frame(0) == []
+
+    def test_set_lens_param(self, mgr):
+        mgr.lens = LensProfile.from_dict({
+            "calib_dimension": {"w": 640, "h": 480},
+            "fisheye_params": {
+                "camera_matrix": [[400.0, 0, 320], [0, 400.0, 240], [0, 0, 1]],
+                "distortion_coeffs": [0.1, -0.02, 0.0, 0.0],
+            },
+        })
+        mgr.set_lens_param("fx", 500.0)
+        mgr.set_lens_param("k2", 0.5)
+        fp = mgr.lens.fisheye_params
+        assert fp.camera_matrix[0][0] == 500.0
+        assert fp.distortion_coeffs[1] == 0.5
+        mgr.set_lens_param("bogus", 1.0)   # ignored like the reference
+
+    def test_frequency_graph(self, mgr):
+        sr, n = 200.0, 64
+        samples, out_sr = mgr.frequency_graph(0, DUR_S * 500.0, sr, n)
+        assert out_sr == sr and len(samples) == n
+        assert all(np.isfinite(samples))
+        # raw log runs at 400 Hz for DUR_S: far-too-large windows come back empty
+        samples, out_sr = mgr.frequency_graph(0, 0.0, 10.0, 10**6)
+        assert samples == [] and out_sr == 0.0
+
+    def test_has_flags(self, mgr):
+        assert mgr.has_per_frame_focal_length() is False
+        assert mgr.has_per_frame_lens_data() is False
+        assert isinstance(mgr.has_gravity_vectors(), bool)
+
     def test_export_lens_profile(self, mgr, tmp_path):
         mgr.lens = LensProfile.from_dict({
             "name": "t", "calibrated_by": "x",
