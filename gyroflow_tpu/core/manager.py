@@ -324,6 +324,24 @@ class StabilizationManager:
         fm = self.gyro.file_metadata
         return bool(fm and (fm.lens_params or fm.mesh_correction))
 
+    @staticmethod
+    def merge_mp4(file_list, output_path: str) -> dict:
+        """Join chaptered recordings (controller.rs:2179-2246 mp4_merge);
+        inputs are natural-sorted like the reference's human_sort."""
+        import re
+
+        def natkey(s):
+            return [int(t) if t.isdigit() else t.lower()
+                    for t in re.split(r"(\d+)", s)]
+        from ..utils.mp4_merge import merge_mp4 as _merge
+        return _merge(sorted(file_list, key=natkey), output_path)
+
+    @staticmethod
+    def merge_gcsv(file_list, output_path: str):
+        """Merge companion .gcsv chapter logs (controller.rs:2248-2353)."""
+        from ..utils.merge import merge_gcsv as _merge
+        return _merge(list(file_list), output_path)
+
     def export_lens_profile(self, path: str):
         """Write the active lens profile as reference-compatible JSON
         (controller.rs export_lens_profile)."""

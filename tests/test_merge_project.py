@@ -53,6 +53,60 @@ class TestMergeGcsv:
         assert os.path.exists(out)
 
 
+class TestMergeMp4:
+    def _write_clip(self, path, n, shade):
+        import cv2
+        w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                            30.0, (64, 48))
+        assert w.isOpened()
+        for i in range(n):
+            frame = np.full((48, 64, 3), shade + i, np.uint8)
+            w.write(frame)
+        w.release()
+
+    def test_chapters_concatenate(self, tmp_path):
+        import cv2
+        from gyroflow_tpu.utils.mp4_merge import merge_mp4
+        a, b = tmp_path / "a.mp4", tmp_path / "b.mp4"
+        self._write_clip(a, 10, 20)
+        self._write_clip(b, 7, 180)
+        out = str(tmp_path / "joined.mp4")
+        info = merge_mp4([str(a), str(b)], out)
+        assert info["files"] == 2
+        cap = cv2.VideoCapture(out)
+        assert cap.isOpened()
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 17
+        frames = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            frames.append(f)
+        cap.release()
+        assert len(frames) == 17
+        # second chapter's content really plays after the first's
+        assert abs(float(frames[0].mean()) - 20.0) < 3.0
+        assert abs(float(frames[10].mean()) - 180.0) < 3.0
+        assert abs(float(frames[16].mean()) - 186.0) < 3.0
+
+    def test_mismatch_rejected(self, tmp_path):
+        import cv2
+        from gyroflow_tpu.utils.mp4_merge import merge_mp4
+        a = tmp_path / "a.mp4"
+        self._write_clip(a, 5, 10)
+        w = cv2.VideoWriter(str(tmp_path / "b.avi"),
+                            cv2.VideoWriter_fourcc(*"MJPG"), 30.0, (64, 48))
+        for i in range(5):
+            w.write(np.zeros((48, 64, 3), np.uint8))
+        w.release()
+        import pytest
+        with pytest.raises(IOError):
+            merge_mp4([str(a), str(tmp_path / "b.avi")],
+                      str(tmp_path / "o.mp4"))
+        with pytest.raises(IOError):
+            merge_mp4([str(a)], str(tmp_path / "o.mp4"))
+
+
 class TestGyroflowFileHelpers:
     def test_version_and_urls(self, tmp_path):
         proj = tmp_path / "p.gyroflow"
