@@ -265,6 +265,8 @@ def _run_single(args) -> int:
     if video:
         from .render.renderer import RenderOptions, render
         base, ext = os.path.splitext(video)
+        if ext.lower() == ".dng":
+            ext = ".png"    # DNG is input-only; stabilized raws export as PNG16
         output = base + args.suffix + (ext if ext else ".mp4")
         if os.path.exists(output) and not args.overwrite:
             log.error("%s exists (use -f)", output)

@@ -1,0 +1,270 @@
+"""CinemaDNG image-sequence input (minimal DNG/TIFF-EP reader).
+
+Reference: image sequences including CinemaDNG are first-class inputs
+(/root/reference/README.md "Supports image sequences (PNG, OpenEXR,
+CinemaDNG)"; routed through ffmpeg's image2 demuxer + DNG decoder in
+rendering/mod.rs:234-239). This module reads the DNG frames directly:
+TIFF IFD walk, raw IFD selection, uncompressed CFA/linear-raw strips
+(8/12-packed/16-bit), black/white-level normalization and a bilinear
+demosaic to interleaved RGB48 for the kernel.
+
+Scope: Compression=1 (uncompressed) DNGs — the layout cameras write for
+"CinemaDNG uncompressed". Lossless-JPEG-compressed DNGs (Compression=7)
+need that entropy codec and are rejected with a clear error.
+"""
+from __future__ import annotations
+
+import glob as _glob
+import os
+import struct
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .formats import RAW_FORMATS
+
+# TIFF tags
+T_NEW_SUBFILE = 254
+T_WIDTH = 256
+T_LENGTH = 257
+T_BITS = 258
+T_COMPRESSION = 259
+T_PHOTOMETRIC = 262
+T_STRIP_OFFSETS = 273
+T_SAMPLES_PER_PIXEL = 277
+T_ROWS_PER_STRIP = 278
+T_STRIP_COUNTS = 279
+T_SUB_IFDS = 330
+T_CFA_PATTERN = 33422
+T_BLACK_LEVEL = 50714
+T_WHITE_LEVEL = 50717
+
+PHOTO_CFA = 32803
+PHOTO_LINEAR = 34892
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+              11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+def _read_ifd(buf: bytes, off: int, endian: str) -> Tuple[dict, int]:
+    n = struct.unpack_from(endian + "H", buf, off)[0]
+    tags = {}
+    for i in range(n):
+        base = off + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(endian + "HHI", buf, base)
+        size = _TYPE_SIZE.get(typ, 1) * cnt
+        if size <= 4:
+            data_off = base + 8
+        else:
+            data_off = struct.unpack_from(endian + "I", buf, base + 8)[0]
+        fmt = _TYPE_FMT.get(typ)
+        if fmt:
+            vals = struct.unpack_from(endian + fmt * cnt, buf, data_off)
+        elif typ == 5 or typ == 10:   # rationals
+            raw = struct.unpack_from(endian + ("I" if typ == 5 else "i") * cnt * 2,
+                                     buf, data_off)
+            vals = tuple(raw[j] / max(raw[j + 1], 1) for j in range(0, 2 * cnt, 2))
+        else:
+            vals = (buf[data_off:data_off + size],)
+        tags[tag] = vals
+    nxt = struct.unpack_from(endian + "I", buf, off + 2 + n * 12)[0]
+    return tags, nxt
+
+
+def _all_ifds(buf: bytes):
+    if buf[:2] == b"II":
+        endian = "<"
+    elif buf[:2] == b"MM":
+        endian = ">"
+    else:
+        raise IOError("not a TIFF/DNG file")
+    magic, off = struct.unpack_from(endian + "HI", buf, 2)
+    if magic != 42:
+        raise IOError("not a TIFF/DNG file")
+    out = []
+    seen = set()
+    stack = [off]
+    while stack:
+        o = stack.pop()
+        if not o or o in seen or o + 2 > len(buf):
+            continue
+        seen.add(o)
+        tags, nxt = _read_ifd(buf, o, endian)
+        out.append(tags)
+        stack.append(nxt)
+        for sub in tags.get(T_SUB_IFDS, ()):
+            if isinstance(sub, int):
+                stack.append(sub)
+    return out, endian
+
+
+def _unpack12(data: bytes, count: int) -> np.ndarray:
+    """Big-endian 12-bit packed samples -> uint16 (DNG packs MSB-first)."""
+    b = np.frombuffer(data, np.uint8)
+    b = b[: (count + 1) // 2 * 3]
+    b0, b1, b2 = b[0::3].astype(np.uint16), b[1::3].astype(np.uint16), \
+        b[2::3].astype(np.uint16)
+    first = (b0 << 4) | (b1 >> 4)
+    second = ((b1 & 0x0F) << 8) | b2
+    out = np.empty(first.size + second.size, np.uint16)
+    out[0::2] = first
+    out[1::2] = second
+    return out[:count]
+
+
+def _demosaic_bilinear(cfa: np.ndarray, pattern: bytes) -> np.ndarray:
+    """(H, W) CFA -> (H, W, 3) float32, bilinear interpolation.
+
+    Measured samples pass through untouched; missing sites take the
+    distance-weighted mean of same-channel neighbors in the 3x3 ring."""
+    h, w = cfa.shape
+    out = np.zeros((h, w, 3), np.float32)
+    k = np.array([[0.25, 0.5, 0.25], [0.5, 0.0, 0.5],
+                  [0.25, 0.5, 0.25]], np.float32)
+    for ch in range(3):
+        mask = np.zeros((h, w), np.float32)
+        # pattern bytes: 0=R 1=G 2=B row-major over the 2x2 tile
+        for dy in range(2):
+            for dx in range(2):
+                if pattern[dy * 2 + dx] == ch:
+                    mask[dy::2, dx::2] = 1.0
+        val = cfa * mask
+        pv = np.pad(val, 1, mode="edge")
+        pm = np.pad(mask, 1, mode="edge")
+        acc = np.zeros((h, w), np.float32)
+        norm = np.zeros((h, w), np.float32)
+        for ky in range(3):
+            for kx in range(3):
+                if k[ky, kx]:
+                    acc += k[ky, kx] * pv[ky:ky + h, kx:kx + w]
+                    norm += k[ky, kx] * pm[ky:ky + h, kx:kx + w]
+        filled = acc / np.maximum(norm, 1e-9)
+        out[..., ch] = np.where(mask > 0, cfa, filled)
+    return out
+
+
+class DNGSequenceReader:
+    """Iterates (timestamp_us, [one (H, W, 3) uint16 RGB plane])."""
+
+    def __init__(self, path: str, fps: float = 24.0):
+        self.files = self._expand(path)
+        if not self.files:
+            raise IOError(f"No DNG frames match: {path}")
+        self.fps = fps
+        self.frame_count = len(self.files)
+        first = self._decode(self.files[0])
+        self.height, self.width = first.shape[:2]
+        self.fmt = RAW_FORMATS["rgb48le"]
+        self._index = 0
+        self._first_cache: Optional[np.ndarray] = first
+
+    @staticmethod
+    def _expand(path: str) -> List[str]:
+        if os.path.isdir(path):
+            return sorted(_glob.glob(os.path.join(path, "*.dng")) +
+                          _glob.glob(os.path.join(path, "*.DNG")))
+        if "*" in path or "?" in path:
+            return sorted(_glob.glob(path))
+        import re
+        if re.search(r"%\d*d", path):
+            files, i, misses = [], 0, 0
+            while misses < 3:
+                p = path % i
+                if os.path.exists(p):
+                    files.append(p)
+                    misses = 0
+                elif files:
+                    break
+                else:
+                    misses += 1
+                i += 1
+            return files
+        return [path]
+
+    @staticmethod
+    def _raw_ifd(buf: bytes):
+        ifds, endian = _all_ifds(buf)
+        best = None
+        for t in ifds:
+            if T_WIDTH not in t or T_STRIP_OFFSETS not in t:
+                continue
+            photo = t.get(T_PHOTOMETRIC, (0,))[0]
+            subtype = t.get(T_NEW_SUBFILE, (0,))[0]
+            if photo in (PHOTO_CFA, PHOTO_LINEAR) and subtype == 0:
+                return t, endian
+            if best is None:
+                best = t
+        if best is None:
+            raise IOError("no raw image IFD in DNG")
+        return best, endian
+
+    def _decode(self, path: str) -> np.ndarray:
+        with open(path, "rb") as fh:
+            buf = fh.read()
+        t, endian = self._raw_ifd(buf)
+        w = t[T_WIDTH][0]
+        h = t[T_LENGTH][0]
+        bits = t.get(T_BITS, (16,))[0]
+        comp = t.get(T_COMPRESSION, (1,))[0]
+        photo = t.get(T_PHOTOMETRIC, (PHOTO_CFA,))[0]
+        spp = t.get(T_SAMPLES_PER_PIXEL, (1,))[0]
+        if comp != 1:
+            raise IOError(f"unsupported DNG compression {comp} "
+                          "(only uncompressed CinemaDNG is supported)")
+        offsets = t[T_STRIP_OFFSETS]
+        counts = t.get(T_STRIP_COUNTS, (len(buf) - offsets[0],))
+        data = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
+        n = w * h * spp
+        if bits == 16:
+            raw = np.frombuffer(data, np.dtype(endian + "u2"), count=n)
+        elif bits == 8:
+            raw = np.frombuffer(data, np.uint8, count=n).astype(np.uint16)
+        elif bits == 12:
+            raw = _unpack12(data, n)
+        else:
+            raise IOError(f"unsupported DNG bit depth {bits}")
+        black = float(np.mean(t.get(T_BLACK_LEVEL, (0,))))
+        white = float(t.get(T_WHITE_LEVEL, ((1 << bits) - 1,))[0])
+        img = raw.reshape(h, w, spp).astype(np.float32)
+        img = (img - black) / max(white - black, 1.0)
+        np.clip(img, 0.0, 1.0, out=img)
+        if photo == PHOTO_CFA and spp == 1:
+            pat = t.get(T_CFA_PATTERN, (b"\x00\x01\x01\x02",))[0]
+            if not isinstance(pat, (bytes, bytearray)):
+                pat = bytes(t[T_CFA_PATTERN][:4])
+            rgb = _demosaic_bilinear(img[..., 0], bytes(pat[:4]))
+        elif spp >= 3:
+            rgb = img[..., :3]
+        else:
+            rgb = np.repeat(img, 3, axis=-1)
+        return (rgb * 65535.0 + 0.5).astype(np.uint16)
+
+    @property
+    def pix_fmt(self) -> str:
+        return self.fmt.name
+
+    @property
+    def bit_depth(self) -> int:
+        return 16
+
+    def seek_frame(self, frame: int):
+        self._index = frame
+
+    def __iter__(self) -> Iterator[Tuple[int, List[np.ndarray]]]:
+        return self
+
+    def __next__(self):
+        if self._index >= len(self.files):
+            raise StopIteration
+        if self._index == 0 and self._first_cache is not None:
+            img = self._first_cache
+            self._first_cache = None
+        else:
+            img = self._decode(self.files[self._index])
+        ts_us = int(round(self._index * 1_000_000.0 / self.fps))
+        self._index += 1
+        return ts_us, [np.ascontiguousarray(img)]
+
+    def close(self):
+        self._first_cache = None

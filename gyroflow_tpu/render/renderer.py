@@ -60,16 +60,23 @@ def open_reader(input_path: str):
         from .y4m_io import Y4MReader
         return "planar", Y4MReader(input_path)
     from .img_seq import IMG_SEQ_EXTS
+    if ext == ".dng":
+        from .dng_seq import DNGSequenceReader
+        return "planar", DNGSequenceReader(input_path)
     if ext in IMG_SEQ_EXTS:
         from .img_seq import ImageSequenceReader
         return "planar", ImageSequenceReader(input_path)
     if ext == ".exr" or os.path.isdir(input_path) or "%" in input_path \
             or "*" in input_path:
         # sequence-ish path without an explicit image extension: PNG/TIFF if
-        # any integer-format frames match, else the float EXR reader
+        # any integer-format frames match, then DNG, else the float EXR reader
         from .img_seq import ImageSequenceReader, expand_sequence
-        if expand_sequence(input_path) and ext != ".exr":
-            return "planar", ImageSequenceReader(input_path)
+        if ext != ".exr":
+            if expand_sequence(input_path):
+                return "planar", ImageSequenceReader(input_path)
+            from .dng_seq import DNGSequenceReader
+            if DNGSequenceReader._expand(input_path) and not ext:
+                return "planar", DNGSequenceReader(input_path)
         from .exr_seq import EXRSequenceReader
         return "planar", EXRSequenceReader(input_path)
     from .ffmpeg_io import have_ffmpeg
@@ -88,6 +95,8 @@ def open_writer(output_path: str, ow: int, oh: int, fps: float,
         pix = options.pix_fmt or getattr(reader, "pix_fmt", "") or "yuv420p"
         return "planar", Y4MWriter(output_path, ow, oh, fps, pix)
     from .img_seq import IMG_SEQ_EXTS
+    if ext == ".dng":
+        raise IOError("DNG is input-only; render to .png/.exr/.y4m instead")
     if ext in IMG_SEQ_EXTS:
         from .img_seq import ImageSequenceWriter
         return "planar", ImageSequenceWriter(

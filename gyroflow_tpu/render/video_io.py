@@ -29,12 +29,15 @@ class VideoInfo:
 def probe_video(path: str) -> VideoInfo:
     ext = os.path.splitext(path)[1].lower()
     from .img_seq import IMG_SEQ_EXTS
-    if ext == ".y4m" or ext == ".exr" or ext in IMG_SEQ_EXTS \
+    if ext in (".y4m", ".exr", ".dng") or ext in IMG_SEQ_EXTS \
             or os.path.isdir(path) or "%" in path or "*" in path:
         # header-native probe (cv2 would force 8-bit or fail on sequences)
         if ext == ".y4m":
             from .y4m_io import Y4MReader
             r = Y4MReader(path)
+        elif ext == ".dng":
+            from .dng_seq import DNGSequenceReader
+            r = DNGSequenceReader(path)
         else:
             from .img_seq import ImageSequenceReader, expand_sequence
             if ext in IMG_SEQ_EXTS or (ext != ".exr" and expand_sequence(path)):

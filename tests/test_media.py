@@ -255,6 +255,111 @@ class TestPNGSequence:
         assert img.max() > 1024   # scaled to 16-bit range, not left at 10-bit
 
 
+def _write_dng(path, cfa16, bits=16, pattern=b"\x00\x01\x01\x02"):
+    """Minimal little-endian uncompressed CFA DNG (one strip, one IFD)."""
+    import struct
+    h, w = cfa16.shape
+    if bits == 16:
+        data = cfa16.astype("<u2").tobytes()
+    elif bits == 12:
+        flat = cfa16.astype(np.uint16).reshape(-1)
+        if flat.size % 2:
+            flat = np.append(flat, 0)
+        b = np.empty(flat.size // 2 * 3, np.uint8)
+        b[0::3] = (flat[0::2] >> 4).astype(np.uint8)
+        b[1::3] = (((flat[0::2] & 0xF) << 4) | (flat[1::2] >> 8)).astype(np.uint8)
+        b[2::3] = (flat[1::2] & 0xFF).astype(np.uint8)
+        data = b.tobytes()
+    entries = []  # (tag, type, count, value_or_bytes)
+    white = (1 << bits) - 1
+
+    def e(tag, typ, vals):
+        entries.append((tag, typ, vals))
+    e(254, 4, [0])          # NewSubfileType: full-res
+    e(256, 4, [w])
+    e(257, 4, [h])
+    e(258, 3, [bits])
+    e(259, 3, [1])          # uncompressed
+    e(262, 3, [32803])      # CFA
+    e(277, 3, [1])
+    e(278, 4, [h])
+    e(33422, 1, list(pattern))  # CFAPattern
+    e(50714, 3, [0])        # BlackLevel
+    e(50717, 4, [white])    # WhiteLevel
+    # layout: header(8) + IFD + data
+    n = len(entries) + 2    # + strip offset/counts added below
+    ifd_size = 2 + n * 12 + 4
+    data_off = 8 + ifd_size
+    e(273, 4, [data_off])   # StripOffsets
+    e(279, 4, [len(data)])  # StripByteCounts
+    entries.sort(key=lambda x: x[0])
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", len(entries))
+    tsz = {1: 1, 3: 2, 4: 4}
+    tfm = {1: "B", 3: "H", 4: "I"}
+    for (tag, typ, vals) in entries:
+        packed = struct.pack("<" + tfm[typ] * len(vals), *vals)
+        packed = packed.ljust(4, b"\x00")
+        assert len(packed) <= 4, "inline values only in this fixture"
+        out += struct.pack("<HHI", tag, typ, len(vals)) + packed
+    out += struct.pack("<I", 0)
+    assert len(out) == data_off
+    out += data
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+
+
+class TestDNGSequence:
+    def test_flat_field_demosaics_flat(self, tmp_path):
+        from gyroflow_tpu.render.dng_seq import DNGSequenceReader
+        # R=4000, G=2000, B=1000 flat field in RGGB
+        cfa = np.zeros((32, 48), np.uint16)
+        cfa[0::2, 0::2] = 4000
+        cfa[0::2, 1::2] = 2000
+        cfa[1::2, 0::2] = 2000
+        cfa[1::2, 1::2] = 1000
+        p = tmp_path / "f_0000.dng"
+        _write_dng(str(p), cfa)
+        r = DNGSequenceReader(str(tmp_path / "f_%04d.dng"))
+        assert (r.width, r.height, r.pix_fmt) == (48, 32, "rgb48le")
+        _, planes = next(iter(r))
+        rgb = planes[0].astype(np.float32) / 65535.0
+        inner = rgb[4:-4, 4:-4]
+        np.testing.assert_allclose(inner[..., 0], 4000 / 65535, atol=2e-3)
+        np.testing.assert_allclose(inner[..., 1], 2000 / 65535, atol=2e-3)
+        np.testing.assert_allclose(inner[..., 2], 1000 / 65535, atol=2e-3)
+        r.close()
+
+    def test_12bit_packed(self, tmp_path):
+        from gyroflow_tpu.render.dng_seq import DNGSequenceReader
+        rng = np.random.default_rng(0)
+        cfa = rng.integers(0, 4096, (16, 24)).astype(np.uint16)
+        _write_dng(str(tmp_path / "p_0000.dng"), cfa, bits=12)
+        r = DNGSequenceReader(str(tmp_path / "p_%04d.dng"))
+        _, planes = next(iter(r))
+        assert planes[0].shape == (16, 24, 3)
+        assert planes[0].dtype == np.uint16
+        # green at a green site survives normalization exactly
+        gy, gx = 0, 1
+        want = cfa[gy, gx] / 4095.0 * 65535.0
+        assert abs(float(planes[0][gy, gx, 1]) - want) < 80.0
+
+    def test_end_to_end_render(self, gcsv_path, tmp_path):  # noqa: F811
+        import cv2
+        rng = np.random.default_rng(5)
+        for i in range(3):
+            cfa = rng.integers(0, 65536, (VH, VW)).astype(np.uint16)
+            _write_dng(str(tmp_path / f"d_{i:04d}.dng"), cfa)
+        mgr = make_manager(gcsv_path)
+        outpat = str(tmp_path / "o_%04d.png")
+        stats = render(mgr, str(tmp_path / "d_%04d.dng"), outpat,
+                       RenderOptions(interpolation=2))
+        assert stats["frames"] == 3
+        img = cv2.imread(outpat % 0, cv2.IMREAD_UNCHANGED)
+        assert img is not None and img.dtype == np.uint16
+        assert img.shape == (VH, VW, 3)
+
+
 class TestCLIY4M:
     def test_cli_stabilizes_y4m_10bit(self, y4m10_path, gcsv_path, capsys):  # noqa: F811
         from gyroflow_tpu import cli
