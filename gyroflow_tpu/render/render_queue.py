@@ -109,13 +109,18 @@ class RenderQueue:
     def save_state(self):
         if not self.state_path:
             return
-        state = [{
-            "job_id": j.job_id, "input_file": j.input_file,
-            "output_file": j.output_file, "project_data": j.project_data,
-            "status": j.status.value, "progress": j.progress, "error": j.error,
-        } for j in self.jobs.values()]
-        with open(self.state_path, "w") as f:
-            json.dump(state, f)
+        # worker threads save on status changes: serialize writers and swap
+        # atomically so a concurrent load never sees interleaved JSON
+        with self._lock:
+            state = [{
+                "job_id": j.job_id, "input_file": j.input_file,
+                "output_file": j.output_file, "project_data": j.project_data,
+                "status": j.status.value, "progress": j.progress, "error": j.error,
+            } for j in self.jobs.values()]
+            tmp = self.state_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(state, f)
+            os.replace(tmp, self.state_path)
 
     @classmethod
     def load_state(cls, state_path: str, parallel_renders: int = 1) -> "RenderQueue":
