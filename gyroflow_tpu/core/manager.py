@@ -600,10 +600,14 @@ class StabilizationManager:
             wkey = (cfg, img.shape)
             win = self._win_cache.get(wkey)
             out = None
+            # 16-row tiles halve the per-tile fixed costs (one-hot builds,
+            # DMA waits, matmul fills) vs the 8-row default; every window
+            # candidate keeps win_h >= tile_h + taps
+            tile_h = 16
             if win is not None:
                 out, ov = remap.remap_plane_pallas_jit(
                     img, mats, cfg, dyn, mesh, win_h=win[0], win_w=win[1],
-                    win_k=win[2], tile_w=win[3], drawing=drawing)
+                    win_k=win[2], tile_w=win[3], tile_h=tile_h, drawing=drawing)
                 if bool(ov):
                     # geometry changed since the probe (zoom/fov keyframes):
                     # the cached window no longer covers some tile — re-probe
@@ -621,7 +625,8 @@ class StabilizationManager:
                              (96, 768, 0, 128)):
                     out, ov = remap.remap_plane_pallas_jit(
                         img, mats, cfg, dyn, mesh, win_h=cand[0], win_w=cand[1],
-                        win_k=cand[2], tile_w=cand[3], drawing=drawing)
+                        win_k=cand[2], tile_w=cand[3], tile_h=tile_h,
+                        drawing=drawing)
                     if not bool(ov):
                         self._win_cache[wkey] = cand
                         break
