@@ -139,6 +139,7 @@ def run_autosync(mgr, video_path: str, search_size: float = 3000.0,
                  time_per_syncpoint: float = 1.5,
                  of_method: str = "pyrlk",
                  offset_method: str = "rs_sync",
+                 pose_method=0,
                  calc_initial_fast: bool = True) -> List[Tuple[float, float]]:
     """AutosyncProcess (autosync.rs:15-130) + offsets-method dispatch
     (sync/mod.rs:382-389; default rs-sync like the reference). Returns
@@ -159,7 +160,8 @@ def run_autosync(mgr, video_path: str, search_size: float = 3000.0,
     for ts_mid in points:
         frame0 = max(int((ts_mid - time_per_syncpoint * 500.0) / 1000.0 * fps), 0)
         frame1 = int((ts_mid + time_per_syncpoint * 500.0) / 1000.0 * fps)
-        est = PoseEstimator(cp, size, of_method=of_method)
+        est = PoseEstimator(cp, size, of_method=of_method,
+                            pose_method=pose_method)
         reader.seek_frame(frame0)
         range_us = (int(frame0 / fps * 1e6), int((frame1 + 1) / fps * 1e6))
         for idx in range(frame0, frame1 + 1):

@@ -37,13 +37,127 @@ class FrameResult:
 
 OF_METHODS = ("pyrlk", "dis", "akaze")  # OpticalFlowMethod (optical_flow/mod.rs:11-36)
 
+# ---- Almeida rotation-only estimator (estimate_pose/almeida.rs) ------------
+
+_ALMEIDA_EPS = 0.001 * math.pi / 180.0
+_ALMEIDA_ALPHA = 0.5
+
+
+class _AlmeidaCamera:
+    """almeida.rs Camera: flow deltas of candidate rotations through the full
+    lens model (lens_correction_amount forced to 0 like PoseAlmeida::init)."""
+
+    def __init__(self, est: "PoseEstimator", ts_ms: float):
+        import copy
+        from ..ops.frame_transform import get_lens_data_at_timestamp
+        self.cp = copy.copy(est.cp)
+        self.cp.lens_correction_amount = 0.0
+        self.ts_ms = ts_ms
+        (self.camera_matrix, self.coeffs, _r, _h, _v, _f) = \
+            get_lens_data_at_timestamp(self.cp, ts_ms, False)
+        self.vw = float(self.cp.width)
+        self.vh = float(self.cp.height)
+
+    def delta(self, pos01: np.ndarray, rot3: np.ndarray) -> np.ndarray:
+        from ..ops.undistort_points import undistort_points
+        pts = pos01 * [self.vw, self.vh]
+        und = undistort_points(pts, np.asarray(self.camera_matrix, np.float64),
+                               self.coeffs, np.asarray(rot3, np.float64),
+                               np.asarray(self.camera_matrix, np.float64),
+                               None, self.cp, 1.0, 1.0, self.ts_ms, None, None)
+        return np.asarray(und, np.float64) / [self.vw, self.vh] - pos01
+
+    def axis_deltas(self, pos01: np.ndarray):
+        """(droll, dpitch, dyaw) flow derivatives at eps (rotation-independent,
+        hoisted out of the iteration loop)."""
+        from ..core import quaternion as quat
+        def rot(rx, ry, rz):
+            return quat.to_rotation_matrix(quat.from_euler_xyz(rx, ry, rz))
+        return (self.delta(pos01, rot(0.0, _ALMEIDA_EPS, 0.0)),
+                self.delta(pos01, rot(_ALMEIDA_EPS, 0.0, 0.0)),
+                self.delta(pos01, rot(0.0, 0.0, -_ALMEIDA_EPS)))
+
+    def point_angle(self, pos_px: np.ndarray) -> np.ndarray:
+        cm = self.camera_matrix
+        p = pos_px - [cm[0][2], cm[1][2]]
+        return np.arctan(p / [cm[0][0], cm[1][1]])
+
+
+def _almeida_solve_given(pos, mot, cam: _AlmeidaCamera):
+    """almeida.rs solve_ypr_given: iterative LS of (roll, pitch, yaw)."""
+    from ..core import quaternion as quat
+    d_axes = cam.axis_deltas(pos)          # 3 x (N, 2)
+    limit = int(math.ceil(15.0 / _ALMEIDA_ALPHA))
+    q = quat.identity()
+    for i in range(limit):
+        alpha = 1.0 if i == limit - 1 else _ALMEIDA_ALPHA
+        delta = cam.delta(pos, quat.to_rotation_matrix(q))
+        v0 = mot - delta
+        vs = [v0, *d_axes]
+        a = np.array([[np.sum(vs[i1] * vs[j1]) for j1 in (1, 2, 3)]
+                      for i1 in (1, 2, 3)])
+        b = np.array([np.sum(vs[i1] * vs[0]) for i1 in (1, 2, 3)])
+        try:
+            model = np.linalg.solve(a, b)
+        except np.linalg.LinAlgError:
+            model = np.zeros(3)
+        model = model * _ALMEIDA_EPS * alpha
+        roll = quat.from_euler_xyz(0.0, model[0], 0.0)
+        pitch = quat.from_euler_xyz(model[1], 0.0, 0.0)
+        yaw = quat.from_euler_xyz(0.0, 0.0, -model[2])
+        inc = quat.multiply(quat.multiply(pitch, roll), yaw)
+        q = quat.multiply(q, inc)
+    return quat.inverse(q)
+
+
+def _almeida_solve_ransac(pos, mot, est: "PoseEstimator", ts_ms: float,
+                          num_iters: int = None, inlier_angle_deg: float = 0.05,
+                          num_samples: int = 1000):
+    """almeida.rs solve_ypr_ransac. The inlier test uses pixel coordinates for
+    point_angle (the reference passes normalized coords into a pixel-space
+    intrinsics subtraction; consistent units keep the test meaningful)."""
+    from ..core import quaternion as quat
+    cam = _AlmeidaCamera(est, ts_ms)
+    n = len(pos)
+    num_iters = est.almeida_iters if num_iters is None else num_iters
+    if n < 3:
+        return None
+    rng = np.random.default_rng(0)
+    target = math.radians(inlier_angle_deg)
+    best_mask = None
+    best_count = -1
+    for _ in range(num_iters):
+        idx = rng.choice(n, size=3, replace=n < 3)
+        fit = _almeida_solve_given(pos[idx], mot[idx], cam)
+        sub = rng.choice(n, size=min(num_samples, n), replace=False)
+        mat = quat.to_rotation_matrix(quat.inverse(fit))
+        delta = cam.delta(pos[sub], mat)
+        sample = pos[sub] + delta
+        vec = mot[sub] - delta
+        ang = cam.point_angle(sample * [cam.vw, cam.vh])
+        resid = np.sum((vec * np.cos(ang)) ** 2, axis=1)
+        mask = sub[resid <= target * target]
+        if len(mask) > best_count:
+            best_count = len(mask)
+            best_mask = mask
+    if best_mask is None or len(best_mask) < 3:
+        return None
+    return _almeida_solve_given(pos[best_mask], mot[best_mask], cam)
+# estimate_pose/mod.rs:28-36 int mapping
+POSE_METHODS = ("essential_matrix", "almeida", "eight_point", "homography")
+
 
 class PoseEstimator:
     def __init__(self, compute_params, processing_size: Tuple[int, int],
-                 of_method: str = "pyrlk"):
+                 of_method: str = "pyrlk", pose_method=0):
         self.cp = compute_params
         self.size = processing_size
         self.of_method = of_method if of_method in OF_METHODS else "pyrlk"
+        if isinstance(pose_method, str):
+            pose_method = POSE_METHODS.index(pose_method) \
+                if pose_method in POSE_METHODS else 0
+        self.pose_method = int(pose_method)
+        self.almeida_iters = 200   # almeida.rs num_iters
         self.results: Dict[int, FrameResult] = {}
         self.estimated_gyro: List[TimeIMU] = []
         self._prev = None  # (timestamp_us, gray, pts)
@@ -106,25 +220,91 @@ class PoseEstimator:
                     p1.astype(np.float64), timestamp_us, self.cp, self.size), np.float64)
                 good = (np.abs(u0) < 100).all(axis=1) & (np.abs(u1) < 100).all(axis=1)
                 u0, u1 = u0[good], u1[good]
-                if len(u0) >= 8:
-                    # find_essential_mat.rs:37-45: LMEDS, threshold 1e-5,
-                    # 4000 iters, triangulated recoverPose, >= 10 inliers
-                    E, mask = cv2.findEssentialMat(
-                        u0, u1, np.eye(3), method=cv2.LMEDS, prob=0.999,
-                        threshold=1e-5, maxIters=4000)
-                    if E is not None and E.shape == (3, 3):
-                        inliers, R, _t, mask2, _tri = cv2.recoverPose(
-                            E, u0, u1, np.eye(3), distanceThresh=100000.0,
-                            mask=mask)
-                        if inliers >= 10:
-                            rv, _ = cv2.Rodrigues(R)
-                            dt_s = (timestamp_us - prev_ts) / 1e6
-                            if dt_s > 0:
-                                fr = self.results.get(prev_ts) or FrameResult(prev_ts)
-                                fr.rotvec = rv.reshape(3) / dt_s
-                                fr.points = int(len(u0))
-                                self.results[prev_ts] = fr
+                if self.pose_method == 1:
+                    R = self._pose_almeida(p0, p1, prev_ts)
+                elif self.pose_method == 2 and len(u0) >= 8:
+                    R = self._pose_eight_point(u0, u1)
+                elif self.pose_method == 3 and len(u0) >= 8:
+                    R = self._pose_homography(u0, u1)
+                elif len(u0) >= 8:
+                    R = self._pose_essential(u0, u1)
+                else:
+                    R = None
+                if R is not None:
+                    rv, _ = cv2.Rodrigues(R)
+                    dt_s = (timestamp_us - prev_ts) / 1e6
+                    if dt_s > 0:
+                        fr = self.results.get(prev_ts) or FrameResult(prev_ts)
+                        fr.rotvec = rv.reshape(3) / dt_s
+                        fr.points = int(len(u0))
+                        self.results[prev_ts] = fr
         self._prev = (timestamp_us, gray, pts)
+
+    # ---- pose methods (estimate_pose/mod.rs registry) ----------------------
+
+    @staticmethod
+    def _pose_essential(u0, u1):
+        """find_essential_mat.rs:37-45: LMEDS, threshold 1e-5, 4000 iters,
+        triangulated recoverPose, >= 10 inliers."""
+        import cv2
+        E, mask = cv2.findEssentialMat(u0, u1, np.eye(3), method=cv2.LMEDS,
+                                       prob=0.999, threshold=1e-5, maxIters=4000)
+        if E is None or E.shape != (3, 3):
+            return None
+        inliers, R, _t, _mask2, _tri = cv2.recoverPose(
+            E, u0, u1, np.eye(3), distanceThresh=100000.0, mask=mask)
+        return R if inliers >= 10 else None
+
+    @staticmethod
+    def _pose_eight_point(u0, u1):
+        """eight_point.rs: 8-point algorithm inside a robust consensus loop
+        over escalating thresholds (arrsac 1e-10/1e-8/1e-6 -> RANSAC reproj
+        ladder on normalized coords)."""
+        import cv2
+        for thr in (1e-4, 1e-3, 1e-2):
+            F, mask = cv2.findFundamentalMat(u0, u1, cv2.FM_RANSAC, thr, 0.999,
+                                             2000)
+            if F is None or F.shape != (3, 3):
+                continue
+            # normalized coords -> fundamental == essential
+            inliers, R, _t, _m = cv2.recoverPose(F, u0, u1, mask=mask)
+            if inliers >= 10:
+                return R
+        log.warning("eight-point: couldn't find model")
+        return None
+
+    @staticmethod
+    def _pose_homography(u0, u1):
+        """find_homography.rs: RANSAC homography on undistorted normalized
+        points, decompose, pick the solution with the smallest |t|."""
+        import cv2
+        H, _mask = cv2.findHomography(u0, u1, cv2.RANSAC, 0.001,
+                                      maxIters=2000, confidence=0.999)
+        if H is None:
+            return None
+        n, Rs, Ts, _Ns = cv2.decomposeHomographyMat(H, np.eye(3))
+        if not n:
+            return None
+        best = min(range(n), key=lambda i: float(Ts[i].reshape(-1) @ Ts[i].reshape(-1)))
+        return Rs[best]
+
+    def _pose_almeida(self, p0, p1, timestamp_us: int):
+        """almeida.rs: iterative least-squares of roll/pitch/yaw increments on
+        the optical-flow field (RANSAC over 3-point fits). Returns the frame
+        rotation matrix (the estimator's inverse-of-point-rotation, inverted
+        again per PoseAlmeida::estimate_pose)."""
+        from ..core import quaternion as quat
+        w, h = float(self.size[0]), float(self.size[1])
+        pos = np.asarray(p0, np.float64) / [w, h]
+        mot = (np.asarray(p1, np.float64) - np.asarray(p0, np.float64)) / [w, h]
+        if len(pos) < 3:
+            return None
+        ts_ms = timestamp_us / 1000.0
+        q = _almeida_solve_ransac(pos, mot, self, ts_ms)
+        if q is None:
+            return None
+        # estimator returns inverse already; estimate_pose inverts again
+        return quat.to_rotation_matrix(quat.inverse(q))
 
     def recalculate_gyro_data(self, fps: float, lpf_hz: float = 0.0):
         """mod.rs:269-361: mid-frame timestamps, X/Y swap, deg/s, optional LPF."""

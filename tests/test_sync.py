@@ -90,6 +90,49 @@ def spin_frames(n=8, size=(320, 240), deg_per_frame=1.2, seed=0):
     return frames
 
 
+class TestPoseMethods:
+    def test_eight_point_3d_scene(self):
+        """Eight-point needs parallax (pure rotation is F-degenerate — the
+        flow is a homography); verify on a 3D cloud with rotation + baseline."""
+        import cv2
+        from gyroflow_tpu.sync.pose_estimator import PoseEstimator
+        rng = np.random.default_rng(3)
+        pts3 = np.c_[rng.uniform(-1, 1, 200), rng.uniform(-1, 1, 200),
+                     rng.uniform(4, 8, 200)]
+        ang = np.radians(2.0)
+        R, _ = cv2.Rodrigues(np.array([0.3 * ang, ang, 0.1 * ang]))
+        t = np.array([0.2, 0.05, 0.0])
+        p2 = (pts3 @ R.T) + t
+        u0 = pts3[:, :2] / pts3[:, 2:]
+        u1 = p2[:, :2] / p2[:, 2:]
+        got = PoseEstimator._pose_eight_point(u0, u1)
+        assert got is not None
+        rv, _ = cv2.Rodrigues(got)
+        want, _ = cv2.Rodrigues(R)
+        np.testing.assert_allclose(rv.reshape(-1), want.reshape(-1), atol=5e-3)
+
+    @pytest.mark.parametrize("pose", ["almeida", "homography"])
+    def test_rotation_recovered(self, pose):
+        from gyroflow_tpu.core.manager import StabilizationManager
+        from gyroflow_tpu.sync.pose_estimator import PoseEstimator
+
+        size = (320, 240)
+        mgr = StabilizationManager()
+        mgr.init_from_video_data(1000.0, 30.0, 30, size)
+        mgr.params.size = size
+        cp = mgr.get_compute_params()
+        est = PoseEstimator(cp, size, pose_method=pose)
+        est.almeida_iters = 8   # keep the RANSAC loop test-sized
+        fps = 30.0
+        for i, f in enumerate(spin_frames(6, size)):
+            est.feed_frame(int(i / fps * 1e6), f, fps)
+        items = est.recalculate_gyro_data(fps)
+        assert len(items) >= 3, f"{pose}: too few pose results"
+        gz = np.array([abs(v.gyro[2]) for v in items])
+        assert np.median(gz) == pytest.approx(36.0, rel=0.35), \
+            f"{pose}: {np.median(gz)}"
+
+
 class TestOpticalFlowMethods:
     @pytest.mark.parametrize("method", ["pyrlk", "dis", "akaze"])
     def test_rotation_recovered(self, method):
