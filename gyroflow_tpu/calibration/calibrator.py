@@ -113,6 +113,21 @@ class LensCalibrator:
                   sharpness, self.max_sharpness)
         return False
 
+    def draw_corners(self, frame: int, canvas, size: Tuple[int, int],
+                     inverted: bool = False) -> bool:
+        """Overlay the frame's detected corners into a DrawCanvas
+        (controller.rs update_calib_model -> calibration/drawing.rs)."""
+        det = self.all_matches.get(frame)
+        if det is None:
+            return False
+        from .drawing import draw_chessboard_corners
+        pts = [(float(x), float(y)) for x, y in det.points]
+        draw_chessboard_corners((self.width, self.height), size, canvas,
+                                (self.columns, self.rows), pts,
+                                found=len(pts) == self.columns * self.rows,
+                                inverted=inverted)
+        return True
+
     def _run_one(self, frames: List[int]) -> Tuple[float, np.ndarray, np.ndarray]:
         import cv2
         # cv2 fisheye requires (1, N, D)-shaped views

@@ -58,6 +58,20 @@ class TestCalibrator:
         assert prof.is_valid()
         assert prof.fisheye_params.RMS_error == rms
 
+    def test_draw_corners_overlay(self):
+        from gyroflow_tpu.core.drawing import DrawCanvas
+        k = np.array([[420.0, 0, 320.0], [0, 420.0, 240.0], [0, 0, 1.0]])
+        d = np.array([0.08, -0.02, 0.004, -0.0005])
+        cal = LensCalibrator(columns=14, rows=8, max_images=0)
+        img = render_chessboard(k, d, rvec=np.zeros(3),
+                                tvec=np.array([-6.5, -3.5, 12.0]))
+        assert cal.feed_frame(0, 0, img)
+        canvas = DrawCanvas(640, 480, 640, 480)
+        assert cal.draw_corners(0, canvas, (640, 480))
+        # rainbow X-marks + connector lines landed in the canvas bytes
+        assert int((canvas.buffer != 0).sum()) > 200
+        assert cal.draw_corners(99, canvas, (640, 480)) is False
+
 
 class TestDatabase:
     def test_load_search_find(self, tmp_path):
