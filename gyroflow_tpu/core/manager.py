@@ -32,6 +32,8 @@ class StabilizationManager:
         self.params = StabilizationParams()
         self.keyframes = KeyframeManager()
         self.input_file: Optional[str] = None
+        self.image_sequence_start = 0     # lib.rs InputFile:61-62
+        self.image_sequence_fps = 0.0
         self._compute_params: Optional[ComputeParams] = None
         self._stab_cache: Dict[int, object] = {}     # ts_us -> FrameTransform
         self._win_cache: Dict[object, tuple] = {}    # cfg -> sampler window size
@@ -661,6 +663,8 @@ class StabilizationManager:
         m.params = copy.deepcopy(self.params)
         m.keyframes = self.keyframes.clone()
         m.input_file = self.input_file
+        m.image_sequence_start = self.image_sequence_start
+        m.image_sequence_fps = self.image_sequence_fps
         return m
 
     def offset_at_video_timestamp(self, timestamp_ms: float) -> float:

@@ -122,6 +122,8 @@ def export_gyroflow_data(mgr, typ: GyroflowProjectType = GyroflowProjectType.Wit
         "videofile": mgr.input_file or "",
         "calibration_data": mgr.lens.to_dict(),
         "date": datetime.date.today().isoformat(),
+        "image_sequence_start": getattr(mgr, "image_sequence_start", 0),
+        "image_sequence_fps": getattr(mgr, "image_sequence_fps", 0.0),
         "background_color": list(params.background),
         "background_mode": int(params.background_mode),
         "background_margin": params.background_margin,
@@ -370,6 +372,8 @@ def import_gyroflow_data(mgr, data: str, blocking: bool = True):
             gyro.load_from_telemetry(_file_metadata_from_cbor(decoded))
 
     mgr.input_file = obj.get("videofile") or mgr.input_file
+    mgr.image_sequence_start = int(obj.get("image_sequence_start", 0) or 0)
+    mgr.image_sequence_fps = float(obj.get("image_sequence_fps", 0.0) or 0.0)
     mgr.invalidate()
     if blocking and gyro.has_motion():
         mgr.recompute_blocking()

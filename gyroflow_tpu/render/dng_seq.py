@@ -179,6 +179,9 @@ class DNGSequenceReader:
                 else:
                     misses += 1
                 i += 1
+            if not files:
+                # arbitrary start number: glob the pattern
+                files = sorted(_glob.glob(re.sub(r"%\d*d", "*", path)))
             return files
         return [path]
 

@@ -49,6 +49,9 @@ def _expand(path: str) -> List[str]:
             else:
                 misses += 1
             i += 1
+        if not files:
+            # arbitrary start number (image_sequence_start): glob the pattern
+            files = sorted(_glob.glob(re.sub(r"%\d*d", "*", path)))
         return files
     return [path]
 

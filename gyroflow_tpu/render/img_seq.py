@@ -61,6 +61,9 @@ def expand_sequence(path: str, exts: Tuple[str, ...] = IMG_SEQ_EXTS) -> List[str
             else:
                 misses += 1
             i += 1
+        if not files:
+            # arbitrary start number (image_sequence_start): glob the pattern
+            files = sorted(_glob.glob(re.sub(r"%\d*d", "*", path)))
         return files
     return [path]
 

@@ -178,6 +178,11 @@ def render(mgr, input_path: str, output_path: str,
 
     options = options or RenderOptions()
     kind, reader = open_reader(input_path)
+    # image sequences carry no timebase: the project's image_sequence_fps
+    # drives frame timestamps (lib.rs:1293, rendering/mod.rs:234-239)
+    seq_fps = float(getattr(mgr, "image_sequence_fps", 0.0) or 0.0)
+    if seq_fps > 0.0 and hasattr(reader, "files"):
+        reader.fps = seq_fps
     ow = options.output_width or mgr.params.output_size[0] or reader.width
     oh = options.output_height or mgr.params.output_size[1] or reader.height
     if (ow, oh) != tuple(mgr.params.output_size):

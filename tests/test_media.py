@@ -241,6 +241,35 @@ class TestPNGSequence:
             assert n == 3
             r.close()
 
+    def test_arbitrary_start_number_and_project_fps(self, gcsv_path, tmp_path):  # noqa: F811
+        """Sequences starting at e.g. 1000 resolve via the glob fallback, and
+        the project's image_sequence_fps drives frame timestamps
+        (lib.rs:1293, InputFile:61-62)."""
+        import cv2
+        from gyroflow_tpu.core.project_file import (export_gyroflow_data,
+                                                    import_gyroflow_data)
+        from gyroflow_tpu.render.img_seq import ImageSequenceReader
+        for i in range(3):
+            cv2.imwrite(str(tmp_path / f"s_{1000 + i:04d}.png"),
+                        np.full((VH, VW), 100 + i, np.uint8))
+        r = ImageSequenceReader(str(tmp_path / "s_%04d.png"))
+        assert r.frame_count == 3
+        r.close()
+
+        mgr = make_manager(gcsv_path)
+        mgr.image_sequence_start = 1000
+        mgr.image_sequence_fps = 12.5
+        m2 = StabilizationManager()
+        m2.init_from_video_data(DUR_S * 1000.0, VFPS, int(DUR_S * VFPS), (VW, VH))
+        import_gyroflow_data(m2, export_gyroflow_data(mgr), blocking=True)
+        assert m2.image_sequence_start == 1000
+        assert m2.image_sequence_fps == 12.5
+
+        outpat = str(tmp_path / "o_%04d.png")
+        stats = render(m2, str(tmp_path / "s_%04d.png"), outpat,
+                       RenderOptions(interpolation=2))
+        assert stats["frames"] == 3
+
     def test_yuv_to_png_conversion(self, y4m10_path, gcsv_path, tmp_path):  # noqa: F811
         """10-bit YUV420 input rendered to a PNG sequence converts to 16-bit
         RGB on the host (the reference's ffmpeg PNG-encode conversion)."""
