@@ -214,6 +214,14 @@ def export_gyroflow_data(mgr, typ: GyroflowProjectType = GyroflowProjectType.Wit
             blob = compress_to_base91_cbor(value)
             if blob:
                 gs[name] = blob
+        # per-frame focal length arrays for plugins (lib.rs:1391-1398)
+        for name, value in (("focal_lengths", params.focal_lengths),
+                            ("smoothed_focal_lengths", params.smoothed_focal_lengths)):
+            if value:
+                blob = compress_to_base91_cbor([None if v is None else float(v)
+                                                for v in value])
+                if blob:
+                    gs[name] = blob
 
     return json.dumps(obj, indent=2, default=_json_default)
 
@@ -371,9 +379,27 @@ def import_gyroflow_data(mgr, data: str, blocking: bool = True):
             gyro.duration_ms = params.get_scaled_duration_ms() or gyro.duration_ms
             gyro.load_from_telemetry(_file_metadata_from_cbor(decoded))
 
+    # per-frame focal length arrays (lib.rs:1635-1641)
+    for name, attr in (("focal_lengths", "focal_lengths"),
+                       ("smoothed_focal_lengths", "smoothed_focal_lengths")):
+        blob = gs.get(name)
+        if isinstance(blob, str):
+            fls = decompress_from_base91_cbor(blob)
+            if isinstance(fls, list):
+                setattr(params, attr,
+                        [None if v is None else float(v) for v in fls])
+
     mgr.input_file = obj.get("videofile") or mgr.input_file
     mgr.image_sequence_start = int(obj.get("image_sequence_start", 0) or 0)
     mgr.image_sequence_fps = float(obj.get("image_sequence_fps", 0.0) or 0.0)
+    # render-output settings object (written by the render queue / plugins;
+    # lib.rs:1745-1751 reads the output size back)
+    out = obj.get("output")
+    if isinstance(out, dict):
+        ow = int(out.get("output_width", 0) or 0)
+        oh = int(out.get("output_height", 0) or 0)
+        if ow > 0 and oh > 0:
+            params.output_size = (ow, oh)
     mgr.invalidate()
     if blocking and gyro.has_motion():
         mgr.recompute_blocking()

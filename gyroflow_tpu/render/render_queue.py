@@ -53,13 +53,26 @@ class RenderQueue:
     def add_job(self, mgr, input_file: str, output_file: str,
                 options: Optional[RenderOptions] = None) -> int:
         from ..core.project_file import GyroflowProjectType, export_gyroflow_data
+        opts = options or RenderOptions()
+        # persist the render-output settings in the project blob like the
+        # reference queue (render_queue.rs get_render_options -> "output")
+        output = {
+            "codec": opts.codec, "bitrate": opts.bitrate,
+            "output_width": opts.output_width, "output_height": opts.output_height,
+            "use_gpu": opts.use_gpu, "audio": opts.audio,
+            "pixel_format": opts.pix_fmt,
+            "output_folder": os.path.dirname(os.path.abspath(output_file)),
+            "output_filename": os.path.basename(output_file),
+        }
         with self._lock:
             job_id = self._next_id
             self._next_id += 1
             self.jobs[job_id] = RenderJob(
                 job_id=job_id, input_file=input_file, output_file=output_file,
-                project_data=export_gyroflow_data(mgr, GyroflowProjectType.WithGyroData),
-                options=options or RenderOptions())
+                project_data=export_gyroflow_data(
+                    mgr, GyroflowProjectType.WithGyroData,
+                    additional_data={"output": output}),
+                options=opts)
         self.save_state()
         return job_id
 

@@ -93,6 +93,30 @@ class TestProjectRoundTrip:
         fovs = decompress_from_base91_cbor(gs["adaptive_zoom_fovs"])
         assert len(fovs) == manager.params.frame_count
 
+    def test_focal_length_blobs_roundtrip(self, manager):  # noqa: F811
+        manager.params.focal_lengths = [24.0, None, 24.5, 25.0]
+        manager.params.smoothed_focal_lengths = [24.0, 24.2, 24.5, 25.0]
+        data = export_gyroflow_data(manager, GyroflowProjectType.WithProcessedData)
+        gs = json.loads(data)["gyro_source"]
+        assert isinstance(gs["focal_lengths"], str)
+        from gyroflow_tpu.core.manager import StabilizationManager
+        m2 = StabilizationManager()
+        m2.init_from_video_data(manager.params.duration_ms, manager.params.fps,
+                                manager.params.frame_count, manager.params.size)
+        import_gyroflow_data(m2, data, blocking=False)
+        assert m2.params.focal_lengths == [24.0, None, 24.5, 25.0]
+        assert m2.params.smoothed_focal_lengths == [24.0, 24.2, 24.5, 25.0]
+
+    def test_output_object_sets_size(self, manager):  # noqa: F811
+        data = export_gyroflow_data(manager, additional_data={
+            "output": {"output_width": 1280, "output_height": 720}})
+        from gyroflow_tpu.core.manager import StabilizationManager
+        m2 = StabilizationManager()
+        m2.init_from_video_data(manager.params.duration_ms, manager.params.fps,
+                                manager.params.frame_count, manager.params.size)
+        import_gyroflow_data(m2, data, blocking=False)
+        assert m2.params.output_size == (1280, 720)
+
     def test_reject_non_project(self, manager):  # noqa: F811
         with pytest.raises(ValueError):
             import_gyroflow_data(manager, json.dumps({"title": "nope"}))
