@@ -9,6 +9,7 @@ import datetime
 import enum
 import json
 import logging
+import math
 import os
 from typing import Optional
 
@@ -154,6 +155,12 @@ def export_gyroflow_data(mgr, typ: GyroflowProjectType = GyroflowProjectType.Wit
             "horizon_lock_roll": hl.horizonroll,
             "horizon_lock_pitch_enabled": hl.lock_pitch,
             "horizon_lock_pitch": hl.horizonpitch,
+            "automatic_lock": hl.automatic_lock,
+            "turn_threshold": hl.turn_threshold,
+            "turn_smoothing_ms": hl.turn_smoothing_ms,
+            "turn_multiplier": hl.turn_multiplier,
+            "tilt_accel_limit": (None if math.isinf(hl.tilt_accel_limit)
+                                 else hl.tilt_accel_limit),
             "use_gravity_vectors": gyro.use_gravity_vectors,
             "horizon_lock_integration_method": gyro.horizon_lock_integration_method,
             "video_speed": params.video_speed,
@@ -330,11 +337,17 @@ def import_gyroflow_data(mgr, data: str, blocking: bool = True):
         if "name" in p and "value" in p:
             mgr.smoothing.current.set_parameter(p["name"], float(p["value"]))
 
+    _tal = st.get("tilt_accel_limit")
     mgr.smoothing.horizon_lock.set_horizon(
         float(st.get("horizon_lock_amount", 0.0)),
         float(st.get("horizon_lock_roll", 0.0)),
         lock_pitch=bool(st.get("horizon_lock_pitch_enabled", False)),
-        pitch=float(st.get("horizon_lock_pitch", 0.0)))
+        pitch=float(st.get("horizon_lock_pitch", 0.0)),
+        automatic_lock=bool(st.get("automatic_lock", False)),
+        turn_threshold=float(st.get("turn_threshold", 5.0)),
+        turn_smoothing_ms=float(st.get("turn_smoothing_ms", 500.0)),
+        turn_multiplier=float(st.get("turn_multiplier", 1.0)),
+        tilt_accel_limit=float(_tal) if _tal is not None else math.inf)
 
     gyro = mgr.gyro
     gs = obj.get("gyro_source") or {}
@@ -368,9 +381,19 @@ def import_gyroflow_data(mgr, data: str, blocking: bool = True):
     mgr.keyframes.deserialize(obj.get("keyframes") or {})
     mgr.keyframes.update_gyro(gyro)
 
+    # legacy single trim range (lib.rs:1780-1784) and the horizontal-RS flag
+    # of v1 projects (lib.rs:1666)
+    if obj.get("trim_start") is not None and obj.get("trim_end") is not None:
+        params.trim_ranges = [(float(obj["trim_start"]), float(obj["trim_end"]))]
+    if st.get("horizontal_rs"):
+        params.frame_readout_direction = (
+            ReadoutDirection.RightToLeft if params.frame_readout_time < 0.0
+            else ReadoutDirection.LeftToRight)
     if obj.get("trim_ranges_ms") and params.duration_ms > 0:
-        params.trim_ranges = [(a / params.duration_ms, b / params.duration_ms)
-                              for a, b in obj["trim_ranges_ms"]]
+        dur = params.duration_ms
+        params.trim_ranges = [
+            (a / dur, ((dur + b) if b < 0.0 else b) / dur)
+            for a, b in obj["trim_ranges_ms"]]
 
     fmd = gs.get("file_metadata")
     if isinstance(fmd, str):
