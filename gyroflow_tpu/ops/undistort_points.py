@@ -32,7 +32,7 @@ def undistort_points(distorted: np.ndarray, camera_matrix: np.ndarray,
                      lens_correction_amount: float, fov: float, timestamp_ms: float,
                      shift_per_point: Optional[np.ndarray],
                      mesh: Optional[np.ndarray]) -> np.ndarray:
-    """cpu_undistort.rs:652-858 (mesh path pending with the Sony milestone)."""
+    """cpu_undistort.rs:652-858 (incl. the FPD/mesh correction path)."""
     pts = np.atleast_2d(np.asarray(distorted, dtype=np.float64))
     n = pts.shape[0]
     f = (camera_matrix[0, 0], camera_matrix[1, 1])

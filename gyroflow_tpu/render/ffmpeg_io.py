@@ -139,17 +139,60 @@ class FFmpegReader:
             self.proc.kill()
 
 
+_ENCODER_CACHE: dict = {}
+
+
+def available_encoders() -> set:
+    """Names from `ffmpeg -encoders`, cached per binary (ffmpeg_hw.rs's
+    encoder discovery; used to pick hardware encoders when present)."""
+    key = FFMPEG
+    if key not in _ENCODER_CACHE:
+        names = set()
+        try:
+            out = subprocess.run([FFMPEG, "-hide_banner", "-encoders"],
+                                 capture_output=True, timeout=20)
+            for line in out.stdout.decode("utf-8", "replace").splitlines():
+                parts = line.split()
+                # " V....D libx264   H.264 / ..." — flags then name
+                if len(parts) >= 2 and parts[0] and parts[0][0] in "VAS":
+                    names.add(parts[1])
+        except Exception:
+            pass
+        _ENCODER_CACHE[key] = names
+    return _ENCODER_CACHE[key]
+
+
+# hardware encoder preference per codec family (ffmpeg_hw.rs:
+# nvenc > qsv > vaapi > videotoolbox > amf, software fallback)
+_HW_ENCODERS = {
+    "h264": ("h264_nvenc", "h264_qsv", "h264_vaapi", "h264_videotoolbox",
+             "h264_amf"),
+    "hevc": ("hevc_nvenc", "hevc_qsv", "hevc_vaapi", "hevc_videotoolbox",
+             "hevc_amf"),
+}
+
+
+def _pick_encoder(family: str, software: str, use_gpu: bool) -> str:
+    if use_gpu:
+        avail = available_encoders()
+        for name in _HW_ENCODERS.get(family, ()):
+            if name in avail:
+                return name
+    return software
+
+
 # codec name -> (encoder args builder); mirrors get_possible_encoders
-# (rendering/mod.rs:81-185) minus the GPU-vendor variants
-def _encoder_args(codec: str, pix_fmt: str, bitrate_mbps: float) -> List[str]:
+# (rendering/mod.rs:81-185) with hardware variants chosen by discovery
+def _encoder_args(codec: str, pix_fmt: str, bitrate_mbps: float,
+                  use_gpu: bool = False) -> List[str]:
     c = codec.lower()
     ten_bit = any(t in pix_fmt for t in ("10", "12", "16"))
     args: List[str] = []
     if c in ("h264", "x264", "libx264", "avc"):
-        args += ["-c:v", "libx264", "-pix_fmt",
+        args += ["-c:v", _pick_encoder("h264", "libx264", use_gpu), "-pix_fmt",
                  "yuv420p10le" if ten_bit else "yuv420p"]
     elif c in ("h265", "hevc", "x265", "libx265"):
-        args += ["-c:v", "libx265", "-pix_fmt",
+        args += ["-c:v", _pick_encoder("hevc", "libx265", use_gpu), "-pix_fmt",
                  "yuv420p10le" if ten_bit else "yuv420p"]
     elif c in ("prores", "prores_ks"):
         args += ["-c:v", "prores_ks", "-profile:v", "3", "-pix_fmt", "yuv422p10le"]
@@ -172,7 +215,8 @@ class FFmpegWriter:
 
     def __init__(self, path: str, width: int, height: int, fps: float,
                  pix_fmt: str = "yuv420p10le", codec: str = "h265",
-                 bitrate_mbps: float = 0.0, audio_from: Optional[str] = None):
+                 bitrate_mbps: float = 0.0, audio_from: Optional[str] = None,
+                 use_gpu: bool = False):
         self.fmt = RAW_FORMATS[pix_fmt]
         self.width = width
         self.height = height
@@ -184,7 +228,7 @@ class FFmpegWriter:
                "-i", "pipe:0"]
         if audio_from:
             cmd += ["-i", audio_from, "-map", "0:v", "-map", "1:a?", "-c:a", "copy"]
-        cmd += _encoder_args(codec, pix_fmt, bitrate_mbps)
+        cmd += _encoder_args(codec, pix_fmt, bitrate_mbps, use_gpu=use_gpu)
         cmd += [path]
         self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
                                      stderr=subprocess.PIPE)

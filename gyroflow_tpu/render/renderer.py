@@ -111,7 +111,8 @@ def open_writer(output_path: str, ow: int, oh: int, fps: float,
         codec = options.codec if options.codec != "mp4v" else "h264"
         return "planar", FFmpegWriter(
             output_path, ow, oh, fps, pix, codec, options.bitrate,
-            audio_from=input_path if options.audio else None)
+            audio_from=input_path if options.audio else None,
+            use_gpu=options.use_gpu)
     return "rgb", VideoWriter(output_path, ow, oh, fps, options.codec)
 
 

@@ -414,6 +414,11 @@ FAKE_FFMPEG = """#!%PY%
 import sys, os
 import numpy as np
 args = sys.argv[1:]
+if "-encoders" in args:  # discovery mode (ffmpeg_hw.rs equivalent)
+    print(" V....D libx264       H.264")
+    print(" V....D h264_nvenc    NVIDIA NVENC H.264")
+    print(" V....D libx265       H.265")
+    sys.exit(0)
 if "pipe:1" in args:   # decode mode: emit 3 deterministic raw frames
     fb = 64*48*2 + 2*(32*24*2)
     out = sys.stdout.buffer
@@ -472,3 +477,14 @@ class TestFFmpegPipes:
         assert n == 2 * fmt.frame_bytes(64, 48)
         back = fmt.unpack(blob[16:16 + fmt.frame_bytes(64, 48)], 64, 48)
         np.testing.assert_array_equal(back[0], planes[0])
+
+    def test_hw_encoder_discovery(self, stub_bins):
+        """use_gpu picks an advertised hardware encoder; software otherwise
+        (ffmpeg_hw.rs encoder discovery)."""
+        stub_bins._ENCODER_CACHE.clear()
+        encs = stub_bins.available_encoders()
+        assert "h264_nvenc" in encs and "libx264" in encs
+        assert stub_bins._pick_encoder("h264", "libx264", True) == "h264_nvenc"
+        assert stub_bins._pick_encoder("h264", "libx264", False) == "libx264"
+        # stub advertises no hevc hw encoder -> software fallback
+        assert stub_bins._pick_encoder("hevc", "libx265", True) == "libx265"
