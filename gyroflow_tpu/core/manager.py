@@ -326,6 +326,24 @@ class StabilizationManager:
         fm = self.gyro.file_metadata
         return bool(fm and (fm.lens_params or fm.mesh_correction))
 
+    def load_default_preset(self) -> bool:
+        """Apply the user's default.gyroflow preset when one exists
+        (controller.rs:870-881: settings dir first, then the profile DB)."""
+        import os
+        from .lens_profile_database import default_db_paths
+        from .settings import data_dir
+        candidates = [os.path.join(data_dir(), "lens_profiles",
+                                   "default.gyroflow")]
+        candidates += [os.path.join(p, "default.gyroflow")
+                       for p in default_db_paths()]
+        for path in candidates:
+            if os.path.exists(path):
+                from .project_file import import_gyroflow_data
+                with open(path) as fh:
+                    import_gyroflow_data(self, fh.read(), blocking=False)
+                return True
+        return False
+
     @staticmethod
     def merge_mp4(file_list, output_path: str) -> dict:
         """Join chaptered recordings (controller.rs:2179-2246 mp4_merge);

@@ -5,6 +5,7 @@ set_background_color, get_smoothing_max_angles, quats_at_timestamp,
 export_lens_profile.
 """
 import json
+import os
 
 import numpy as np
 import pytest
@@ -115,6 +116,22 @@ class TestSmallInvokables:
         assert mgr.has_per_frame_focal_length() is False
         assert mgr.has_per_frame_lens_data() is False
         assert isinstance(mgr.has_gravity_vectors(), bool)
+
+    def test_load_default_preset(self, mgr, tmp_path, monkeypatch):
+        from gyroflow_tpu.core import settings
+        from gyroflow_tpu.core.project_file import export_gyroflow_data
+        monkeypatch.setattr(settings, "data_dir", lambda: str(tmp_path))
+        assert mgr.load_default_preset() is False
+        mgr.params.video_speed = 0.5
+        os.makedirs(str(tmp_path / "lens_profiles"))
+        (tmp_path / "lens_profiles" / "default.gyroflow").write_text(
+            export_gyroflow_data(mgr))
+        m2 = StabilizationManager()
+        m2.init_from_video_data(duration_ms=DUR_S * 1000.0, fps=30.0,
+                                frame_count=int(DUR_S * 30),
+                                video_size=(640, 480))
+        assert m2.load_default_preset() is True
+        assert m2.params.video_speed == 0.5
 
     def test_export_lens_profile(self, mgr, tmp_path):
         mgr.lens = LensProfile.from_dict({
