@@ -113,8 +113,7 @@ class LensCalibrator:
                   sharpness, self.max_sharpness)
         return False
 
-    def draw_corners(self, frame: int, canvas, size: Tuple[int, int],
-                     inverted: bool = False) -> bool:
+    def draw_corners(self, frame: int, canvas, inverted: bool = False) -> bool:
         """Overlay the frame's detected corners into a DrawCanvas
         (controller.rs update_calib_model -> calibration/drawing.rs)."""
         det = self.all_matches.get(frame)
@@ -122,7 +121,7 @@ class LensCalibrator:
             return False
         from .drawing import draw_chessboard_corners
         pts = [(float(x), float(y)) for x, y in det.points]
-        draw_chessboard_corners((self.width, self.height), size, canvas,
+        draw_chessboard_corners(self.width, self.height, canvas,
                                 (self.columns, self.rows), pts,
                                 found=len(pts) == self.columns * self.rows,
                                 inverted=inverted)

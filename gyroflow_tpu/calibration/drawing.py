@@ -1,74 +1,73 @@
-"""Chessboard-corner overlay drawing for the calibrator.
+"""Detected-corner overlay for the calibration preview.
 
-Port of /root/reference/src/core/calibration/drawing.rs (itself a port of
-OpenCV's drawChessboardCorners): X-marks + circles per corner, rainbow
-row-connected lines when the full pattern was found, red marks otherwise.
-Draws into the shared DrawCanvas so the marks blend inside the remap
-pipeline like every other overlay.
+Port of /root/reference/src/core/calibration/drawing.rs (itself ported from
+OpenCV's drawChessboardCorners): crosses + circles at each corner, connected
+row-by-row in rotating colors when the full board was found; red crosses only
+when not.
 """
 from __future__ import annotations
 
 import math
 from typing import List, Sequence, Tuple
 
-from ..core.drawing import (COLOR_BLUE, COLOR_BLUE2, COLOR_BLUE3, COLOR_GREEN,
-                            COLOR_MAGENTA, COLOR_RED, COLOR_YELLOW2,
-                            STAGE_ON_INPUT, DrawCanvas)
+from ..core.drawing import DrawCanvas
 
-# calibration/drawing.rs:8-16 row color cycle
-LINE_COLORS = (COLOR_RED, COLOR_BLUE2, COLOR_YELLOW2, COLOR_GREEN,
-               COLOR_BLUE3, COLOR_BLUE, COLOR_MAGENTA)
-
-
-def _line(canvas: DrawCanvas, p1, p2, color: int):
-    canvas.put_line(p1[0], p1[1], p2[0], p2[1], color, alpha=0,
-                    stage=STAGE_ON_INPUT)
+# color indices in core.drawing.COLORS matching drawing.rs LINE_COLORS order
+# (Red, Blue2, Yellow2, Green, Blue3, Blue, Magenta -> nearest table entries)
+_LINE_COLORS = [2, 5, 4, 3, 6, 5, 7]
+_RED = 2
 
 
-def _circle(canvas: DrawCanvas, center, radius: float, color: int):
-    # Bresenham-circle equivalent: dense angular sampling at pixel pitch
-    steps = max(int(2.0 * math.pi * max(radius, 1.0)), 8)
-    for i in range(steps):
+def _circle(canvas: DrawCanvas, cx: float, cy: float, r: float, color: int,
+            stage: int):
+    steps = max(int(r * 6), 12)
+    prev = None
+    for i in range(steps + 1):
         a = 2.0 * math.pi * i / steps
-        canvas.put_pixel(center[0] + radius * math.cos(a),
-                         center[1] + radius * math.sin(a),
-                         color, 0, STAGE_ON_INPUT)
+        pt = (cx + r * math.cos(a), cy + r * math.sin(a))
+        if prev is not None:
+            canvas.put_line(prev[0], prev[1], pt[0], pt[1], color, stage=stage)
+        prev = pt
 
 
-def draw_chessboard_corners(org_size: Tuple[int, int], size: Tuple[int, int],
-                            canvas: DrawCanvas, pattern_size: Tuple[int, int],
+def draw_chessboard_corners(org_width: int, org_height: int,
+                            canvas: DrawCanvas,
+                            pattern_size: Tuple[int, int],
                             corners: Sequence[Tuple[float, float]],
-                            found: bool, inverted: bool = False):
-    """calibration/drawing.rs:7-53."""
-    ow, oh = org_size
-    w, h = size
-    rw = w / max(ow, 1)
-    rh = h / max(oh, 1)
-    r = 10.0 * rw
+                            found: bool, inverted: bool = False,
+                            stage: int = 1):
+    """drawing.rs:7-60. Corners are in original-frame coordinates; the canvas
+    may be smaller (preview scale)."""
+    w, h = canvas.width, canvas.height
+    ratio_w = w / max(org_width, 1)
+    ratio_h = h / max(org_height, 1)
+    r = 10.0 * ratio_w
+
+    def xform(pt):
+        x = round(pt[0] * ratio_w)
+        y = round(pt[1] * ratio_h)
+        if inverted:
+            y = h - y
+        return float(x), float(y)
+
     if not found:
-        for (cx, cy) in corners:
-            pt = (round(cx * rw), round(cy * rh))
-            if inverted:
-                pt = (pt[0], h - pt[1])
-            _line(canvas, (pt[0] - r, pt[1] - r), (pt[0] + r, pt[1] + r), COLOR_RED)
-            _line(canvas, (pt[0] - r, pt[1] + r), (pt[0] + r, pt[1] - r), COLOR_RED)
-            _circle(canvas, pt, r + 1.0, COLOR_RED)
+        for c in corners:
+            x, y = xform(c)
+            canvas.put_line(x - r, y - r, x + r, y + r, _RED, stage=stage)
+            canvas.put_line(x - r, y + r, x + r, y - r, _RED, stage=stage)
+            _circle(canvas, x, y, r + 1.0, _RED, stage)
         return
-    prev_pt = (0.0, 0.0)
+
+    prev = None
     i = 0
-    for y in range(pattern_size[1]):
-        color = LINE_COLORS[y % len(LINE_COLORS)]
-        for _x in range(pattern_size[0]):
-            if i >= len(corners):
-                return
-            cx, cy = corners[i]
-            pt = (round(cx * rw), round(cy * rh))
-            if inverted:
-                pt = (pt[0], h - pt[1])
-            if i != 0:
-                _line(canvas, prev_pt, pt, color)
-            _line(canvas, (pt[0] - r, pt[1] - r), (pt[0] + r, pt[1] + r), color)
-            _line(canvas, (pt[0] - r, pt[1] + r), (pt[0] + r, pt[1] - r), color)
-            _circle(canvas, pt, r + 1.0, color)
-            prev_pt = pt
+    for row in range(pattern_size[1]):
+        color = _LINE_COLORS[row % len(_LINE_COLORS)]
+        for _col in range(pattern_size[0]):
+            x, y = xform(corners[i])
+            if i != 0 and prev is not None:
+                canvas.put_line(prev[0], prev[1], x, y, color, stage=stage)
+            canvas.put_line(x - r, y - r, x + r, y + r, color, stage=stage)
+            canvas.put_line(x - r, y + r, x + r, y - r, color, stage=stage)
+            _circle(canvas, x, y, r + 1.0, color, stage)
+            prev = (x, y)
             i += 1

@@ -67,10 +67,10 @@ class TestCalibrator:
                                 tvec=np.array([-6.5, -3.5, 12.0]))
         assert cal.feed_frame(0, 0, img)
         canvas = DrawCanvas(640, 480, 640, 480)
-        assert cal.draw_corners(0, canvas, (640, 480))
+        assert cal.draw_corners(0, canvas)
         # rainbow X-marks + connector lines landed in the canvas bytes
         assert int((canvas.buffer != 0).sum()) > 200
-        assert cal.draw_corners(99, canvas, (640, 480)) is False
+        assert cal.draw_corners(99, canvas) is False
 
 
 class TestDatabase:
