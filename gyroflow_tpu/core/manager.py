@@ -348,19 +348,17 @@ class StabilizationManager:
     def merge_mp4(file_list, output_path: str) -> dict:
         """Join chaptered recordings (controller.rs:2179-2246 mp4_merge);
         inputs are natural-sorted like the reference's human_sort."""
-        import re
-
-        def natkey(s):
-            return [int(t) if t.isdigit() else t.lower()
-                    for t in re.split(r"(\d+)", s)]
+        from ..utils.merge import natural_sorted
         from ..utils.mp4_merge import merge_mp4 as _merge
-        return _merge(sorted(file_list, key=natkey), output_path)
+        return _merge(natural_sorted(file_list), output_path)
 
     @staticmethod
     def merge_gcsv(file_list, output_path: str):
-        """Merge companion .gcsv chapter logs (controller.rs:2248-2353)."""
-        from ..utils.merge import merge_gcsv as _merge
-        return _merge(list(file_list), output_path)
+        """Merge companion .gcsv chapter logs (controller.rs:2248-2353) in
+        the same natural order as merge_mp4 — one human_sort feeds both in
+        the reference, so the telemetry timeline matches the joined video."""
+        from ..utils.merge import merge_gcsv as _merge, natural_sorted
+        return _merge(natural_sorted(file_list), output_path)
 
     def export_lens_profile(self, path: str):
         """Write the active lens profile as reference-compatible JSON

@@ -180,8 +180,10 @@ class DNGSequenceReader:
                     misses += 1
                 i += 1
             if not files:
-                # arbitrary start number: glob the pattern
-                files = sorted(_glob.glob(re.sub(r"%\d*d", "*", path)))
+                # arbitrary start number: glob the pattern; numeric sort so
+                # frame 995 precedes 1000
+                from ..utils.merge import natural_sorted
+                files = natural_sorted(_glob.glob(re.sub(r"%\d*d", "*", path)))
             return files
         return [path]
 

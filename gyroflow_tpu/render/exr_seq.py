@@ -50,8 +50,10 @@ def _expand(path: str) -> List[str]:
                 misses += 1
             i += 1
         if not files:
-            # arbitrary start number (image_sequence_start): glob the pattern
-            files = sorted(_glob.glob(re.sub(r"%\d*d", "*", path)))
+            # arbitrary start number (image_sequence_start): glob the
+            # pattern; numeric sort so frame 995 precedes 1000
+            from ..utils.merge import natural_sorted
+            files = natural_sorted(_glob.glob(re.sub(r"%\d*d", "*", path)))
         return files
     return [path]
 

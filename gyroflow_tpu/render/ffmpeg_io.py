@@ -162,23 +162,52 @@ def available_encoders() -> set:
     return _ENCODER_CACHE[key]
 
 
-# hardware encoder preference per codec family (ffmpeg_hw.rs:
-# nvenc > qsv > vaapi > videotoolbox > amf, software fallback)
+# hardware encoder preference per codec family (ffmpeg_hw.rs: nvenc > qsv >
+# videotoolbox, software fallback). vaapi/amf need device + hwupload filter
+# plumbing and are not attempted.
 _HW_ENCODERS = {
-    "h264": ("h264_nvenc", "h264_qsv", "h264_vaapi", "h264_videotoolbox",
-             "h264_amf"),
-    "hevc": ("hevc_nvenc", "hevc_qsv", "hevc_vaapi", "hevc_videotoolbox",
-             "hevc_amf"),
+    "h264": ("h264_nvenc", "h264_qsv", "h264_videotoolbox"),
+    "hevc": ("hevc_nvenc", "hevc_qsv", "hevc_videotoolbox"),
 }
+_HW_WORKS_CACHE: dict = {}
 
 
-def _pick_encoder(family: str, software: str, use_gpu: bool) -> str:
-    if use_gpu:
+def _hw_encoder_works(name: str) -> bool:
+    """`-encoders` only lists compiled-in codecs; encode one synthetic frame
+    to prove the device actually initializes (the reference probes candidate
+    encoders the same way before committing — ffmpeg_hw.rs)."""
+    if name not in _HW_WORKS_CACHE:
+        try:
+            r = subprocess.run(
+                [FFMPEG, "-hide_banner", "-v", "error", "-f", "lavfi",
+                 "-i", "color=size=128x64:rate=30", "-frames:v", "1",
+                 "-c:v", name, "-f", "null", "-"],
+                capture_output=True, timeout=30)
+            _HW_WORKS_CACHE[name] = r.returncode == 0
+        except Exception:
+            _HW_WORKS_CACHE[name] = False
+    return _HW_WORKS_CACHE[name]
+
+
+def _pick_encoder(family: str, software: str, use_gpu: bool,
+                  ten_bit: bool = False) -> str:
+    # hardware H.264 encoders are 8-bit only: keep the software encoder for
+    # 10-bit renders rather than silently truncating bit depth
+    if use_gpu and not (family == "h264" and ten_bit):
         avail = available_encoders()
         for name in _HW_ENCODERS.get(family, ()):
-            if name in avail:
+            if name in avail and _hw_encoder_works(name):
                 return name
     return software
+
+
+def _encoder_pix_fmt(encoder: str, ten_bit: bool) -> str:
+    if not ten_bit:
+        return "yuv420p"
+    # hw hevc encoders take the semi-planar 10-bit layout
+    return "p010le" if encoder.split("_")[-1] in ("nvenc", "qsv",
+                                                  "videotoolbox") \
+        else "yuv420p10le"
 
 
 # codec name -> (encoder args builder); mirrors get_possible_encoders
@@ -189,11 +218,11 @@ def _encoder_args(codec: str, pix_fmt: str, bitrate_mbps: float,
     ten_bit = any(t in pix_fmt for t in ("10", "12", "16"))
     args: List[str] = []
     if c in ("h264", "x264", "libx264", "avc"):
-        args += ["-c:v", _pick_encoder("h264", "libx264", use_gpu), "-pix_fmt",
-                 "yuv420p10le" if ten_bit else "yuv420p"]
+        enc = _pick_encoder("h264", "libx264", use_gpu, ten_bit)
+        args += ["-c:v", enc, "-pix_fmt", _encoder_pix_fmt(enc, ten_bit)]
     elif c in ("h265", "hevc", "x265", "libx265"):
-        args += ["-c:v", _pick_encoder("hevc", "libx265", use_gpu), "-pix_fmt",
-                 "yuv420p10le" if ten_bit else "yuv420p"]
+        enc = _pick_encoder("hevc", "libx265", use_gpu, ten_bit)
+        args += ["-c:v", enc, "-pix_fmt", _encoder_pix_fmt(enc, ten_bit)]
     elif c in ("prores", "prores_ks"):
         args += ["-c:v", "prores_ks", "-profile:v", "3", "-pix_fmt", "yuv422p10le"]
     elif c in ("dnxhd", "dnxhr"):

@@ -62,8 +62,10 @@ def expand_sequence(path: str, exts: Tuple[str, ...] = IMG_SEQ_EXTS) -> List[str
                 misses += 1
             i += 1
         if not files:
-            # arbitrary start number (image_sequence_start): glob the pattern
-            files = sorted(_glob.glob(re.sub(r"%\d*d", "*", path)))
+            # arbitrary start number (image_sequence_start): glob the
+            # pattern; numeric sort so frame 995 precedes 1000
+            from ..utils.merge import natural_sorted
+            files = natural_sorted(_glob.glob(re.sub(r"%\d*d", "*", path)))
         return files
     return [path]
 

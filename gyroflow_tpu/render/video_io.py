@@ -39,9 +39,12 @@ def probe_video(path: str) -> VideoInfo:
             from .dng_seq import DNGSequenceReader
             r = DNGSequenceReader(path)
         else:
+            from .dng_seq import DNGSequenceReader
             from .img_seq import ImageSequenceReader, expand_sequence
             if ext in IMG_SEQ_EXTS or (ext != ".exr" and expand_sequence(path)):
                 r = ImageSequenceReader(path)
+            elif ext != ".exr" and DNGSequenceReader._expand(path):
+                r = DNGSequenceReader(path)
             else:
                 from .exr_seq import EXRSequenceReader
                 r = EXRSequenceReader(path)

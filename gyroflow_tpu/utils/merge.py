@@ -15,7 +15,16 @@ consumes.
 from __future__ import annotations
 
 import os
+import re
 from typing import List, Tuple
+
+
+def natural_sorted(names) -> List[str]:
+    """human_sort equivalent: digit runs compare numerically (clip2 < clip10)."""
+    def key(s):
+        return [int(t) if t.isdigit() else t.lower()
+                for t in re.split(r"(\d+)", s)]
+    return sorted(names, key=key)
 
 
 def _gcsv_path(path: str) -> str:

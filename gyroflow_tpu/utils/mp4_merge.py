@@ -126,14 +126,38 @@ def _timescale(payload: bytes, kind: str) -> int:
     return struct.unpack_from(">I", payload, off)[0]
 
 
+def _chunk_sample_counts(stsc, nchunks: int, nsamples: int):
+    """Expand stsc runs into exact per-chunk (count, sdi) pairs.
+
+    ISO 14496-12 bounds the table by the file's sample count, so the final
+    chunk may really hold FEWER samples than its run claims; after a merge
+    the samples no longer run out there, so the partial chunk must be made
+    explicit or every later sample maps into the wrong chunk."""
+    per_chunk = []
+    runs = list(stsc)
+    for i, (first, per, sdi) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else nchunks
+        per_chunk += [(per, sdi)] * max(last - first + 1, 0)
+    per_chunk = per_chunk[:nchunks]
+    total = 0
+    out = []
+    for (c, sdi) in per_chunk:
+        take = min(c, max(nsamples - total, 0))
+        out.append((take, sdi))
+        total += take
+    return out
+
+
 class _TrackTables:
     """Merged-in-progress sample tables of one track."""
 
     def __init__(self, stbl: Box):
         self.stts = _read_table(stbl.find(b"stts").payload, 2)
         self.sizes = _stsz_sizes(stbl.find(b"stsz").payload)
-        self.stsc = _read_table(stbl.find(b"stsc").payload, 3)
         self.offsets = _chunk_offsets(stbl)
+        self.chunks = _chunk_sample_counts(
+            _read_table(stbl.find(b"stsc").payload, 3),
+            len(self.offsets), len(self.sizes))
         ss = stbl.find(b"stss")
         self.stss = [e[0] for e in _read_table(ss.payload, 1)] if ss else None
         ct = stbl.find(b"ctts")
@@ -141,20 +165,37 @@ class _TrackTables:
 
     def append(self, o: "_TrackTables", offset_map):
         nsamples = len(self.sizes)
-        nchunks = len(self.offsets)
         for (cnt, delta) in o.stts:
             if self.stts and self.stts[-1][1] == delta:
                 self.stts[-1] = (self.stts[-1][0] + cnt, delta)
             else:
                 self.stts.append((cnt, delta))
+        # sync samples: a missing stss means EVERY sample is sync — expand
+        # when only one side has the box, else the merged table would mark
+        # a whole chapter's frames non-seekable
+        if self.stss is not None or o.stss is not None:
+            if self.stss is None:
+                self.stss = list(range(1, nsamples + 1))
+            o_stss = o.stss if o.stss is not None \
+                else range(1, len(o.sizes) + 1)
+            self.stss += [s + nsamples for s in o_stss]
+        # composition offsets: missing ctts == all-zero offsets
+        if self.ctts is not None or o.ctts is not None:
+            if self.ctts is None:
+                self.ctts = [(nsamples, 0)] if nsamples else []
+            self.ctts += o.ctts if o.ctts is not None \
+                else ([(len(o.sizes), 0)] if o.sizes else [])
         self.sizes += o.sizes
-        for (first, per, sdi) in o.stsc:
-            self.stsc.append((first + nchunks, per, sdi))
+        self.chunks += o.chunks
         self.offsets += [offset_map(x) for x in o.offsets]
-        if self.stss is not None and o.stss is not None:
-            self.stss += [s + nsamples for s in o.stss]
-        if self.ctts is not None and o.ctts is not None:
-            self.ctts += o.ctts
+
+    def _stsc_runs(self):
+        runs = []
+        for i, (cnt, sdi) in enumerate(self.chunks, start=1):
+            if runs and runs[-1][1] == cnt and runs[-1][2] == sdi:
+                continue
+            runs.append((i, cnt, sdi))
+        return runs
 
     def patch(self, stbl: Box):
         vf0 = lambda b: bytes(b.payload[:4])
@@ -165,7 +206,7 @@ class _TrackTables:
                                       struct.pack(">" + "I" * len(self.sizes),
                                                   *self.sizes))
         stbl.find(b"stsc").payload = _write_table(vf0(stbl.find(b"stsc")),
-                                                  [tuple(e) for e in self.stsc])
+                                                  self._stsc_runs())
         # chunk offsets: upgrade to co64 when the merged file crosses 4 GiB
         co = stbl.find(b"stco") or stbl.find(b"co64")
         if max(self.offsets, default=0) > 0xFFFFFFFF:
@@ -178,12 +219,18 @@ class _TrackTables:
             co.payload = (b"\x00\x00\x00\x00" +
                           struct.pack(">I", len(self.offsets)) +
                           struct.pack(">" + "I" * len(self.offsets), *self.offsets))
-        if self.stss is not None and stbl.find(b"stss") is not None:
-            stbl.find(b"stss").payload = _write_table(
-                vf0(stbl.find(b"stss")), [(s,) for s in self.stss])
-        if self.ctts is not None and stbl.find(b"ctts") is not None:
-            stbl.find(b"ctts").payload = _write_table(
-                vf0(stbl.find(b"ctts")), [tuple(e) for e in self.ctts])
+        if self.stss is not None:
+            box = stbl.find(b"stss")
+            if box is None:
+                box = Box(b"stss", payload=b"\x00\x00\x00\x00")
+                stbl.children.append(box)
+            box.payload = _write_table(vf0(box), [(s,) for s in self.stss])
+        if self.ctts is not None:
+            box = stbl.find(b"ctts")
+            if box is None:
+                box = Box(b"ctts", payload=b"\x00\x00\x00\x00")
+                stbl.children.append(box)
+            box.payload = _write_table(vf0(box), [tuple(e) for e in self.ctts])
 
 
 def _top_boxes(buf: bytes):
@@ -224,7 +271,15 @@ def merge_mp4(file_list: List[str], output_path: str) -> dict:
     if len(file_list) < 2:
         raise IOError("need at least two files to merge")
 
-    bufs = [open(p, "rb").read() for p in file_list]
+    # chapters are ~4 GiB each: map them instead of reading into memory
+    # (only the parsed moov boxes are copied; mdat bytes stream at write time)
+    import mmap
+    files = [open(p, "rb") for p in file_list]
+    try:
+        bufs = [mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+                for f in files]
+    except (ValueError, OSError):        # zero-length or mmap-less fs
+        bufs = [f.read() for f in files]
     parsed = []
     for p, buf in zip(file_list, bufs):
         tops = _top_boxes(buf)
@@ -326,12 +381,20 @@ def merge_mp4(file_list: List[str], output_path: str) -> dict:
             trak.children.remove(edts)
 
     total_mdat = sum(e - s for (_b, s, e) in mdat_parts)
+    CHUNK = 8 << 20
     with open(output_path, "wb") as fh:
         fh.write(ftyp_bytes)
         fh.write(struct.pack(">I4sQ", 1, b"mdat", total_mdat + 16))
         for (buf, s, e) in mdat_parts:
-            fh.write(buf[s:e])
+            while s < e:            # bounded copies, not one 4 GiB slice
+                fh.write(buf[s:min(s + CHUNK, e)])
+                s += CHUNK
         fh.write(base_moov.serialize())
         nbytes = fh.tell()
+    for b in bufs:
+        if hasattr(b, "close"):
+            b.close()
+    for f in files:
+        f.close()
     return {"files": len(file_list), "bytes": nbytes,
             "output": os.path.abspath(output_path)}

@@ -419,6 +419,8 @@ if "-encoders" in args:  # discovery mode (ffmpeg_hw.rs equivalent)
     print(" V....D h264_nvenc    NVIDIA NVENC H.264")
     print(" V....D libx265       H.265")
     sys.exit(0)
+if "null" in args:       # functional hw-encoder probe: pretend it works
+    sys.exit(0)
 if "pipe:1" in args:   # decode mode: emit 3 deterministic raw frames
     fb = 64*48*2 + 2*(32*24*2)
     out = sys.stdout.buffer
@@ -479,12 +481,24 @@ class TestFFmpegPipes:
         np.testing.assert_array_equal(back[0], planes[0])
 
     def test_hw_encoder_discovery(self, stub_bins):
-        """use_gpu picks an advertised hardware encoder; software otherwise
-        (ffmpeg_hw.rs encoder discovery)."""
+        """use_gpu picks an advertised + probe-verified hardware encoder;
+        software otherwise (ffmpeg_hw.rs encoder discovery)."""
         stub_bins._ENCODER_CACHE.clear()
+        stub_bins._HW_WORKS_CACHE.clear()
         encs = stub_bins.available_encoders()
         assert "h264_nvenc" in encs and "libx264" in encs
         assert stub_bins._pick_encoder("h264", "libx264", True) == "h264_nvenc"
         assert stub_bins._pick_encoder("h264", "libx264", False) == "libx264"
+        # hw h264 is 8-bit only: 10-bit renders stay on the software encoder
+        assert stub_bins._pick_encoder("h264", "libx264", True,
+                                       ten_bit=True) == "libx264"
         # stub advertises no hevc hw encoder -> software fallback
         assert stub_bins._pick_encoder("hevc", "libx265", True) == "libx265"
+        # listed-but-broken encoder (probe fails) falls back to software
+        stub_bins._HW_WORKS_CACHE["h264_nvenc"] = False
+        assert stub_bins._pick_encoder("h264", "libx264", True) == "libx264"
+        stub_bins._HW_WORKS_CACHE.clear()
+        # pix_fmt pairing: hw hevc 10-bit takes p010le, software keeps planar
+        assert stub_bins._encoder_pix_fmt("hevc_nvenc", True) == "p010le"
+        assert stub_bins._encoder_pix_fmt("libx265", True) == "yuv420p10le"
+        assert stub_bins._encoder_pix_fmt("h264_nvenc", False) == "yuv420p"

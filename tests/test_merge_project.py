@@ -107,6 +107,62 @@ class TestMergeMp4:
             merge_mp4([str(a)], str(tmp_path / "o.mp4"))
 
 
+class TestSampleTableMerge:
+    @staticmethod
+    def _stbl(sizes, chunk_counts, deltas=(1000,), stss=None, ctts=None,
+              offsets=None):
+        import struct
+        from gyroflow_tpu.utils.mp4_merge import Box
+        vf = b"\x00\x00\x00\x00"
+        n = len(sizes)
+        stts = vf + struct.pack(">I", 1) + struct.pack(">II", n, deltas[0])
+        stsz = vf + struct.pack(">II", 0, n) + struct.pack(">" + "I" * n, *sizes)
+        # one run claiming chunk_counts[0] samples/chunk for ALL chunks
+        stsc = vf + struct.pack(">I", 1) + struct.pack(">III", 1,
+                                                       chunk_counts[0], 1)
+        offs = offsets or list(range(100, 100 + 10 * len(chunk_counts), 10))
+        stco = vf + struct.pack(">I", len(offs)) + \
+            struct.pack(">" + "I" * len(offs), *offs)
+        children = [Box(b"stts", payload=stts), Box(b"stsz", payload=stsz),
+                    Box(b"stsc", payload=stsc), Box(b"stco", payload=stco)]
+        if stss is not None:
+            children.append(Box(b"stss", payload=vf + struct.pack(
+                ">I", len(stss)) + struct.pack(">" + "I" * len(stss), *stss)))
+        if ctts is not None:
+            flat = [x for e in ctts for x in e]
+            children.append(Box(b"ctts", payload=vf + struct.pack(
+                ">I", len(ctts)) + struct.pack(">" + "I" * len(flat), *flat)))
+        return Box(b"stbl", children=children)
+
+    def test_partial_final_chunk_made_explicit(self):
+        from gyroflow_tpu.utils.mp4_merge import _TrackTables
+        # chapter A: 23 samples, stsc says 5/chunk over 5 chunks -> last
+        # chunk really holds 3; chapter B: 10 samples in 2 full chunks
+        a = _TrackTables(self._stbl([10] * 23, [5] * 5))
+        b = _TrackTables(self._stbl([10] * 10, [5] * 2))
+        assert [c for c, _ in a.chunks] == [5, 5, 5, 5, 3]
+        a.append(b, lambda x: x + 1000)
+        assert [c for c, _ in a.chunks] == [5, 5, 5, 5, 3, 5, 5]
+        runs = a._stsc_runs()
+        assert runs == [(1, 5, 1), (5, 3, 1), (6, 5, 1)]
+
+    def test_stss_ctts_presence_mismatch(self):
+        from gyroflow_tpu.utils.mp4_merge import _TrackTables
+        # A has stss+ctts; B has neither -> B contributes all-sync samples
+        # and zero composition offsets instead of being dropped
+        a = _TrackTables(self._stbl([1] * 6, [3] * 2, stss=[1, 4],
+                                    ctts=[(6, 500)]))
+        b = _TrackTables(self._stbl([1] * 4, [2] * 2))
+        a.append(b, lambda x: x)
+        assert a.stss == [1, 4, 7, 8, 9, 10]
+        assert a.ctts == [(6, 500), (4, 0)]
+        # inverse direction: base without stss gets expanded first
+        c = _TrackTables(self._stbl([1] * 3, [3]))
+        d = _TrackTables(self._stbl([1] * 3, [3], stss=[2]))
+        c.append(d, lambda x: x)
+        assert c.stss == [1, 2, 3, 5]
+
+
 class TestGyroflowFileHelpers:
     def test_version_and_urls(self, tmp_path):
         proj = tmp_path / "p.gyroflow"
