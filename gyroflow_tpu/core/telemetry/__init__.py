@@ -22,6 +22,19 @@ class TelemetryError(Exception):
 def parse_telemetry_file(path: str, options: Optional[dict] = None,
                          size=(0, 0), fps: float = 0.0,
                          progress_cb: Optional[Callable[[float], None]] = None) -> FileMetadata:
+    """Dispatch by container; a damaged/mislabeled file of ANY format
+    surfaces as TelemetryError, never a parser-internal traceback (telemetry
+    decode is best-effort in the reference — lib.rs load path)."""
+    try:
+        return _parse_telemetry_file(path, options, size, fps, progress_cb)
+    except TelemetryError:
+        raise
+    except Exception as e:  # noqa: BLE001 — struct/index/unicode internals
+        raise TelemetryError(
+            f"failed to parse {os.path.basename(path)}: {e}")
+
+
+def _parse_telemetry_file(path, options, size, fps, progress_cb) -> FileMetadata:
     ext = os.path.splitext(path)[1].lower()
     if ext in (".gcsv", ".csv"):
         return parse_gcsv(path, progress_cb=progress_cb)

@@ -1,0 +1,76 @@
+"""Telemetry parser robustness: corrupt, truncated and mislabeled inputs
+raise TelemetryError (or parse to empty) instead of crashing.
+
+SURVEY §5 failure-detection: the reference's telemetry-parser treats decode
+as best-effort — a damaged file must surface as a clean load error, never a
+traceback from struct/index internals.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from gyroflow_tpu.core.telemetry import TelemetryError, parse_telemetry_file
+
+EXTS = [".gcsv", ".bbl", ".mp4", ".mov", ".braw", ".r3d", ".insv", ".csv"]
+
+
+def _expect_clean(path):
+    """Parsing must either raise TelemetryError or return metadata."""
+    try:
+        fm = parse_telemetry_file(path)
+    except TelemetryError:
+        return None
+    return fm
+
+
+class TestGarbage:
+    @pytest.mark.parametrize("ext", EXTS)
+    def test_random_bytes(self, tmp_path, ext):
+        rng = np.random.default_rng(hash(ext) & 0xFFFF)
+        p = str(tmp_path / ("junk" + ext))
+        with open(p, "wb") as fh:
+            fh.write(rng.integers(0, 256, 4096, dtype=np.uint8).tobytes())
+        _expect_clean(p)
+
+    @pytest.mark.parametrize("ext", EXTS)
+    def test_empty_file(self, tmp_path, ext):
+        p = str(tmp_path / ("empty" + ext))
+        open(p, "wb").close()
+        _expect_clean(p)
+
+    @pytest.mark.parametrize("ext", [".mp4", ".insv", ".braw", ".r3d"])
+    def test_header_only(self, tmp_path, ext):
+        """Plausible magic bytes followed by nothing."""
+        magics = {".mp4": b"\x00\x00\x00\x18ftypmp42",
+                  ".insv": b"\x00\x00\x00\x18ftypmp42",
+                  ".braw": b"\x00\x00\x00\x18ftypbraw",
+                  ".r3d": b"\x00\x00\x04\x00RED2"}
+        p = str(tmp_path / ("hdr" + ext))
+        with open(p, "wb") as fh:
+            fh.write(magics[ext])
+        _expect_clean(p)
+
+
+class TestTruncation:
+    def test_truncated_gcsv_rows(self, tmp_path):
+        p = tmp_path / "trunc.gcsv"
+        p.write_text("GYROFLOW IMU LOG\nversion,1.3\ntscale,0.001\n"
+                     "gscale,1.0\nascale,1.0\nt,gx,gy,gz\n"
+                     "0,1,2,3\n1,4,5\n2,6")   # ragged rows
+        fm = _expect_clean(str(p))
+        if fm is not None:
+            assert len(fm.raw_imu) >= 1
+
+    def test_truncated_mp4_mid_box(self, tmp_path):
+        """Box header whose declared size exceeds the file."""
+        p = tmp_path / "cut.mp4"
+        p.write_bytes(b"\x00\x00\x00\x18ftypmp42\x00\x00\x00\x00mp42"
+                      b"\x7f\xff\xff\xffmoov" + b"\x00" * 64)
+        _expect_clean(str(p))
+
+    def test_project_file_not_telemetry(self, tmp_path):
+        """.gyroflow handed to the telemetry parser fails cleanly."""
+        p = tmp_path / "x.gcsv"
+        p.write_text('{"title": "Gyroflow data file"}')
+        _expect_clean(str(p))
