@@ -84,7 +84,7 @@ class FFmpegReader:
     """Iterates (timestamp_us, planes) from an ffmpeg rawvideo pipe."""
 
     def __init__(self, path: str, pix_fmt: Optional[str] = None,
-                 start_frame: int = 0):
+                 start_frame: int = 0, use_gpu: bool = True):
         info = ffprobe_video(path)
         self.width = info["width"]
         self.height = info["height"]
@@ -95,7 +95,12 @@ class FFmpegReader:
         self._frame_bytes = self.fmt.frame_bytes(self.width, self.height)
         self._index = start_frame
         self.path = path
+        self.use_gpu = use_gpu
         cmd = [FFMPEG, "-nostdin", "-v", "error"]
+        if use_gpu:
+            # hw-offloaded decode where a device exists; ffmpeg falls back to
+            # software by itself on 'auto' (ffmpeg_hw.rs decode side)
+            cmd += ["-hwaccel", "auto"]
         if start_frame:
             cmd += ["-ss", f"{start_frame / self.fps:.6f}"]
         cmd += ["-i", path, "-map", "0:v:0", "-f", "rawvideo",
@@ -115,7 +120,8 @@ class FFmpegReader:
         """Restart the pipe at the target frame (trim-range seeking,
         ffmpeg_processor.rs trim handling)."""
         self.close()
-        self.__init__(self.path, self.fmt.name, start_frame=frame)
+        self.__init__(self.path, self.fmt.name, start_frame=frame,
+                      use_gpu=self.use_gpu)
 
     def __iter__(self) -> Iterator[Tuple[int, List[np.ndarray]]]:
         return self
