@@ -70,7 +70,8 @@ class LensCalibrator:
             self.height, self.width = (org_size[1], org_size[0]) if org_size else gray.shape[:2]
         if frame in self.all_matches:   # cached detection (mod.rs:124-131)
             det = self.all_matches[frame]
-            if det.avg_sharpness < self.max_sharpness:
+            if det.avg_sharpness < self.max_sharpness \
+                    or frame in self.forced_frames:
                 self.image_points[frame] = det
                 self.sum_sharpness += det.avg_sharpness
             return frame in self.image_points

@@ -108,6 +108,22 @@ class StabilizationManager:
             elif rot == 180:
                 self.params.frame_readout_direction = ReadoutDirection.BottomToTop
                 fm.imu_orientation = "YXz"
+        elif src.startswith("Canon"):
+            # gyro_source/mod.rs:491-499: apply the Canon tag-map quirks when
+            # parsed CTMD tags ride along (project import / pre-parsed
+            # metadata; a native CTMD demuxer needs real footage to validate)
+            tm = (fm.additional_data or {}).get("tag_map")
+            if isinstance(tm, dict):
+                from .telemetry import canon
+                sr = fm.additional_data.get("sample_rate") or 1000.0
+                off = canon.get_time_offset(fm, tm, sample_rate=float(sr),
+                                            fps=self.params.fps)
+                if off is not None:
+                    fm.per_frame_time_offsets.append(off)
+                canon.init_lens_profile(
+                    fm, tm, self.params.size, 0.0,
+                    camera_model=src.replace("Canon", "").strip(),
+                    video_rotation=int(self.params.video_rotation))
 
     def _try_lens_autoload(self, fm):
         """Lens autoload by camera identifier (lib.rs:1929-1956)."""

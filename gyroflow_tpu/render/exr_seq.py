@@ -119,7 +119,7 @@ class EXRSequenceWriter:
     CHAN_NAMES = ["R", "G", "B", "A"]
 
     def __init__(self, path: str, width: int, height: int,
-                 compression: str = "zip"):
+                 compression: str = "zip", src_fmt: RawFormat = None):
         if os.path.isdir(path) or (not re.search(r"%\d*d", path)
                                    and not path.lower().endswith(".exr")):
             os.makedirs(path, exist_ok=True)
@@ -132,14 +132,32 @@ class EXRSequenceWriter:
         self.width = width
         self.height = height
         self.compression = compression
-        self.fmt = None   # set on first frame (channel count)
+        self.src_fmt = src_fmt
+        # YUV sources convert to RGB floats here; keep the source format as
+        # the renderer's cast target (like the PNG writer)
+        self.fmt = src_fmt if src_fmt is not None and src_fmt.is_yuv else None
         self._index = 0
 
     def write_planes(self, planes: List[np.ndarray]):
+        maxv = self.src_fmt.max_value if (self.src_fmt is not None and
+                                          self.src_fmt.dtype != np.float32) \
+            else 1.0
+        if self.src_fmt is not None and self.src_fmt.is_yuv \
+                and len(planes) >= 2:
+            # subsampled YUV groups -> full-res RGB floats (the ffmpeg
+            # conversion the reference gets before its EXR encoder)
+            from .img_seq import yuv_groups_to_rgb01
+            rgb = yuv_groups_to_rgb01(planes, self.src_fmt)
+            planes = [rgb[..., i:i + 1] for i in range(3)]
+            maxv = 1.0   # already normalized
+        elif self.src_fmt is not None and self.src_fmt.name.startswith("gbr") \
+                and len(planes) >= 3:
+            order = [2, 0, 1] + ([3] if len(planes) == 4 else [])
+            planes = [planes[i] for i in order]
         if self.fmt is None:
             self.fmt = EXR_FORMATS[len(planes)]
         names = ["Y"] if len(planes) == 1 else self.CHAN_NAMES[:len(planes)]
-        chans = {n: np.asarray(p)[..., 0].astype(np.float32)
+        chans = {n: np.asarray(p)[..., 0].astype(np.float32) / maxv
                  for n, p in zip(names, planes)}
         write_exr(self.pattern % self._index, chans, self.compression)
         self._index += 1

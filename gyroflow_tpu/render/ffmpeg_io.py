@@ -16,6 +16,7 @@ import logging
 import os
 import shutil
 import subprocess
+import tempfile
 from fractions import Fraction
 from typing import Iterator, List, Optional, Tuple
 
@@ -105,8 +106,11 @@ class FFmpegReader:
             cmd += ["-ss", f"{start_frame / self.fps:.6f}"]
         cmd += ["-i", path, "-map", "0:v:0", "-f", "rawvideo",
                 "-pix_fmt", self.fmt.name, "pipe:1"]
+        # stderr goes to a spooled temp file, NOT a pipe: an un-drained pipe
+        # fills at 64 KB of decode-error chatter and deadlocks the stream
+        self._err = tempfile.TemporaryFile()
         self.proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                                     stderr=subprocess.PIPE)
+                                     stderr=self._err)
 
     @property
     def bit_depth(self) -> int:
@@ -143,6 +147,9 @@ class FFmpegReader:
             self.proc.wait(timeout=10)
         except subprocess.TimeoutExpired:
             self.proc.kill()
+        if getattr(self, "_err", None) is not None:
+            self._err.close()
+            self._err = None
 
 
 _ENCODER_CACHE: dict = {}
@@ -265,8 +272,11 @@ class FFmpegWriter:
             cmd += ["-i", audio_from, "-map", "0:v", "-map", "1:a?", "-c:a", "copy"]
         cmd += _encoder_args(codec, pix_fmt, bitrate_mbps, use_gpu=use_gpu)
         cmd += [path]
+        # spooled-file stderr: a pipe would deadlock the encode once 64 KB
+        # of warnings accumulate un-drained
+        self._err = tempfile.TemporaryFile()
         self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
-                                     stderr=subprocess.PIPE)
+                                     stderr=self._err)
 
     def write_planes(self, planes: List[np.ndarray]):
         shapes = self.fmt.plane_shapes(self.width, self.height)
@@ -279,7 +289,14 @@ class FFmpegWriter:
         if self.proc.stdin:
             self.proc.stdin.close()
         rc = self.proc.wait()
+        err = ""
+        if self._err is not None:
+            try:
+                self._err.seek(0, os.SEEK_END)
+                self._err.seek(max(self._err.tell() - 800, 0))
+                err = self._err.read().decode("utf-8", "replace")
+            finally:
+                self._err.close()
+                self._err = None
         if rc != 0:
-            err = self.proc.stderr.read().decode("utf-8", "replace")[-800:] \
-                if self.proc.stderr else ""
             raise IOError(f"ffmpeg encoder exited {rc}: {err}")

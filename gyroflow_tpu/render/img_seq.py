@@ -145,9 +145,10 @@ class ImageSequenceReader:
         self._first_cache = None
 
 
-def _yuv_groups_to_rgb(planes: List[np.ndarray], src_fmt: RawFormat) -> np.ndarray:
-    """Host-side YUV plane set -> interleaved RGB in the source bit depth
-    (the ffmpeg format-conversion step the reference gets for free)."""
+def yuv_groups_to_rgb01(planes: List[np.ndarray], src_fmt: RawFormat) -> np.ndarray:
+    """Host-side YUV plane set -> interleaved RGB in 0..1 float (the ffmpeg
+    format-conversion step the reference gets for free). Shared by the PNG
+    and EXR sequence writers."""
     import cv2
     y = planes[0][..., 0].astype(np.float32)
     h, w = y.shape
@@ -159,7 +160,22 @@ def _yuv_groups_to_rgb(planes: List[np.ndarray], src_fmt: RawFormat) -> np.ndarr
     v = cv2.resize(v_s.astype(np.float32), (w, h), interpolation=cv2.INTER_LINEAR)
     maxv = src_fmt.max_value
     yuva = np.stack([y / maxv, u / maxv, v / maxv, np.ones_like(y)], axis=-1)
-    rgb01 = yuv_to_rgb(yuva, is_limited=True)[..., :3]
+    return yuv_to_rgb(yuva, is_limited=True)[..., :3]
+
+
+def multiplane_to_interleaved(planes: List[np.ndarray],
+                              src_fmt: Optional[RawFormat]) -> np.ndarray:
+    """Stack single-channel planes into (H, W, C), mapping ffmpeg's planar
+    GBR(A) order back to RGB(A)."""
+    chans = [np.asarray(p)[..., 0] for p in planes]
+    if src_fmt is not None and src_fmt.name.startswith("gbr"):
+        order = [2, 0, 1] + ([3] if len(chans) == 4 else [])
+        chans = [chans[i] for i in order]
+    return np.stack(chans, axis=-1)
+
+
+def _yuv_groups_to_rgb(planes: List[np.ndarray], src_fmt: RawFormat) -> np.ndarray:
+    rgb01 = yuv_groups_to_rgb01(planes, src_fmt)
     if src_fmt.bit_depth <= 8:
         return np.clip(np.rint(rgb01 * 255.0), 0, 255).astype(np.uint8)
     return np.clip(np.rint(rgb01 * 65535.0), 0, 65535).astype(np.uint16)
@@ -189,8 +205,13 @@ class ImageSequenceWriter:
         if len(planes) >= 2 and self.src_fmt is not None and self.src_fmt.is_yuv:
             img = _yuv_groups_to_rgb(planes, self.src_fmt)
         else:
-            img = np.asarray(planes[0])
-            if img.dtype == np.float32:   # float pipeline -> 16-bit files
+            if len(planes) > 1:
+                # planar RGB float / EXR channel planes: stack to interleaved
+                # (GBR order mapped back to RGB)
+                img = multiplane_to_interleaved(planes, self.src_fmt)
+            else:
+                img = np.asarray(planes[0])
+            if img.dtype in (np.float32, np.float64):
                 img = np.clip(np.rint(img * 65535.0), 0, 65535).astype(np.uint16)
             if self.fmt is None:
                 self.fmt = _FMT_BY_SHAPE.get(

@@ -103,7 +103,8 @@ def open_writer(output_path: str, ow: int, oh: int, fps: float,
             output_path, ow, oh, src_fmt=getattr(reader, "fmt", None))
     if ext in ("", ".exr") or "%" in output_path or os.path.isdir(output_path):
         from .exr_seq import EXRSequenceWriter
-        return "planar", EXRSequenceWriter(output_path, ow, oh)
+        return "planar", EXRSequenceWriter(
+            output_path, ow, oh, src_fmt=getattr(reader, "fmt", None))
     from .ffmpeg_io import have_ffmpeg
     if have_ffmpeg():
         from .ffmpeg_io import FFmpegWriter
@@ -140,15 +141,28 @@ def _plane_groups(fmt: RawFormat, planes: List[np.ndarray]):
     return [(np.concatenate(planes, axis=-1).astype(np.float32), 0)]
 
 
-def _ungroup_planes(fmt: RawFormat, groups: List[np.ndarray]):
-    """Inverse of _plane_groups, clipped/cast to the container dtype."""
+def _ungroup_planes(fmt: RawFormat, groups: List[np.ndarray],
+                    src_max: Optional[float] = None):
+    """Inverse of _plane_groups, clipped/cast to the container dtype.
+
+    When the writer's bit depth differs from the source's, values rescale
+    linearly by max-code ratio (ffmpeg's depth conversion: 8<->10<->16-bit
+    YUV codes and float<->integer all scale linearly)."""
+    scale = 1.0
+    if src_max and src_max > 0 and fmt.max_value != src_max:
+        scale = fmt.max_value / src_max
     if fmt.dtype == np.float32:
-        cast = lambda a: a.astype(np.float32)
+        cast = lambda a: a.astype(np.float32) * np.float32(scale) \
+            if scale != 1.0 else a.astype(np.float32)
     else:
         # integer outputs usually arrive already rint+clip+cast on-device
         # (remap.to_uint8_jit / to_uint16_jit) — skip the host pass then
-        cast = lambda a: a if a.dtype == fmt.dtype else \
-            np.clip(np.rint(a), 0, fmt.max_value).astype(fmt.dtype)
+        def cast(a):
+            if scale != 1.0:
+                a = np.asarray(a, np.float32) * np.float32(scale)
+            elif a.dtype == fmt.dtype:
+                return a
+            return np.clip(np.rint(a), 0, fmt.max_value).astype(fmt.dtype)
     if fmt.is_yuv and len(fmt.planes) == 3:
         y, uv = groups
         return [cast(y), cast(uv[..., :1]), cast(uv[..., 1:2])]
@@ -167,7 +181,12 @@ def _plane_backgrounds(fmt: RawFormat, bg_rgba01, limited: bool):
         if len(fmt.planes) in (2, 3):
             return [yuva[..., :1], yuva[..., 1:3]]
         return [yuva[..., :1]]
-    return [np.asarray(bg_rgba01, np.float32)]
+    bg = np.asarray(bg_rgba01, np.float32)
+    if fmt.name.startswith("gbr"):
+        # planar-RGB groups are concatenated in ffmpeg's G,B,R(,A) order —
+        # the background must match the kernel plane's channel order
+        bg = bg[[1, 2, 0, 3]] if bg.shape[-1] == 4 else bg[[1, 2, 0]]
+    return [bg]
 
 
 def render(mgr, input_path: str, output_path: str,
@@ -223,7 +242,8 @@ def render(mgr, input_path: str, output_path: str,
         _t2 = _time.time()
         if kind == "planar":
             groups = [np.asarray(g) for g in payload]
-            planes = _ungroup_planes(out_fmt or fmt, groups)
+            planes = _ungroup_planes(out_fmt or fmt, groups,
+                                     src_max=fmt.max_value if fmt else None)
             _t3 = _time.time()
             for _ in range(emit):
                 writer.write_planes(planes)

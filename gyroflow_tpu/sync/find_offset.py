@@ -58,7 +58,15 @@ class RsSyncProblem:
     def __init__(self, params, estimator, from_us: int, to_us: int,
                  gyro=None):
         self.params = params
-        self.gyro = gyro if gyro is not None else params.gyro
+        g = gyro if gyro is not None else params.gyro
+        if g.get_offsets():
+            # org_quat_at_timestamp subtracts stored offsets; the solver's
+            # candidate offset must replace them, not stack on top (rs_sync.rs
+            # solves against the raw gyro clock) — else a second sync point
+            # converges to ~0 and overwrites the true offset
+            g = g.clone()
+            g.clear_offsets()
+        self.gyro = g
         self.readout_s = _effective_readout_s(params)
         height = float(estimator.size[1])
         self.tracks = []   # (tss_a ms, tss_b ms, rays_a (N,3), rays_b (N,3))

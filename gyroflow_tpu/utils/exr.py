@@ -33,27 +33,31 @@ def _attr(name: bytes, typ: bytes, data: bytes) -> bytes:
 
 
 def _predictor_encode(raw: bytes) -> bytes:
-    """OpenEXR Zip predictor: delta-encode then split even/odd bytes."""
-    a = np.frombuffer(raw, np.uint8).astype(np.int16)
-    d = np.empty_like(a)
-    d[0] = a[0]
-    d[1:] = a[1:] - a[:-1] + 128
-    d &= 0xFF
-    half = (len(d) + 1) // 2
-    out = np.empty(len(d), np.uint8)
-    out[:half] = d[0::2]
-    out[half:] = d[1::2]
-    return out.tobytes()
+    """OpenEXR Zip pre-pass (ImfZip.cpp compress): REORDER the bytes into
+    even/odd halves first, THEN delta-encode the reordered buffer."""
+    a = np.frombuffer(raw, np.uint8)
+    half = (len(a) + 1) // 2
+    split = np.empty(len(a), np.int16)
+    split[:half] = a[0::2]
+    split[half:] = a[1::2]
+    d = np.empty_like(split)
+    d[0] = split[0]
+    d[1:] = split[1:] - split[:-1] + 128
+    return (d & 0xFF).astype(np.uint8).tobytes()
 
 
 def _predictor_decode(buf: bytes) -> bytes:
-    a = np.frombuffer(buf, np.uint8)
-    half = (len(a) + 1) // 2
-    inter = np.empty(len(a), np.int64)
-    inter[0::2] = a[:half]
-    inter[1::2] = a[half:]
-    inter[1:] -= 128
-    return (np.cumsum(inter) & 0xFF).astype(np.uint8).tobytes()
+    """Inverse (ImfZip.cpp uncompress): un-delta first, then interleave the
+    two halves back."""
+    a = np.frombuffer(buf, np.uint8).astype(np.int64)
+    a = a.copy()
+    a[1:] -= 128
+    split = (np.cumsum(a) & 0xFF).astype(np.uint8)
+    half = (len(split) + 1) // 2
+    out = np.empty(len(split), np.uint8)
+    out[0::2] = split[:half]
+    out[1::2] = split[half:]
+    return out.tobytes()
 
 
 def write_exr(path: str, channels: Dict[str, np.ndarray],

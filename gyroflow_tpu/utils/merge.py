@@ -101,9 +101,12 @@ def merge_gcsv(file_list: List[str], output_path: str) -> List[float]:
     sync_points: List[float] = []
     out_data: List[str] = []
     add_timestamp = 0.0
-    for fi, (_h, data, tscale, _first, last) in enumerate(scans):
+    for fi, (_h, data, tscale, first, last) in enumerate(scans):
         if fi > 0:
-            base_ms = add_timestamp * time_scale * 1000.0
+            # join time on the MERGED clock: rebase offset + the chapter's own
+            # first timestamp (the reference uses add_timestamp alone, which
+            # is 0 for already-continuous clocks and lands the points at t=0)
+            base_ms = (add_timestamp + first) * time_scale * 1000.0
             sync_points += [base_ms - 500.0, base_ms + 500.0, base_ms + 1000.0,
                             base_ms + 2000.0, base_ms + 2500.0]
         last_diff = 0.0

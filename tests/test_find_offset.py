@@ -100,6 +100,18 @@ class TestRsSync:
         assert c_true < problem.cost(TRUE_OFFSET_MS - 30.0)
         assert c_true < 1e-6
 
+    def test_prior_offsets_do_not_shift_the_solution(self, gcsv_path):  # noqa: F811
+        """A previously-applied sync offset must not be double-counted:
+        the solver works on the raw gyro clock, so a second sync point still
+        recovers the ABSOLUTE offset (rs_sync.rs solves raw timestamps)."""
+        mgr = make_manager(gcsv_path)
+        est, rng = synth_estimator(mgr, TRUE_OFFSET_MS)
+        mgr.set_sync_offset(rng[0], TRUE_OFFSET_MS)   # as if point 1 applied
+        offs = find_offsets_rs_sync(mgr, est, [rng], initial_offset=0.0,
+                                    search_size=300.0)
+        assert offs
+        assert abs(offs[0][1] - TRUE_OFFSET_MS) < 1.0, offs[0]
+
     def test_out_of_range_rejected(self, gcsv_path):  # noqa: F811
         mgr = make_manager(gcsv_path)
         est, rng = synth_estimator(mgr, 400.0)

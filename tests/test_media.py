@@ -389,6 +389,62 @@ class TestDNGSequence:
         assert img.shape == (VH, VW, 3)
 
 
+class TestCrossFormatRenders:
+    def test_depth_rescale_10_to_8(self, y4m10_path, gcsv_path, tmp_path):  # noqa: F811
+        """10-bit source rendered to an 8-bit y4m scales codes by 255/1023."""
+        mgr = make_manager(gcsv_path)
+        out10 = str(tmp_path / "o10.y4m")
+        render(mgr, y4m10_path, out10, RenderOptions(interpolation=2))
+        out8 = str(tmp_path / "o8.y4m")
+        render(mgr, y4m10_path, out8,
+               RenderOptions(interpolation=2, pix_fmt="yuv420p"))
+        r10, r8 = Y4MReader(out10), Y4MReader(out8)
+        _, p10 = next(iter(r10))
+        _, p8 = next(iter(r8))
+        r10.close(); r8.close()
+        assert p8[0].dtype == np.uint8
+        m10 = float(p10[0].mean()) / 1023.0
+        m8 = float(p8[0].mean()) / 255.0
+        assert abs(m10 - m8) < 0.01, (m10, m8)
+
+    def test_exr_to_png_keeps_channels(self, gcsv_path, tmp_path):  # noqa: F811
+        from gyroflow_tpu.utils.exr import write_exr
+        import cv2
+        indir = tmp_path / "eseq"
+        indir.mkdir()
+        rng = np.random.default_rng(6)
+        for i in range(2):
+            ch = {"R": np.full((VH, VW), 0.8, np.float32),
+                  "G": np.full((VH, VW), 0.4, np.float32),
+                  "B": np.full((VH, VW), 0.1, np.float32)}
+            write_exr(str(indir / f"f_{i:04d}.exr"), ch)
+        mgr = make_manager(gcsv_path)
+        outpat = str(tmp_path / "p_%04d.png")
+        stats = render(mgr, str(indir / "f_%04d.exr"), outpat,
+                       RenderOptions(interpolation=2))
+        assert stats["frames"] == 2
+        img = cv2.imread(outpat % 0, cv2.IMREAD_UNCHANGED)
+        assert img is not None and img.ndim == 3 and img.shape[-1] == 3
+        # BGR on disk: R~0.8 lands in channel 2, B~0.1 in channel 0
+        c = img[VH // 2, VW // 2].astype(np.float64) / 65535.0
+        assert c[2] > 0.7 and c[1] == pytest.approx(0.4, abs=0.05) \
+            and c[0] < 0.2, c
+
+    def test_yuv_to_exr_converts(self, y4m10_path, gcsv_path, tmp_path):  # noqa: F811
+        from gyroflow_tpu.utils.exr import read_exr
+        mgr = make_manager(gcsv_path)
+        outdir = tmp_path / "exrs"
+        stats = render(mgr, y4m10_path, str(outdir),
+                       RenderOptions(interpolation=2))
+        assert stats["frames"] == VFRAMES
+        files = sorted(os.listdir(outdir))
+        ch = read_exr(str(outdir / files[0]))
+        assert set(ch) >= {"R", "G", "B"}
+        # full-res channels in 0..1 (conversion, not raw YUV planes)
+        assert ch["R"].shape == (VH, VW)
+        assert 0.0 <= float(ch["R"].min()) and float(ch["R"].max()) <= 1.0
+
+
 class TestCLIY4M:
     def test_cli_stabilizes_y4m_10bit(self, y4m10_path, gcsv_path, capsys):  # noqa: F811
         from gyroflow_tpu import cli

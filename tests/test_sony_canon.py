@@ -233,3 +233,26 @@ class TestCanon:
         assert md.lens_profile["distortion_model"] == "opencv_standard"
         assert md.lens_profile["camera_model"] == "EOS R5"
         assert "RF24-70mm" in md.lens_profile["lens_model"]
+
+    def test_quirks_wired_through_manager(self):
+        """Canon tag-map quirks fire from the manager load path
+        (gyro_source/mod.rs:491-499) when parsed CTMD tags ride along."""
+        from gyroflow_tpu.core.manager import StabilizationManager
+        md = FileMetadata()
+        md.detected_source = "Canon EOS R5"
+        md.frame_rate = 25.0
+        md.frame_readout_time = 12.0
+        md.additional_data = {"sample_rate": 1000.0, "tag_map": {
+            "imager": {"pixel_width": 3840, "pixel_height": 2160,
+                       "exposure_time": 4.0},
+            "lens": {"enabled_corrections": [1, 1, 0, 1],
+                     "pixel_focal_length": [2100.0, 2100.0],
+                     "focal_length": 24.0, "display_name": "RF24-70mm"}}}
+        mgr = StabilizationManager()
+        mgr.init_from_video_data(1000.0, 25.0, 25, (3840, 2160))
+        mgr._apply_camera_quirks(md)
+        assert len(md.per_frame_time_offsets) == 1
+        assert md.per_frame_time_offsets[0] == pytest.approx(
+            1000.0 / 25.0 + 6.0 - 2.0 - 0.5)
+        assert md.lens_profile is not None
+        assert md.lens_profile["camera_brand"] == "Canon"
