@@ -53,6 +53,11 @@ def _build_and_load():
         lib.per_axis_scan.argtypes = [dptr, ctypes.c_int64, dptr, ctypes.c_int]
         lib.vqf_offline.argtypes = [dptr, dptr, ctypes.c_int64, ctypes.c_double,
                                     dptr, dptr]
+        iptr = ctypes.POINTER(ctypes.c_int)
+        lib.ljpeg_decode.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                     ctypes.POINTER(ctypes.c_uint16),
+                                     ctypes.c_int64, iptr, iptr, iptr]
+        lib.ljpeg_decode.restype = ctypes.c_int
         _LIB = lib
         log.debug("native library loaded: %s", so_path)
     except Exception as e:  # noqa: BLE001 — any failure -> Python fallback
@@ -102,4 +107,28 @@ def vqf_offline(gyr: np.ndarray, acc: np.ndarray, ts: float, params_vec: np.ndar
     pp = np.ascontiguousarray(params_vec, dtype=np.float64)
     out = np.empty((g.shape[0], 4), dtype=np.float64)
     lib.vqf_offline(_as_c(g), _as_c(a), g.shape[0], ts, _as_c(pp), _as_c(out))
+    return out
+
+
+def ljpeg_decode(data: bytes) -> np.ndarray:
+    """Lossless-JPEG (SOF3) stream -> (H, W, C) uint16. Native when the C++
+    library built; utils.ljpeg pure-Python otherwise."""
+    lib = _build_and_load()
+    if lib is None:
+        from ..utils.ljpeg import decode
+        return decode(data)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    nc = ctypes.c_int()
+    rc = lib.ljpeg_decode(data, len(data), None, 0,
+                          ctypes.byref(w), ctypes.byref(h), ctypes.byref(nc))
+    if rc != 1:
+        raise ValueError(f"ljpeg: malformed stream (rc={rc})")
+    out = np.empty((h.value, w.value, nc.value), np.uint16)
+    rc = lib.ljpeg_decode(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), out.size,
+        ctypes.byref(w), ctypes.byref(h), ctypes.byref(nc))
+    if rc != 0:
+        raise ValueError(f"ljpeg: decode failed (rc={rc})")
     return out

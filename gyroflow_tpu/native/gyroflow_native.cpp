@@ -529,3 +529,230 @@ void vqf_offline(const double* gyr, const double* acc, int64_t n, double ts,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Lossless JPEG (ITU T.81 process 14, SOF3) decoder — the entropy codec of
+// compressed CinemaDNG raws (DNG Compression=7). Serial Huffman decode is a
+// genuine CPU hot loop (8+ MP/frame), hence native like the reference's
+// decode path. Single scan, predictors 1-7, point transform, restart
+// markers, up to 4 interleaved components.
+// ---------------------------------------------------------------------------
+
+namespace ljpeg {
+
+struct BitReader {
+    const uint8_t* d;
+    int64_t n, pos;
+    uint32_t acc;
+    int bits;
+    bool marker_hit;
+    BitReader(const uint8_t* data, int64_t size)
+        : d(data), n(size), pos(0), acc(0), bits(0), marker_hit(false) {}
+    // next entropy byte with 0xFF00 unstuffing; stops at markers
+    bool fill() {
+        while (bits <= 24) {
+            if (pos >= n) return bits > 0;
+            uint8_t b = d[pos];
+            if (b == 0xFF) {
+                if (pos + 1 < n && d[pos + 1] == 0x00) { pos += 2; }
+                else { marker_hit = true; return bits > 0; }
+            } else {
+                pos += 1;
+            }
+            acc = (acc << 8) | b;
+            bits += 8;
+        }
+        return true;
+    }
+    int get_bit() {
+        if (bits == 0 && !fill()) return -1;
+        if (bits == 0) return -1;
+        bits -= 1;
+        return (acc >> bits) & 1;
+    }
+    int get_bits(int k) {
+        int v = 0;
+        for (int i = 0; i < k; i++) {
+            int b = get_bit();
+            if (b < 0) return -1;
+            v = (v << 1) | b;
+        }
+        return v;
+    }
+    void reset_to_byte() { acc = 0; bits = 0; }
+};
+
+struct Huff {
+    // canonical code decode via per-length min/max codes
+    int32_t mincode[17], maxcode[17], valptr[17];
+    uint8_t vals[256];
+    bool ok = false;
+    void build(const uint8_t counts[16], const uint8_t* symbols, int nsym) {
+        int code = 0, k = 0;
+        for (int l = 1; l <= 16; l++) {
+            valptr[l] = k;
+            mincode[l] = code;
+            code += counts[l - 1];
+            maxcode[l] = code - 1;
+            if (counts[l - 1] == 0) maxcode[l] = -1;
+            for (int i = 0; i < counts[l - 1] && k < nsym && k < 256; i++, k++)
+                vals[k] = symbols[k];
+            code <<= 1;
+        }
+        ok = true;
+    }
+    int decode(BitReader& br) const {
+        int code = 0;
+        for (int l = 1; l <= 16; l++) {
+            int b = br.get_bit();
+            if (b < 0) return -1;
+            code = (code << 1) | b;
+            if (maxcode[l] >= 0 && code <= maxcode[l])
+                return vals[valptr[l] + code - mincode[l]];
+        }
+        return -1;
+    }
+};
+
+static inline int extend(int v, int t) {
+    if (t == 0) return 0;
+    return (v < (1 << (t - 1))) ? v - ((1 << t) - 1) : v;
+}
+
+}  // namespace ljpeg
+
+extern "C" {
+
+// Returns 0 on success; negative on malformed input. out must hold
+// lines*samples_per_line*ncomp uint16 values (query via the out_* fields by
+// calling with out_cap=0 first: returns 1 and fills dimensions).
+int ljpeg_decode(const uint8_t* data, int64_t size, uint16_t* out,
+                 int64_t out_cap, int* out_w, int* out_h, int* out_ncomp) {
+    using namespace ljpeg;
+    if (size < 4 || data[0] != 0xFF || data[1] != 0xD8) return -1;
+    int64_t p = 2;
+    int precision = 0, height = 0, width = 0, ncomp = 0;
+    int comp_tbl[4] = {0, 0, 0, 0};
+    Huff tables[4];
+    int predictor = 1, pt = 0, restart_interval = 0;
+    int64_t scan_start = -1;
+
+    while (p + 4 <= size) {
+        if (data[p] != 0xFF) return -2;
+        int m = data[p + 1];
+        p += 2;
+        if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) continue;
+        if (m == 0xD9) break;
+        if (p + 2 > size) return -3;
+        int len = (data[p] << 8) | data[p + 1];
+        if (p + len > size) return -4;
+        const uint8_t* seg = data + p + 2;
+        int seglen = len - 2;
+        if (m == 0xC3) {                       // SOF3
+            if (seglen < 6) return -5;
+            precision = seg[0];
+            height = (seg[1] << 8) | seg[2];
+            width = (seg[3] << 8) | seg[4];
+            ncomp = seg[5];
+            if (ncomp < 1 || ncomp > 4 || seglen < 6 + 3 * ncomp) return -6;
+            // per-component sampling must be 1x1 for lossless DNG
+        } else if (m == 0xC4) {                // DHT
+            int off = 0;
+            while (off + 17 <= seglen) {
+                int tc_th = seg[off];
+                int th = tc_th & 0x0F;
+                const uint8_t* counts = seg + off + 1;
+                int nsym = 0;
+                for (int i = 0; i < 16; i++) nsym += counts[i];
+                if (off + 17 + nsym > seglen || th > 3) return -7;
+                tables[th].build(counts, seg + off + 17, nsym);
+                off += 17 + nsym;
+            }
+        } else if (m == 0xDD) {                // DRI
+            if (seglen >= 2) restart_interval = (seg[0] << 8) | seg[1];
+        } else if (m == 0xDA) {                // SOS
+            if (seglen < 1) return -8;
+            int ns = seg[0];
+            if (ns != ncomp || seglen < 1 + 2 * ns + 3) return -9;
+            for (int i = 0; i < ns; i++)
+                comp_tbl[i] = (seg[1 + 2 * i + 1] >> 4) & 0x0F;
+            predictor = seg[1 + 2 * ns];       // Ss
+            pt = seg[1 + 2 * ns + 2] & 0x0F;   // Al
+            scan_start = p + len;
+            break;
+        }
+        p += len;
+    }
+    if (scan_start < 0 || width <= 0 || height <= 0) return -10;
+    *out_w = width;
+    *out_h = height;
+    *out_ncomp = ncomp;
+    int64_t need = (int64_t)width * height * ncomp;
+    if (out_cap < need) return 1;              // size query
+    for (int c = 0; c < ncomp; c++)
+        if (!tables[comp_tbl[c]].ok) return -11;
+    if (predictor < 1 || predictor > 7) return -12;
+
+    BitReader br(data + scan_start, size - scan_start);
+    int default_pred = 1 << (precision - 1 - pt);
+    int64_t row_vals = (int64_t)width * ncomp;
+    int mcu_count = 0;
+    for (int y = 0; y < height; y++) {
+        uint16_t* row = out + (int64_t)y * row_vals;
+        const uint16_t* prev = row - row_vals;
+        for (int x = 0; x < width; x++) {
+            if (restart_interval && mcu_count == restart_interval) {
+                // re-sync: skip RSTn marker, restart prediction
+                br.reset_to_byte();
+                if (br.marker_hit && br.pos + 1 < br.n &&
+                    br.d[br.pos] == 0xFF && br.d[br.pos + 1] >= 0xD0 &&
+                    br.d[br.pos + 1] <= 0xD7) {
+                    br.pos += 2;
+                    br.marker_hit = false;
+                }
+                mcu_count = 0;
+                // prediction restarts as at image start for this position
+            }
+            bool restart_here = (restart_interval && mcu_count == 0 &&
+                                 (y > 0 || x > 0));
+            for (int c = 0; c < ncomp; c++) {
+                int t = tables[comp_tbl[c]].decode(br);
+                if (t < 0) return -13;
+                int diff;
+                if (t == 16) diff = 32768;
+                else {
+                    int v = t ? br.get_bits(t) : 0;
+                    if (v < 0) return -14;
+                    diff = extend(v, t);
+                }
+                int pred;
+                if ((y == 0 && x == 0) || restart_here) {
+                    pred = default_pred;
+                } else if (y == 0) {
+                    pred = row[(int64_t)(x - 1) * ncomp + c];     // Ra
+                } else if (x == 0) {
+                    pred = prev[(int64_t)x * ncomp + c];          // Rb
+                } else {
+                    int ra = row[(int64_t)(x - 1) * ncomp + c];
+                    int rb = prev[(int64_t)x * ncomp + c];
+                    int rc = prev[(int64_t)(x - 1) * ncomp + c];
+                    switch (predictor) {
+                        case 1: pred = ra; break;
+                        case 2: pred = rb; break;
+                        case 3: pred = rc; break;
+                        case 4: pred = ra + rb - rc; break;
+                        case 5: pred = ra + ((rb - rc) >> 1); break;
+                        case 6: pred = rb + ((ra - rc) >> 1); break;
+                        default: pred = (ra + rb) >> 1; break;
+                    }
+                }
+                row[(int64_t)x * ncomp + c] =
+                    (uint16_t)((pred + diff) & 0xFFFF);
+            }
+            mcu_count++;
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -214,18 +214,28 @@ class DNGSequenceReader:
         comp = t.get(T_COMPRESSION, (1,))[0]
         photo = t.get(T_PHOTOMETRIC, (PHOTO_CFA,))[0]
         spp = t.get(T_SAMPLES_PER_PIXEL, (1,))[0]
-        if comp != 1:
+        if comp not in (1, 7):
             raise IOError(f"unsupported DNG compression {comp} "
-                          "(only uncompressed CinemaDNG is supported)")
+                          "(uncompressed and lossless-JPEG are supported)")
         offsets = t[T_STRIP_OFFSETS]
         counts = t.get(T_STRIP_COUNTS, (len(buf) - offsets[0],))
-        data = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
         n = w * h * spp
-        if bits == 16:
+        if comp == 7:
+            # lossless JPEG (SOF3) strips — the CinemaDNG entropy codec
+            from ..native import ljpeg_decode
+            parts = []
+            for o, c in zip(offsets, counts):
+                dec = ljpeg_decode(bytes(buf[o:o + c]))
+                parts.append(dec.reshape(dec.shape[0], -1)[:, :w * spp])
+            raw = np.concatenate(parts, axis=0).reshape(-1)[:n]
+        elif bits == 16:
+            data = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
             raw = np.frombuffer(data, np.dtype(endian + "u2"), count=n)
         elif bits == 8:
+            data = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
             raw = np.frombuffer(data, np.uint8, count=n).astype(np.uint16)
         elif bits == 12:
+            data = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
             raw = _unpack12(data, n)
         else:
             raise IOError(f"unsupported DNG bit depth {bits}")

@@ -1,0 +1,107 @@
+"""Lossless JPEG (SOF3) codec: encoder/decoder round trips, native C++ vs
+pure-Python agreement, and compressed (Compression=7) CinemaDNG decode."""
+import numpy as np
+import pytest
+
+from gyroflow_tpu.utils import ljpeg
+
+
+def rng_img(h, w, c, bits, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 1 << bits, (h, w, c)).astype(np.uint16)
+    return img
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("bits", [8, 12, 16])
+    @pytest.mark.parametrize("nc", [1, 2])
+    def test_python_roundtrip(self, bits, nc):
+        img = rng_img(13, 21, nc, bits, bits * 10 + nc)
+        enc = ljpeg.encode(img, precision=bits)
+        dec = ljpeg.decode(enc)
+        np.testing.assert_array_equal(dec, img)
+
+    @pytest.mark.parametrize("pred", [1, 2, 3, 4, 5, 6, 7])
+    def test_predictors(self, pred):
+        img = rng_img(9, 17, 1, 12, pred)
+        enc = ljpeg.encode(img, precision=12, predictor=pred)
+        np.testing.assert_array_equal(ljpeg.decode(enc), img)
+
+    def test_gradient_compresses(self):
+        """Smooth data must shrink (the point of the predictor)."""
+        y, x = np.mgrid[0:64, 0:96]
+        img = ((y * 7 + x * 3) & 0xFFF).astype(np.uint16)[..., None]
+        enc = ljpeg.encode(img, precision=12)
+        assert len(enc) < img.size * 2 * 0.7
+
+
+class TestNativeAgreement:
+    def test_native_matches_python(self):
+        from gyroflow_tpu import native
+        if not native.available():
+            pytest.skip("native library unavailable")
+        for seed, (h, w, nc, bits) in enumerate(
+                [(16, 24, 1, 16), (11, 33, 2, 12), (8, 8, 1, 8)]):
+            img = rng_img(h, w, nc, bits, seed)
+            enc = ljpeg.encode(img, precision=bits)
+            got = native.ljpeg_decode(enc)
+            np.testing.assert_array_equal(got, img)
+            np.testing.assert_array_equal(got, ljpeg.decode(enc))
+
+    def test_native_rejects_garbage(self):
+        from gyroflow_tpu import native
+        if not native.available():
+            pytest.skip("native library unavailable")
+        with pytest.raises(ValueError):
+            native.ljpeg_decode(b"\xff\xd8" + b"\x00" * 64)
+
+
+class TestCompressedDNG:
+    def test_compression7_dng_reads(self, tmp_path):
+        import struct
+
+        from gyroflow_tpu.render.dng_seq import DNGSequenceReader
+        rng = np.random.default_rng(1)
+        h, w = 32, 48
+        cfa = rng.integers(0, 4096, (h, w)).astype(np.uint16)
+        # 2-component SOF3 layout like CinemaDNG: rows of w samples split
+        # into (w/2, 2) interleaved components
+        jpg = ljpeg.encode(cfa.reshape(h, w // 2, 2), precision=12)
+
+        def e(entries, tag, typ, vals):
+            entries.append((tag, typ, vals))
+        entries = []
+        e(entries, 254, 4, [0])
+        e(entries, 256, 4, [w])
+        e(entries, 257, 4, [h])
+        e(entries, 258, 3, [12])
+        e(entries, 259, 3, [7])          # lossless JPEG
+        e(entries, 262, 3, [32803])
+        e(entries, 277, 3, [1])
+        e(entries, 278, 4, [h])
+        e(entries, 33422, 1, [0, 1, 1, 2])
+        e(entries, 50714, 3, [0])
+        e(entries, 50717, 4, [4095])
+        n = len(entries) + 2
+        data_off = 8 + 2 + n * 12 + 4
+        e(entries, 273, 4, [data_off])
+        e(entries, 279, 4, [len(jpg)])
+        entries.sort(key=lambda x: x[0])
+        out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+        out += struct.pack("<H", len(entries))
+        tfm = {1: "B", 3: "H", 4: "I"}
+        for (tag, typ, vals) in entries:
+            packed = struct.pack("<" + tfm[typ] * len(vals), *vals).ljust(4, b"\x00")
+            out += struct.pack("<HHI", tag, typ, len(vals)) + packed
+        out += struct.pack("<I", 0)
+        out += jpg
+        p = tmp_path / "c7_0000.dng"
+        p.write_bytes(bytes(out))
+
+        r = DNGSequenceReader(str(tmp_path / "c7_%04d.dng"))
+        _, planes = next(iter(r))
+        rgb = planes[0]
+        assert rgb.shape == (h, w, 3)
+        # green CFA site value survives normalization exactly
+        want = round(cfa[0, 1] / 4095.0 * 65535.0)
+        assert abs(int(rgb[0, 1, 1]) - want) <= 1
