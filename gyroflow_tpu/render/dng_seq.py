@@ -34,6 +34,10 @@ T_STRIP_OFFSETS = 273
 T_SAMPLES_PER_PIXEL = 277
 T_ROWS_PER_STRIP = 278
 T_STRIP_COUNTS = 279
+T_TILE_WIDTH = 322
+T_TILE_LENGTH = 323
+T_TILE_OFFSETS = 324
+T_TILE_COUNTS = 325
 T_SUB_IFDS = 330
 T_CFA_PATTERN = 33422
 T_BLACK_LEVEL = 50714
@@ -192,7 +196,8 @@ class DNGSequenceReader:
         ifds, endian = _all_ifds(buf)
         best = None
         for t in ifds:
-            if T_WIDTH not in t or T_STRIP_OFFSETS not in t:
+            if T_WIDTH not in t or (T_STRIP_OFFSETS not in t
+                                    and T_TILE_OFFSETS not in t):
                 continue
             photo = t.get(T_PHOTOMETRIC, (0,))[0]
             subtype = t.get(T_NEW_SUBFILE, (0,))[0]
@@ -217,28 +222,51 @@ class DNGSequenceReader:
         if comp not in (1, 7):
             raise IOError(f"unsupported DNG compression {comp} "
                           "(uncompressed and lossless-JPEG are supported)")
-        offsets = t[T_STRIP_OFFSETS]
-        counts = t.get(T_STRIP_COUNTS, (len(buf) - offsets[0],))
-        n = w * h * spp
-        if comp == 7:
-            # lossless JPEG (SOF3) strips — the CinemaDNG entropy codec
-            from ..native import ljpeg_decode
-            parts = []
-            for o, c in zip(offsets, counts):
-                dec = ljpeg_decode(bytes(buf[o:o + c]))
-                parts.append(dec.reshape(dec.shape[0], -1)[:, :w * spp])
-            raw = np.concatenate(parts, axis=0).reshape(-1)[:n]
-        elif bits == 16:
-            data = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
-            raw = np.frombuffer(data, np.dtype(endian + "u2"), count=n)
-        elif bits == 8:
-            data = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
-            raw = np.frombuffer(data, np.uint8, count=n).astype(np.uint16)
-        elif bits == 12:
-            data = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
-            raw = _unpack12(data, n)
-        else:
+
+        def unpack_raw(data: bytes, count: int) -> np.ndarray:
+            if comp == 7:
+                # lossless JPEG (SOF3) — the CinemaDNG entropy codec
+                from ..native import ljpeg_decode
+                dec = ljpeg_decode(bytes(data))
+                return dec.reshape(dec.shape[0], -1)
+            if bits == 16:
+                return np.frombuffer(data, np.dtype(endian + "u2"),
+                                     count=count)
+            if bits == 8:
+                return np.frombuffer(data, np.uint8,
+                                     count=count).astype(np.uint16)
+            if bits == 12:
+                return _unpack12(data, count)
             raise IOError(f"unsupported DNG bit depth {bits}")
+
+        n = w * h * spp
+        if T_TILE_OFFSETS in t:
+            # tiled layout (Adobe-written DNGs): place each tile into the
+            # padded mosaic, then crop to the image size
+            tw_ = t[T_TILE_WIDTH][0]
+            th_ = t[T_TILE_LENGTH][0]
+            offs = t[T_TILE_OFFSETS]
+            cnts = t[T_TILE_COUNTS]
+            tiles_x = -(-w // tw_)
+            canvas = np.zeros((-(-h // th_) * th_, tiles_x * tw_ * spp),
+                              np.uint16)
+            for idx, (o, c) in enumerate(zip(offs, cnts)):
+                ty, tx = divmod(idx, tiles_x)
+                vals = unpack_raw(buf[o:o + c], th_ * tw_ * spp)
+                canvas[ty * th_:(ty + 1) * th_,
+                       tx * tw_ * spp:(tx + 1) * tw_ * spp] = \
+                    vals.reshape(th_, tw_ * spp)
+            raw = canvas[:h, :w * spp].reshape(-1)
+        else:
+            offsets = t[T_STRIP_OFFSETS]
+            counts = t.get(T_STRIP_COUNTS, (len(buf) - offsets[0],))
+            if comp == 7:
+                parts = [unpack_raw(buf[o:o + c], 0)[:, :w * spp]
+                         for o, c in zip(offsets, counts)]
+                raw = np.concatenate(parts, axis=0).reshape(-1)[:n]
+            else:
+                data = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
+                raw = unpack_raw(data, n)
         black = float(np.mean(t.get(T_BLACK_LEVEL, (0,))))
         white = float(t.get(T_WHITE_LEVEL, ((1 << bits) - 1,))[0])
         img = raw.reshape(h, w, spp).astype(np.float32)

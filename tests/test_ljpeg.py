@@ -56,6 +56,83 @@ class TestNativeAgreement:
             native.ljpeg_decode(b"\xff\xd8" + b"\x00" * 64)
 
 
+def write_dng_generic(path, entries_vals, payloads):
+    """TIFF writer with out-of-line array support for tiled fixtures.
+    entries_vals: [(tag, typ, vals)]; payloads appended after the IFD, and
+    any vals == ('payload', i) resolves to payload i's absolute offset."""
+    import struct
+    tfm = {1: "B", 3: "H", 4: "I"}
+    tsz = {1: 1, 3: 2, 4: 4}
+    entries = sorted(entries_vals, key=lambda e: e[0])
+    n = len(entries)
+    ifd_off = 8
+    data_off = ifd_off + 2 + n * 12 + 4
+    # lay out payloads and out-of-line value arrays after the IFD
+    extra = bytearray()
+    payload_offs = []
+    pos = data_off
+    for pl in payloads:
+        payload_offs.append(pos)
+        extra += pl
+        pos += len(pl)
+    out_of_line = bytearray()
+
+    def resolve(vals):
+        return [payload_offs[v[1]] if isinstance(v, tuple) else v
+                for v in vals]
+
+    body = bytearray()
+    for (tag, typ, vals) in entries:
+        vals = resolve(vals)
+        packed = struct.pack("<" + tfm[typ] * len(vals), *vals)
+        if len(packed) <= 4:
+            body += struct.pack("<HHI", tag, typ, len(vals)) + packed.ljust(4, b"\x00")
+        else:
+            body += struct.pack("<HHI", tag, typ, len(vals)) + \
+                struct.pack("<I", pos + len(out_of_line))
+            out_of_line += packed
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += struct.pack("<H", n) + body + struct.pack("<I", 0)
+    assert len(out) == data_off
+    out += extra + out_of_line
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+
+
+class TestTiledDNG:
+    def test_tiled_compression7(self, tmp_path):
+        from gyroflow_tpu.render.dng_seq import DNGSequenceReader
+        rng = np.random.default_rng(5)
+        h, w, tw_, th_ = 32, 64, 32, 16
+        cfa = rng.integers(0, 4096, (h, w)).astype(np.uint16)
+        tiles = []
+        for ty in range(h // th_):
+            for tx in range(w // tw_):
+                block = cfa[ty * th_:(ty + 1) * th_, tx * tw_:(tx + 1) * tw_]
+                tiles.append(ljpeg.encode(block.reshape(th_, tw_ // 2, 2),
+                                          precision=12))
+        entries = [(254, 4, [0]), (256, 4, [w]), (257, 4, [h]), (258, 3, [12]),
+                   (259, 3, [7]), (262, 3, [32803]), (277, 3, [1]),
+                   (322, 4, [tw_]), (323, 4, [th_]),
+                   (324, 4, [("payload", i) for i in range(len(tiles))]),
+                   (325, 4, [len(tj) for tj in tiles]),
+                   (33422, 1, [0, 1, 1, 2]), (50714, 3, [0]),
+                   (50717, 4, [4095])]
+        p = tmp_path / "t_0000.dng"
+        write_dng_generic(str(p), entries, tiles)
+        r = DNGSequenceReader(str(tmp_path / "t_%04d.dng"))
+        _, planes = next(iter(r))
+        rgb = planes[0]
+        assert rgb.shape == (h, w, 3)
+        # exact sample check at green sites across tile boundaries
+        for (y, x) in ((0, 1), (0, 33), (17, 2), (17, 34)):
+            ch = 1 if (y % 2, x % 2) in ((0, 1), (1, 0)) else None
+            if ch is None:
+                continue
+            want = round(cfa[y, x] / 4095.0 * 65535.0)
+            assert abs(int(rgb[y, x, ch]) - want) <= 1, (y, x)
+
+
 class TestCompressedDNG:
     def test_compression7_dng_reads(self, tmp_path):
         import struct
