@@ -124,6 +124,8 @@ def ljpeg_decode(data: bytes) -> np.ndarray:
                           ctypes.byref(w), ctypes.byref(h), ctypes.byref(nc))
     if rc != 1:
         raise ValueError(f"ljpeg: malformed stream (rc={rc})")
+    if h.value * w.value * nc.value > 512 << 20:    # 512M samples sanity cap
+        raise ValueError("ljpeg: implausible image dimensions")
     out = np.empty((h.value, w.value, nc.value), np.uint16)
     rc = lib.ljpeg_decode(
         data, len(data),

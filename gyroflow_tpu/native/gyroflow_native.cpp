@@ -664,7 +664,8 @@ int ljpeg_decode(const uint8_t* data, int64_t size, uint16_t* out,
                 const uint8_t* counts = seg + off + 1;
                 int nsym = 0;
                 for (int i = 0; i < 16; i++) nsym += counts[i];
-                if (off + 17 + nsym > seglen || th > 3) return -7;
+                if (off + 17 + nsym > seglen || th > 3 || nsym > 256)
+                    return -7;
                 tables[th].build(counts, seg + off + 17, nsym);
                 off += 17 + nsym;
             }
@@ -674,8 +675,10 @@ int ljpeg_decode(const uint8_t* data, int64_t size, uint16_t* out,
             if (seglen < 1) return -8;
             int ns = seg[0];
             if (ns != ncomp || seglen < 1 + 2 * ns + 3) return -9;
-            for (int i = 0; i < ns; i++)
+            for (int i = 0; i < ns; i++) {
                 comp_tbl[i] = (seg[1 + 2 * i + 1] >> 4) & 0x0F;
+                if (comp_tbl[i] > 3) return -15;   // tables[4] bound
+            }
             predictor = seg[1 + 2 * ns];       // Ss
             pt = seg[1 + 2 * ns + 2] & 0x0F;   // Al
             scan_start = p + len;

@@ -55,6 +55,29 @@ class TestNativeAgreement:
         with pytest.raises(ValueError):
             native.ljpeg_decode(b"\xff\xd8" + b"\x00" * 64)
 
+    def test_native_survives_mutation_fuzz(self):
+        """Bit-flipped and truncated valid streams must error or decode,
+        never crash (the decoder parses untrusted camera files)."""
+        from gyroflow_tpu import native
+        if not native.available():
+            pytest.skip("native library unavailable")
+        img = rng_img(8, 12, 2, 12, 9)
+        enc = bytearray(ljpeg.encode(img, precision=12))
+        rng = np.random.default_rng(0)
+        for _ in range(300):
+            mut = bytearray(enc)
+            for _k in range(rng.integers(1, 4)):
+                mut[rng.integers(2, len(mut))] = rng.integers(0, 256)
+            try:
+                native.ljpeg_decode(bytes(mut))
+            except ValueError:
+                pass
+        for cut in range(2, len(enc), 7):
+            try:
+                native.ljpeg_decode(bytes(enc[:cut]))
+            except ValueError:
+                pass
+
 
 def write_dng_generic(path, entries_vals, payloads):
     """TIFF writer with out-of-line array support for tiled fixtures.
