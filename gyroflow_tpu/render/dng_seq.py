@@ -40,8 +40,10 @@ T_TILE_OFFSETS = 324
 T_TILE_COUNTS = 325
 T_SUB_IFDS = 330
 T_CFA_PATTERN = 33422
+T_LINEARIZATION = 50712
 T_BLACK_LEVEL = 50714
 T_WHITE_LEVEL = 50717
+T_ACTIVE_AREA = 50829
 
 PHOTO_CFA = 32803
 PHOTO_LINEAR = 34892
@@ -267,9 +269,23 @@ class DNGSequenceReader:
             else:
                 data = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
                 raw = unpack_raw(data, n)
+        raw = raw.reshape(h, w, spp)
+        # LinearizationTable (log/companded raws; DNG spec 1.4): stored
+        # codes index the LUT before black/white normalization
+        lin = t.get(T_LINEARIZATION)
+        if lin:
+            lut = np.asarray(lin, np.uint16)
+            raw = lut[np.minimum(raw.astype(np.int64), len(lut) - 1)]
+        # ActiveArea crop (top, left, bottom, right) drops masked borders
+        aa = t.get(T_ACTIVE_AREA)
+        if aa and len(aa) == 4:
+            top, left, bottom, right = (int(v) for v in aa)
+            if 0 <= top < bottom <= h and 0 <= left < right <= w:
+                raw = raw[top:bottom, left:right]
+                h, w = raw.shape[:2]
         black = float(np.mean(t.get(T_BLACK_LEVEL, (0,))))
         white = float(t.get(T_WHITE_LEVEL, ((1 << bits) - 1,))[0])
-        img = raw.reshape(h, w, spp).astype(np.float32)
+        img = raw.astype(np.float32)
         img = (img - black) / max(white - black, 1.0)
         np.clip(img, 0.0, 1.0, out=img)
         if photo == PHOTO_CFA and spp == 1:

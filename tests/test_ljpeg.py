@@ -156,6 +156,35 @@ class TestTiledDNG:
             assert abs(int(rgb[y, x, ch]) - want) <= 1, (y, x)
 
 
+class TestLinearizationAndActiveArea:
+    def test_lut_and_crop(self, tmp_path):
+        from gyroflow_tpu.render.dng_seq import DNGSequenceReader
+        h, w = 24, 40
+        # stored codes 0..255 with a quadratic linearization LUT and 4-px
+        # masked borders
+        codes = (np.arange(h * w) % 256).astype(np.uint16).reshape(h, w)
+        lut = ((np.arange(256) ** 2) // 64).astype(np.uint16)   # max 1016
+        entries = [(254, 4, [0]), (256, 4, [w]), (257, 4, [h]), (258, 3, [16]),
+                   (259, 3, [1]), (262, 3, [34892]),            # LinearRaw
+                   (277, 3, [1]), (278, 4, [h]),
+                   (273, 4, [("payload", 0)]),
+                   (279, 4, [codes.size * 2]),
+                   (50712, 3, list(lut)),                       # LUT
+                   (50714, 3, [0]), (50717, 4, [1016]),
+                   (50829, 4, [4, 4, h - 4, w - 4])]            # ActiveArea
+        p = tmp_path / "lin_0000.dng"
+        write_dng_generic(str(p), entries, [codes.astype("<u2").tobytes()])
+        r = DNGSequenceReader(str(tmp_path / "lin_%04d.dng"))
+        assert (r.height, r.width) == (h - 8, w - 8)
+        _, planes = next(iter(r))
+        rgb = planes[0]
+        assert rgb.shape == (h - 8, w - 8, 3)
+        # value at cropped (0,0) == LUT[code at original (4,4)] normalized
+        code = int(codes[4, 4])
+        want = round(lut[code] / 1016.0 * 65535.0)
+        assert abs(int(rgb[0, 0, 0]) - want) <= 1
+
+
 class TestCompressedDNG:
     def test_compression7_dng_reads(self, tmp_path):
         import struct
