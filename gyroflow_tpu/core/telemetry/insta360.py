@@ -17,12 +17,15 @@ precedes it. Known record ids:
   0x300  gyro samples:  [t f64 seconds][gyro xyz f64 rad/s][accel xyz f64 g]
          (56 bytes per sample)
   0x400  exposure:      [t f64 seconds][exposure f64 seconds] (16 bytes)
-  0x600  frame timestamps (f64 seconds each)
+  0x600  frame time map: [t f64][v f64] pairs (ms) — actual vs. nominal
+         frame times (best-effort layout; the crate source isn't vendored)
 
 The per-frame time offsets mirror gyro_source/mod.rs:505-531: for each video
-frame, offset = -(exposure_ms / 2) - 0.9 - (video_ts - t)*1000 - zero_ref,
-where zero_ref is the first frame's reference time (the 0.9 ms constant is
-carried over verbatim — the reference marks it as empirical).
+frame, offset = -(exposure_ms / 2) - 0.9 - (video_ts - t)*1000 - tm_diff
+- zero_ref, where zero_ref is the first frame's reference time and
+tm_diff = tm[i].t - tm[i].v from the TimeMap record (mod.rs:521-524; the
+0.9 ms constant is carried over verbatim — the reference marks it as
+empirical).
 """
 from __future__ import annotations
 
@@ -86,6 +89,7 @@ def parse_insv(path: str, fps: float = 0.0,
 
     gyro = acc = ts = None
     exposures = []          # (t_s, exposure_s)
+    time_map = []           # (t_ms, v_ms) pairs from record 0x600
 
     for rid, data in _walk_records(path):
         if rid == RECORD_GYRO and len(data) >= 56 and len(data) % 56 == 0:
@@ -96,6 +100,9 @@ def parse_insv(path: str, fps: float = 0.0,
         elif rid == RECORD_EXPOSURE and len(data) >= 16 and len(data) % 16 == 0:
             arr = np.frombuffer(data, dtype="<f8").reshape(-1, 2)
             exposures = [(float(t), float(e)) for t, e in arr]
+        elif rid == RECORD_TIMESTAMPS and len(data) >= 16 and len(data) % 16 == 0:
+            arr = np.frombuffer(data, dtype="<f8").reshape(-1, 2)
+            time_map = [(float(t), float(v)) for t, v in arr]
         elif rid == RECORD_INFO:
             try:
                 txt = data.split(b"\x00")[0].decode("utf-8", "replace").strip()
@@ -126,15 +133,21 @@ def parse_insv(path: str, fps: float = 0.0,
         video_ts = 0.0
         zero_ref = None
         prev_t = 0.0
+        i = 0
         for t, exp in exposures:
             if t > prev_t or t == 0.0:
                 if zero_ref is None:
                     zero_ref = t * 1000.0
+                # TimeMap correction (gyro_source/mod.rs:521-524):
+                # tm_diff = tm[i].t - tm[i].v, already in ms
+                tm_diff = (time_map[i][0] - time_map[i][1]
+                           if i < len(time_map) else 0.0)
                 diff = (video_ts - t) * 1000.0
                 md.per_frame_time_offsets.append(
-                    -(exp * 1000.0 / 2.0) - 0.9 - diff - zero_ref)
+                    -(exp * 1000.0 / 2.0) - 0.9 - diff - tm_diff - zero_ref)
                 video_ts += 1.0 / fps
                 prev_t = t
+                i += 1
 
     if progress_cb:
         progress_cb(1.0)

@@ -755,6 +755,13 @@ int ljpeg_decode(const uint8_t* data, int64_t size, uint16_t* out,
             mcu_count++;
         }
     }
+    if (pt) {
+        // T.81 point transform (H.2.1): prediction ran in the shifted-down
+        // domain; scale reconstructed samples back up by 2^Pt on output.
+        int64_t total = (int64_t)height * row_vals;
+        for (int64_t i = 0; i < total; i++)
+            out[i] = (uint16_t)((out[i] << pt) & 0xFFFF);
+    }
     return 0;
 }
 

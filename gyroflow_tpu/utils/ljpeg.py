@@ -71,15 +71,20 @@ class _BitWriter:
             self.nbits = 0
 
 
-def encode(img: np.ndarray, precision: int = 16, predictor: int = 1) -> bytes:
-    """(H, W) or (H, W, C) uint16 -> lossless JPEG bytes (single scan)."""
-    a = np.asarray(img, np.int64)
+def encode(img: np.ndarray, precision: int = 16, predictor: int = 1,
+           point_transform: int = 0) -> bytes:
+    """(H, W) or (H, W, C) uint16 -> lossless JPEG bytes (single scan).
+
+    With point_transform > 0 the input is shifted right by Pt before
+    prediction (T.81 H.1.2.1); decoders scale back up by 2^Pt, so the
+    round-trip loses the low Pt bits."""
+    a = np.asarray(img, np.int64) >> point_transform
     if a.ndim == 2:
         a = a[..., None]
     h, w, nc = a.shape
     # differences under the chosen predictor (vectorized per component)
     diffs = np.empty_like(a)
-    default = 1 << (precision - 1)
+    default = 1 << (precision - 1 - point_transform)
     for c in range(nc):
         x = a[..., c]
         ra = np.roll(x, 1, axis=1)
@@ -135,7 +140,7 @@ def encode(img: np.ndarray, precision: int = 16, predictor: int = 1) -> bytes:
     sos = bytearray([nc])
     for c in range(nc):
         sos += bytes([c, 0x00])
-    sos += bytes([predictor, 0, 0])
+    sos += bytes([predictor, 0, point_transform & 0x0F])
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
     out += bw.out
     out += b"\xff\xd9"                                # EOI
@@ -267,4 +272,8 @@ def decode(data: bytes) -> np.ndarray:
                             6: rb + ((ra - rc) >> 1)}.get(predictor,
                                                           (ra + rb) >> 1)
                 out[y, x, c] = (pred + diff) & 0xFFFF
+    if pt:
+        # T.81 point transform: prediction runs in the shifted-down domain;
+        # reconstructed samples are scaled back up by 2^Pt on output (H.2.1).
+        out = (out.astype(np.uint32) << pt).astype(np.uint16)
     return out

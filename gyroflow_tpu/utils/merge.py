@@ -121,7 +121,14 @@ def merge_gcsv(file_list: List[str], output_path: str) -> List[float]:
             last_diff = t - last_timestamp
             last_timestamp = t
             nt = t + add_timestamp
-            out_data.append(f"{nt:g},{rest}" if rest else f"{nt:g}")
+            # Shortest round-trip f64 formatting (repr), matching the
+            # reference's new_timestamp.to_string() (controller.rs:2331).
+            # '%g' keeps only 6 significant digits, which quantizes any
+            # timestamp >= 1e6 ticks and destroys sample ordering.
+            nt_s = repr(nt)
+            if nt_s.endswith(".0"):
+                nt_s = nt_s[:-2]
+            out_data.append(f"{nt_s},{rest}" if rest else nt_s)
         if do_add:
             add_timestamp += last_timestamp + last_diff
 

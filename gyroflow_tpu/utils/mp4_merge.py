@@ -10,9 +10,10 @@ FAT 4 GiB boundary (GoPro chapters, Sony C-files); the merged file is what
 telemetry parsing and rendering consume.
 
 Only same-recording chapters merge: track count/handlers/timescales must
-match (the reference also rejects mismatched video metadata before calling
-the crate — `merge_mp4` checks dimensions via the probe when cv2 can read
-the files)."""
+match, and every track's stsd sample description (codec fourcc + visual
+width/height) must be identical across chapters — two recordings with the
+same track layout but different resolutions are rejected instead of
+producing a file that decodes corrupt from the second chapter on."""
 from __future__ import annotations
 
 import os
@@ -263,6 +264,25 @@ def _handler(trak: Box) -> bytes:
     return hdlr.payload[8:12] if hdlr else b"????"
 
 
+def _sample_desc(trak: Box) -> tuple:
+    """(codec fourcc, width, height) of the first stsd sample entry.
+
+    For visual entries (ISO 14496-12 §12.1.3) width/height sit at bytes
+    24-28 of the entry body; non-video tracks return (fourcc, 0, 0)."""
+    mdia = trak.find(b"mdia")
+    minf = mdia.find(b"minf") if mdia else None
+    stbl = minf.find(b"stbl") if minf else None
+    stsd = stbl.find(b"stsd") if stbl else None
+    if stsd is None or len(stsd.payload) < 16:
+        return (b"????", 0, 0)
+    p = stsd.payload
+    fourcc = p[12:16]
+    if _handler(trak) == b"vide" and len(p) >= 8 + 8 + 28:
+        w, h = struct.unpack_from(">HH", p, 8 + 8 + 24)
+        return (fourcc, w, h)
+    return (fourcc, 0, 0)
+
+
 def merge_mp4(file_list: List[str], output_path: str) -> dict:
     """Merge chapters into `output_path`. Returns {"files": n, "bytes": n}.
 
@@ -298,6 +318,11 @@ def merge_mp4(file_list: List[str], output_path: str) -> dict:
         if len(traks) != len(base_traks) or any(
                 _handler(a) != _handler(b) for a, b in zip(base_traks, traks)):
             raise IOError(f"track layout mismatch: {p}")
+        for a, b in zip(base_traks, traks):
+            if _sample_desc(a) != _sample_desc(b):
+                raise IOError(
+                    f"sample description mismatch (codec/dimensions): {p} "
+                    f"{_sample_desc(a)} != {_sample_desc(b)}")
 
     # Output layout: ftyp (from file 1), one big mdat, merged moov.
     ftyp = next((t for t in base_tops if t[0] == b"ftyp"), None)

@@ -8,10 +8,10 @@ import pytest
 from gyroflow_tpu.core.telemetry import parse_telemetry_file
 from gyroflow_tpu.core.telemetry.insta360 import (
     MAGIC, TAIL_FIXED, RECORD_EXPOSURE, RECORD_GYRO, RECORD_INFO,
-    has_insv_trailer, parse_insv)
+    RECORD_TIMESTAMPS, has_insv_trailer, parse_insv)
 
 
-def write_insv(path, gyro_samples, exposures=(), info=b""):
+def write_insv(path, gyro_samples, exposures=(), info=b"", time_map=()):
     """Build a synthetic .insv: some mp4-ish prefix + trailer records."""
     records = []
     if info:
@@ -22,6 +22,9 @@ def write_insv(path, gyro_samples, exposures=(), info=b""):
     if exposures:
         data = b"".join(struct.pack("<2d", t, e) for t, e in exposures)
         records.append((RECORD_EXPOSURE, data))
+    if time_map:
+        data = b"".join(struct.pack("<2d", t, v) for t, v in time_map)
+        records.append((RECORD_TIMESTAMPS, data))
 
     with open(path, "wb") as f:
         f.write(b"\x00" * 256)            # fake media data
@@ -77,6 +80,18 @@ class TestInsvTrailer:
         # first frame: diff = (0 - t0)*1000, zero_ref = t0*1000
         # offset = -exp_ms/2 - 0.9 - diff - zero_ref = -2 - 0.9 + 1 - 1
         assert abs(md.per_frame_time_offsets[0] - (-2.0 - 0.9)) < 1e-6
+
+    def test_time_map_offsets(self, tmp_path):
+        # gyro_source/mod.rs:521-524: tm_diff = tm[i].t - tm[i].v is
+        # subtracted from each frame's offset
+        fps = 30.0
+        exposures = [(i / fps + 0.001, 0.004) for i in range(3)]
+        tm = [(10.0 + i, 8.5 + i) for i in range(3)]     # tm_diff = 1.5 ms
+        p = tmp_path / "clip.insv"
+        write_insv(str(p), make_gyro(), exposures=exposures, time_map=tm)
+        md = parse_insv(str(p), fps=fps)
+        assert len(md.per_frame_time_offsets) == 3
+        assert abs(md.per_frame_time_offsets[0] - (-2.0 - 0.9 - 1.5)) < 1e-6
 
     def test_dispatch(self, tmp_path):
         p = tmp_path / "clip.insv"

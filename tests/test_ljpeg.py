@@ -27,6 +27,22 @@ class TestRoundTrip:
         enc = ljpeg.encode(img, precision=12, predictor=pred)
         np.testing.assert_array_equal(ljpeg.decode(enc), img)
 
+    @pytest.mark.parametrize("pt", [1, 2, 4])
+    def test_point_transform_scales_output(self, pt):
+        """T.81 H.2.1: decoded samples are scaled back up by 2^Pt; a decoder
+        that ignores Al decodes at 1/2^Pt amplitude."""
+        img = (rng_img(9, 13, 1, 12, pt) >> pt) << pt   # drop the lost bits
+        enc = ljpeg.encode(img, precision=12, point_transform=pt)
+        np.testing.assert_array_equal(ljpeg.decode(enc), img)
+
+    def test_point_transform_native_matches(self):
+        from gyroflow_tpu import native
+        if not native.available():
+            pytest.skip("native library unavailable")
+        img = (rng_img(12, 18, 2, 16, 3) >> 2) << 2
+        enc = ljpeg.encode(img, precision=16, point_transform=2)
+        np.testing.assert_array_equal(native.ljpeg_decode(enc), img)
+
     def test_gradient_compresses(self):
         """Smooth data must shrink (the point of the predictor)."""
         y, x = np.mgrid[0:64, 0:96]

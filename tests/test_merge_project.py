@@ -46,6 +46,25 @@ class TestMergeGcsv:
         ts = [x.timestamp_ms for x in fm.raw_imu]
         assert abs(ts[50] - 500.0) < 1e-6   # b's clock kept as recorded
 
+    def test_large_timestamps_keep_full_precision(self, tmp_path):
+        """Rebased timestamps >= 1e6 ticks (~17 min at tscale 0.001) must
+        survive exactly — '%g' quantized them to 6 significant digits,
+        collapsing consecutive samples (controller.rs:2331 writes full f64)."""
+        # chapter A ends at ~17 min so chapter B rebases past 1e6 ticks
+        a = _write_gcsv(tmp_path / "a.gcsv", 0.0, 10)
+        lines = (tmp_path / "a.gcsv").read_text().splitlines()
+        lines[-1] = f"{1.0e6:.1f},0.9,0,0"          # last sample at 1e6 ticks
+        (tmp_path / "a.gcsv").write_text("\n".join(lines) + "\n")
+        b = _write_gcsv(tmp_path / "b.gcsv", 0.0, 20, rate=1000.0)
+        out = str(tmp_path / "m.gcsv")
+        merge_gcsv([a, b], out)
+        fm = parse_telemetry_file(out)
+        ts = [x.timestamp_ms for x in fm.raw_imu]
+        assert all(t2 > t1 for t1, t2 in zip(ts, ts[1:]))
+        # chapter B's 1 ms spacing survives the rebase bit-exactly
+        diffs = np.diff(ts[-19:])
+        np.testing.assert_allclose(diffs, 1.0, atol=1e-9)
+
     def test_video_sibling_lookup(self, tmp_path):
         _write_gcsv(tmp_path / "clip.gcsv", 0.0, 10)
         out = str(tmp_path / "o.gcsv")
@@ -105,6 +124,22 @@ class TestMergeMp4:
                       str(tmp_path / "o.mp4"))
         with pytest.raises(IOError):
             merge_mp4([str(a)], str(tmp_path / "o.mp4"))
+
+    def test_dimension_mismatch_rejected(self, tmp_path):
+        """Same track layout, different resolution: must refuse instead of
+        emitting a file that decodes corrupt from chapter 2 on."""
+        import cv2
+        import pytest
+        from gyroflow_tpu.utils.mp4_merge import merge_mp4
+        a, b = tmp_path / "a.mp4", tmp_path / "b.mp4"
+        self._write_clip(a, 5, 10)
+        w = cv2.VideoWriter(str(b), cv2.VideoWriter_fourcc(*"mp4v"),
+                            30.0, (128, 96))
+        for i in range(5):
+            w.write(np.zeros((96, 128, 3), np.uint8))
+        w.release()
+        with pytest.raises(IOError, match="sample description"):
+            merge_mp4([str(a), str(b)], str(tmp_path / "o.mp4"))
 
 
 class TestSampleTableMerge:
