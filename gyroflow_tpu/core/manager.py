@@ -553,38 +553,14 @@ class StabilizationManager:
             self._stab_cache[key] = frame_transform_at(cp, timestamp_ms, frame)
         return self._stab_cache[key]
 
-    def process_pixels(self, timestamp_us: int, frame_plane: np.ndarray,
-                       interpolation: int = 8, use_pallas: Optional[bool] = None,
-                       plane_index: int = 0, max_pixel_value: float = 255.0,
-                       drawing=None, plane_rects: bool = False,
-                       background_override=None):
-        """Stabilize one plane (H, W, C) f32 at the given video timestamp.
-
-        Returns (output plane, info dict) like ProcessedInfo
-        (stabilization/mod.rs:195-201).
-
-        plane_rects=True enables subsampled-plane processing (chroma planes of
-        planar YUV): geometry stays in luma coordinates while source/output
-        rects map the plane buffer (the reference's HAS_SOURCE_RECT /
-        HAS_OUTPUT_RECT mechanism, stabilization/mod.rs:230-231).
-        background_override replaces the RGBA background with this plane's
-        converted color (rendering/mod.rs:506-516)."""
-        import jax
+    def _plane_cfg_dyn(self, ft, frame_shape, interpolation, plane_index,
+                       max_pixel_value, plane_rects, background_override,
+                       drawing):
+        """Per-plane KernelConfig + KernelDynamics from a FrameTransform
+        (shared by the single-frame and windowed process_pixels paths)."""
         import jax.numpy as jnp
-        from ..ops import remap
 
-        ts_ms = timestamp_us / 1000.0
-        # fps_scale timestamp adjustment (lib.rs:893-902)
-        if self.params.fps_scale:
-            ts_ms /= self.params.fps_scale
-        if self.params.frame_offset:
-            ts_ms += self.params.frame_offset * 1000.0 / max(self.params.get_scaled_fps(), 1e-9)
-
-        if not self.params.stab_enabled:
-            return frame_plane, {"fov": 1.0, "backend": "none"}
-
-        ft = self.frame_transform_at(ts_ms)
-        pw, ph = frame_plane.shape[1], frame_plane.shape[0]
+        pw, ph = frame_shape[1], frame_shape[0]
         vw, vh = self.params.size
         if plane_rects and (pw, ph) != (vw, vh):
             # subsampled plane: keep luma geometry, map via rects
@@ -612,6 +588,114 @@ class StabilizationManager:
             bgo = np.asarray(background_override, np.float32).reshape(-1)
             bgv[:bgo.shape[0]] = bgo
             dyn = dyn._replace(background=jnp.asarray(bgv))
+        return cfg, dyn
+
+    def _adjusted_ts_ms(self, timestamp_us: int) -> float:
+        """fps_scale / frame_offset timestamp adjustments (lib.rs:893-902)."""
+        ts_ms = timestamp_us / 1000.0
+        if self.params.fps_scale:
+            ts_ms /= self.params.fps_scale
+        if self.params.frame_offset:
+            ts_ms += self.params.frame_offset * 1000.0 / max(
+                self.params.get_scaled_fps(), 1e-9)
+        return ts_ms
+
+    def process_pixels_window(self, timestamps_us, frames,
+                              device_mesh, interpolation: int = 8,
+                              plane_index: int = 0,
+                              max_pixel_value: float = 255.0,
+                              plane_rects: bool = False,
+                              background_override=None,
+                              use_pallas: Optional[bool] = None):
+        """Stabilize a window of F frames of one plane, sharded over
+        `device_mesh` ("dp" on frames, "sp" on output rows).
+
+        The multi-chip production path (render_queue.rs:677 parallel renders;
+        eval config 5): frames (F, H, W, C) np array (uint8/uint16/f32),
+        timestamps_us length F. Returns (out (F, OH, OW, C) sharded jax
+        array in the output dtype, info dict). The per-band overflow retry
+        ladder and XLA fallback run at window-batch level inside
+        parallel.pipeline.stabilize_window_production.
+        """
+        import jax
+        import jax.numpy as jnp
+        from ..parallel.pipeline import (stabilize_window_production,
+                                         stack_dynamics)
+
+        frames = np.asarray(frames)
+        if not self.params.stab_enabled:
+            return jnp.asarray(frames), {"fov": 1.0, "backend": "none"}
+
+        fts = [self.frame_transform_at(self._adjusted_ts_ms(ts))
+               for ts in timestamps_us]
+        cfg = None
+        dyns = []
+        for ft in fts:
+            c, d = self._plane_cfg_dyn(
+                ft, frames.shape[1:], interpolation, plane_index,
+                max_pixel_value, plane_rects, background_override, None)
+            if cfg is None:
+                cfg = c
+            elif c != cfg:
+                raise ValueError("KernelConfig must be identical across a "
+                                 "frame window (got differing configs)")
+            dyns.append(d)
+        mats = np.stack([ft.matrices for ft in fts]).astype(np.float32)
+        mesh_blobs = None
+        if any(ft.mesh_data is not None for ft in fts):
+            mesh_blobs = np.stack([
+                np.asarray(ft.mesh_data, np.float32) for ft in fts])
+
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        src = frames
+        to_u8 = src.dtype == np.uint8 and max_pixel_value == 255.0
+        ship_native = src.dtype in (np.uint8, np.uint16)
+        imgs = jnp.asarray(src if ship_native
+                           else src.astype(np.float32, copy=False))
+        out_dtype = jnp.uint8 if to_u8 else (
+            jnp.uint16 if src.dtype == np.uint16 else None)
+
+        out, backend = stabilize_window_production(
+            device_mesh, imgs, jnp.asarray(mats), cfg, stack_dynamics(dyns),
+            mesh_data=jnp.asarray(mesh_blobs) if mesh_blobs is not None else None,
+            use_pallas=use_pallas, out_dtype=out_dtype,
+            win_cache=self._win_cache, stats=self.stats)
+        info = {"fov": fts[0].fov, "minimal_fov": fts[0].minimal_fov,
+                "backend": backend,
+                "xla_fallbacks": self.stats["xla_fallbacks"],
+                "window_reprobes": self.stats["window_reprobes"]}
+        return out, info
+
+    def process_pixels(self, timestamp_us: int, frame_plane: np.ndarray,
+                       interpolation: int = 8, use_pallas: Optional[bool] = None,
+                       plane_index: int = 0, max_pixel_value: float = 255.0,
+                       drawing=None, plane_rects: bool = False,
+                       background_override=None):
+        """Stabilize one plane (H, W, C) f32 at the given video timestamp.
+
+        Returns (output plane, info dict) like ProcessedInfo
+        (stabilization/mod.rs:195-201).
+
+        plane_rects=True enables subsampled-plane processing (chroma planes of
+        planar YUV): geometry stays in luma coordinates while source/output
+        rects map the plane buffer (the reference's HAS_SOURCE_RECT /
+        HAS_OUTPUT_RECT mechanism, stabilization/mod.rs:230-231).
+        background_override replaces the RGBA background with this plane's
+        converted color (rendering/mod.rs:506-516)."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops import remap
+
+        ts_ms = self._adjusted_ts_ms(timestamp_us)
+
+        if not self.params.stab_enabled:
+            return frame_plane, {"fov": 1.0, "backend": "none"}
+
+        ft = self.frame_transform_at(ts_ms)
+        cfg, dyn = self._plane_cfg_dyn(
+            ft, frame_plane.shape, interpolation, plane_index, max_pixel_value,
+            plane_rects, background_override, drawing)
 
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)

@@ -105,3 +105,163 @@ def stabilize_window_sharded(mesh: Mesh, imgs, matrices, cfg: KernelConfig,
         out_specs=(P("dp", "sp", None, None), P("dp", "sp")),
         check_vma=False))
     return step(imgs, matrices, dyns)
+
+
+# ---------------------------------------------------------------------------
+# Production window step: compiled once per (mesh, cfg, window, dtype) and
+# cached — the render path calls this per frame window (render_queue.rs:677;
+# eval config 5 "frame windows sharded across v5e-8").
+# ---------------------------------------------------------------------------
+
+_STEP_CACHE: dict = {}
+
+
+def _mesh_key(mesh: Mesh):
+    return (tuple(d.id for d in mesh.devices.flat), tuple(mesh.shape.items()))
+
+
+def make_window_step(mesh: Mesh, cfg: KernelConfig, f_local: int,
+                     win: tuple = (64, 512, 0, 128, 8),
+                     use_pallas: bool = True, with_mesh: bool = False,
+                     out_dtype=None):
+    """Build (and cache) the compiled sharded window step.
+
+    Returns step(imgs, matrices, dyns, mesh_data) -> (out, overflow):
+    imgs (F,H,W,C) any input dtype (uint8/uint16 convert in-graph),
+    matrices (F,M,14), dyns a KernelDynamics pytree with leading F axis,
+    mesh_data (F,L) f32 or None. out is (F,OH,OW,C) sharded P("dp","sp") in
+    out_dtype (device-side cast — 2-4x smaller downloads for integer planes),
+    overflow (F, sp) bool per (frame, row-band).
+    """
+    key = (_mesh_key(mesh), cfg, f_local, tuple(win), use_pallas, with_mesh,
+           jnp.dtype(out_dtype).name if out_dtype is not None else None)
+    step = _STEP_CACHE.get(key)
+    if step is not None:
+        return step
+
+    sp = mesh.shape["sp"]
+    _, oh = cfg.out_buffer          # plane buffer height (chroma may be oh/2)
+    if oh % sp != 0:
+        raise ValueError(f"plane output height {oh} not divisible by sp={sp}")
+    rows_local = oh // sp
+    win_h, win_w, win_k, tile_w, tile_h = win
+
+    def _local(imgs_l, mats_l, dyns_l, mesh_l):
+        oy0 = jax.lax.axis_index("sp") * rows_local
+        outs, ovs = [], []
+        for i in range(f_local):
+            dyn_i = jax.tree.map(lambda x: x[i], dyns_l)
+            mesh_i = mesh_l[i] if mesh_l is not None else None
+            if use_pallas:
+                out, ov = remap.remap_plane_pallas(
+                    imgs_l[i], mats_l[i], cfg, dyn_i, mesh=mesh_i,
+                    win_h=win_h, win_w=win_w, win_k=win_k, tile_w=tile_w,
+                    tile_h=tile_h, out_rows=rows_local, oy0=oy0)
+            else:
+                full = remap.remap_plane(imgs_l[i], mats_l[i], cfg, dyn_i,
+                                         mesh=mesh_i)
+                out = jax.lax.dynamic_slice_in_dim(full, oy0, rows_local, axis=0)
+                ov = jnp.asarray(False)
+            if out_dtype == jnp.uint8:
+                out = jnp.clip(out, 0, 255).astype(jnp.uint8)
+            elif out_dtype == jnp.uint16:
+                out = jnp.clip(jnp.rint(out), 0,
+                               dyn_i.max_pixel_value).astype(jnp.uint16)
+            outs.append(out)
+            ovs.append(ov)
+        return jnp.stack(outs), jnp.stack(ovs).reshape(f_local, 1)
+
+    img_spec = P("dp", None, None, None)
+    mat_spec = P("dp", None, None)
+    mesh_spec = P("dp", None) if with_mesh else None
+    if not with_mesh:
+        # shard_map requires a spec per argument; bind mesh_l=None statically
+        fn = lambda i, m, d: _local(i, m, d, None)
+        in_specs = (img_spec, mat_spec, P("dp"))
+        sharded = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                                out_specs=(P("dp", "sp", None, None),
+                                           P("dp", "sp")),
+                                check_vma=False)
+        jitted = jax.jit(sharded)
+        step_fn = lambda imgs, mats, dyns, mesh_data=None: jitted(imgs, mats, dyns)
+    else:
+        in_specs = (img_spec, mat_spec, P("dp"), mesh_spec)
+        sharded = jax.shard_map(_local, mesh=mesh, in_specs=in_specs,
+                                out_specs=(P("dp", "sp", None, None),
+                                           P("dp", "sp")),
+                                check_vma=False)
+        jitted = jax.jit(sharded)
+        step_fn = lambda imgs, mats, dyns, mesh_data: jitted(imgs, mats, dyns,
+                                                             mesh_data)
+    _STEP_CACHE[key] = step_fn
+    return step_fn
+
+
+def place_window(mesh: Mesh, imgs, matrices, dyns, mesh_data=None):
+    """device_put window operands with the dp-sharded layout the step expects."""
+    in_img = NamedSharding(mesh, P("dp", None, None, None))
+    in_mat = NamedSharding(mesh, P("dp", None, None))
+    in_dyn = NamedSharding(mesh, P("dp"))
+    imgs = jax.device_put(imgs, in_img)
+    matrices = jax.device_put(matrices, in_mat)
+    dyns = jax.tree.map(lambda x: jax.device_put(x, in_dyn), dyns)
+    if mesh_data is not None:
+        mesh_data = jax.device_put(
+            mesh_data, NamedSharding(mesh, P("dp", None)))
+    return imgs, matrices, dyns, mesh_data
+
+
+# window-size ladder shared with the single-frame path (manager.process_pixels):
+# rolled (win_k=128) configs first, then classic full-width windows for
+# stronger zoom-out; tile_h=16 is the measured knee at 4K (STATUS.md)
+WINDOW_LADDER = ((24, 256, 128, 96, 16), (32, 256, 128, 96, 16),
+                 (40, 256, 128, 96, 16), (48, 256, 128, 96, 16),
+                 (32, 256, 0, 128, 16), (40, 384, 0, 128, 16),
+                 (48, 384, 0, 128, 16), (64, 512, 0, 128, 16),
+                 (96, 768, 0, 128, 16))
+
+
+def stabilize_window_production(mesh: Mesh, imgs, matrices, cfg: KernelConfig,
+                                dyns: KernelDynamics, mesh_data=None,
+                                use_pallas: bool = True, out_dtype=None,
+                                win_cache: Optional[dict] = None,
+                                stats: Optional[dict] = None):
+    """The production multi-chip window: Pallas under shard_map with the
+    per-band overflow retry ladder, falling back to the XLA remap path when
+    every window candidate overflows (stabilization/mod.rs:642-718 fallback
+    chain, at window-batch granularity).
+
+    Returns (out (F,OH,OW,C) np-convertible, backend string).
+    win_cache, keyed like manager._win_cache, persists the chosen window
+    across windows of the same render; stats counts reprobes/fallbacks.
+    """
+    dp = mesh.shape["dp"]
+    F = imgs.shape[0]
+    if F % dp != 0:
+        raise ValueError(f"frame window {F} not divisible by dp={dp}")
+    f_local = F // dp
+    with_mesh = mesh_data is not None
+    imgs, matrices, dyns, mesh_data = place_window(mesh, imgs, matrices, dyns,
+                                                   mesh_data)
+
+    wkey = ("window", cfg, tuple(imgs.shape))
+    cached = win_cache.get(wkey) if win_cache is not None else None
+    ladder = ((cached,) if cached is not None else ()) + tuple(
+        w for w in WINDOW_LADDER if w != cached)
+    if use_pallas:
+        for win in ladder:
+            step = make_window_step(mesh, cfg, f_local, win, True, with_mesh,
+                                    out_dtype)
+            out, ov = step(imgs, matrices, dyns, mesh_data)
+            if not bool(jnp.any(ov)):
+                if win_cache is not None:
+                    if cached is not None and win != cached and stats is not None:
+                        stats["window_reprobes"] = stats.get("window_reprobes", 0) + 1
+                    win_cache[wkey] = win
+                return out, "pallas-tpu-sharded"
+        if stats is not None:
+            stats["xla_fallbacks"] = stats.get("xla_fallbacks", 0) + 1
+    step = make_window_step(mesh, cfg, f_local, WINDOW_LADDER[0], False,
+                            with_mesh, out_dtype)
+    out, _ = step(imgs, matrices, dyns, mesh_data)
+    return out, "xla-sharded"

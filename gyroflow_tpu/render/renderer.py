@@ -50,6 +50,11 @@ class RenderOptions:
     overlay: object = None             # core.drawing.DrawCanvas debug overlay
     trace: bool = False                # per-stage timing summary (SURVEY §5)
     pipeline_depth: int = 3            # frames in flight on the device queue
+    # multi-chip frame-window sharding (render_queue.rs:677, eval config 5):
+    # 0 = auto (one frame per device when >1 device present), 1 = off,
+    # N>1 = stabilize N-frame windows via jax.sharding.Mesh("dp","sp")
+    frame_window: int = 0
+    shard_sp: int = 1                  # output-row shards per frame ("sp" axis)
 
 
 def open_reader(input_path: str):
@@ -226,6 +231,32 @@ def render(mgr, input_path: str, output_path: str,
         reader.seek_frame(first)
 
     use_pallas = jax.default_backend() not in ("cpu",)
+
+    # multi-chip frame windows: shard decoded frames over a device mesh and
+    # run the Pallas step per device (parallel/pipeline.py). Only the planar
+    # path windows (the cv2 "rgb" fallback stays per-frame), and the debug
+    # overlay forces the per-frame path (drawing state is per-frame).
+    n_dev = len(jax.devices())
+    window = options.frame_window
+    if window == 0:
+        window = n_dev if n_dev > 1 else 1
+    device_mesh = None
+    if window > 1 and n_dev > 1 and kind == "planar" \
+            and options.overlay is None and options.safe_area is None:
+        from ..parallel.pipeline import make_frame_mesh
+        sp = min(max(options.shard_sp, 1), n_dev)
+        dp = max(min(n_dev // sp, window), 1)
+        window = (window // dp) * dp
+        # row-sharding must divide every plane's output height (chroma of
+        # 4:2:0 is oh/2)
+        sp_div = sp * 2 if (fmt is not None and fmt.is_yuv) else sp
+        if window >= 1 and oh % sp_div == 0:
+            device_mesh = make_frame_mesh(dp * sp, sp=sp)
+        else:
+            window = 1
+    else:
+        window = 1
+
     frames_done = 0
     video_speed = mgr.params.video_speed
     speed_acc = 0.0
@@ -236,6 +267,34 @@ def render(mgr, input_path: str, output_path: str,
 
     bgs = _plane_backgrounds(fmt, mgr.params.background, True) \
         if kind == "planar" and fmt is not None else None
+
+    win_buf = []   # pending (ts_us, groups, emit) awaiting a full window
+
+    def _flush_window():
+        """Dispatch the buffered frames as one sharded window per plane
+        group; pads the tail window by repeating the last frame (emit=0)."""
+        if not win_buf:
+            return
+        pad = window - len(win_buf)
+        entries = win_buf + [win_buf[-1]] * pad
+        emits = [e for _, _, e in win_buf]
+        ngroups = len(entries[0][1])
+        ts_batch = [ts for ts, _, _ in entries]
+        group_outs = []
+        for gi in range(ngroups):
+            data = np.stack([g[gi][0] for _, g, _ in entries])
+            plane_index = entries[0][1][gi][1]
+            out, info = mgr.process_pixels_window(
+                ts_batch, data, device_mesh,
+                interpolation=options.interpolation,
+                plane_index=plane_index, max_pixel_value=fmt.max_value,
+                plane_rects=True,
+                background_override=bgs[gi] if gi < len(bgs) else None,
+                use_pallas=use_pallas)
+            group_outs.append(out)
+        for i, emit in enumerate(emits):
+            inflight.append(([g[i] for g in group_outs], emit))
+        win_buf.clear()
 
     def _emit(payload, emit):
         nonlocal t_stab, t_encode
@@ -282,7 +341,11 @@ def render(mgr, input_path: str, output_path: str,
                         if options.safe_area else None
                     drawing = canvas.state(safe_area_rect=rect)
                 _t1 = _time.time()
-                if kind == "planar":
+                if kind == "planar" and window > 1:
+                    win_buf.append((ts_us, _plane_groups(fmt, frame), emit))
+                    if len(win_buf) == window:
+                        _flush_window()
+                elif kind == "planar":
                     groups = _plane_groups(fmt, frame)
                     outs = []
                     for gi, (data, plane_index) in enumerate(groups):
@@ -309,6 +372,7 @@ def render(mgr, input_path: str, output_path: str,
             if progress_cb:
                 progress_cb(min(frames_done / max(last - first + 1, 1), 1.0))
             _t0 = _time.time()
+        _flush_window()
         while inflight:
             _emit(*inflight.pop(0))
     finally:
@@ -338,6 +402,10 @@ def render(mgr, input_path: str, output_path: str,
              "backend": "pallas-tpu" if use_pallas else "xla",
              "pix_fmt": getattr(out_fmt, "name", "rgb24"),
              "fps": round(frames_done / wall, 2) if wall > 0 else 0.0}
+    if device_mesh is not None:
+        stats["backend"] += "-sharded"
+        stats["frame_window"] = window
+        stats["mesh"] = dict(device_mesh.shape)
     # surface slow-path trips (manager counts them; a render that silently
     # ran the ~40x-slower XLA fallback must say so in its stats)
     mstats = getattr(mgr, "stats", None)

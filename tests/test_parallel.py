@@ -99,6 +99,47 @@ def test_row_band_offset_assembles():
                                atol=1e-5)
 
 
+def test_production_geometry_lanczos4_rs_parity():
+    """VERDICT r2 #9: sharded parity at the geometry class the bench runs —
+    1080p luma, lanczos4, per-row RS matrices, 10-bit uint16 in/out, through
+    the PRODUCTION step (stabilize_window_production). Full-frame interpret
+    compiles explode on 1 CPU core, so the single-device reference uses the
+    same out_rows banding the sharded step uses internally (the banding
+    itself is validated against full frames in test_row_band_offset_assembles
+    and at full size on real hardware by experiments/tpu_parity.py)."""
+    from gyroflow_tpu.parallel.pipeline import stabilize_window_production
+
+    W, H, F, sp = 1920, 1088, 8, 4
+    imgs, matss, cfg, dyns = _make_window(W=W, H=H, F=F, rs=True)
+    cfg = cfg._replace(interpolation=8)
+    imgs16 = np.clip(np.asarray(imgs) * (1023.0 / 255.0), 0,
+                     1023).astype(np.uint16)
+    dyns = dyns._replace(
+        max_pixel_value=jnp.full((F,), 1023.0, jnp.float32),
+        pixel_value_limit=jnp.full((F,), 1023.0, jnp.float32))
+    mesh = make_frame_mesh(8, sp=sp)
+    win = (48, 384, 0, 128, 16)
+    win_cache = {("window", cfg, imgs16.shape): win}
+    out, backend = stabilize_window_production(
+        mesh, jnp.asarray(imgs16), matss, cfg, dyns, out_dtype=jnp.uint16,
+        win_cache=win_cache, stats={})
+    assert backend == "pallas-tpu-sharded"
+    assert out.dtype == jnp.uint16 and out.shape == (F, H, W, 1)
+    out_np = np.asarray(out)
+
+    rows = H // sp
+    for fi, band in [(0, 0), (3, 2), (7, 3)]:
+        dyn_i = jax.tree.map(lambda x: x[fi], dyns)
+        ref, ov = remap.remap_plane_pallas_jit(
+            jnp.asarray(imgs16[fi]), matss[fi], cfg, dyn_i,
+            win_h=win[0], win_w=win[1], win_k=win[2], tile_w=win[3],
+            tile_h=win[4], out_rows=rows, oy0=band * rows)
+        assert not bool(ov)
+        ref16 = np.clip(np.rint(np.asarray(ref)), 0, 1023).astype(np.uint16)
+        np.testing.assert_array_equal(
+            out_np[fi, band * rows:(band + 1) * rows], ref16)
+
+
 def test_sharded_rolled_window_matches_single_device():
     """Rolled (win_k < win_w) sharded path == single-device rolled path."""
     imgs, matss, cfg, dyns = _make_window(W=384, H=64)
