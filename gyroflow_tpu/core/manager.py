@@ -720,12 +720,15 @@ class StabilizationManager:
             out = None
             # 16-row tiles halve the per-tile fixed costs (one-hot builds,
             # DMA waits, matmul fills) vs the 8-row default; every window
-            # candidate keeps win_h >= tile_h + taps
+            # candidate keeps win_h >= tile_h + taps. win_r < win_h rolls the
+            # exact row band to sublane 0 so the colmix matmul skips the
+            # up-to-7-row origin-alignment slack (r3: -0.36 ms/frame 4K Y).
             tile_h = 16
             if win is not None:
                 out, ov = remap.remap_plane_pallas_jit(
                     img, mats, cfg, dyn, mesh, win_h=win[0], win_w=win[1],
-                    win_k=win[2], tile_w=win[3], tile_h=tile_h, drawing=drawing)
+                    win_k=win[2], tile_w=win[3], tile_h=tile_h, drawing=drawing,
+                    win_r=win[4] if len(win) > 4 else 0)
                 if bool(ov):
                     # geometry changed since the probe (zoom/fov keyframes):
                     # the cached window no longer covers some tile — re-probe
@@ -736,15 +739,15 @@ class StabilizationManager:
                     win = None
                     out = None
             if win is None:
-                for cand in ((24, 256, 128, 96), (32, 256, 128, 96),
-                             (40, 256, 128, 96), (48, 256, 128, 96),
-                             (32, 256, 0, 128), (40, 384, 0, 128),
-                             (48, 384, 0, 128), (64, 512, 0, 128),
-                             (96, 768, 0, 128)):
+                for cand in ((24, 256, 128, 96, 16), (32, 256, 128, 96, 24),
+                             (40, 256, 128, 96, 32), (48, 256, 128, 96, 40),
+                             (40, 256, 0, 128, 32), (48, 384, 0, 128, 40),
+                             (56, 384, 0, 128, 48), (72, 512, 0, 128, 64),
+                             (104, 768, 0, 128, 96)):
                     out, ov = remap.remap_plane_pallas_jit(
                         img, mats, cfg, dyn, mesh, win_h=cand[0], win_w=cand[1],
                         win_k=cand[2], tile_w=cand[3], tile_h=tile_h,
-                        drawing=drawing)
+                        drawing=drawing, win_r=cand[4])
                     if not bool(ov):
                         self._win_cache[wkey] = cand
                         break

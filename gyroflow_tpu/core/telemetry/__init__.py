@@ -75,13 +75,18 @@ def _parse_telemetry_file(path, options, size, fps, progress_cb) -> FileMetadata
         if has_sony_rtmd(path):
             return parse_sony_mp4(path, fps=fps, size=size,
                                   progress_cb=progress_cb)
+        from .canon_ctmd import has_canon_ctmd, parse_ctmd_mp4
+        if has_canon_ctmd(path):
+            return parse_ctmd_mp4(path, fps=fps, size=size,
+                                  progress_cb=progress_cb)
         if has_braw(path):
             return parse_braw(path, fps=fps, progress_cb=progress_cb)
         try:
             return parse_camm_mp4(path, progress_cb=progress_cb)
         except TelemetryError:
             raise TelemetryError(
-                f"no telemetry track (GPMF/CAMM/RTMD/insv) in {os.path.basename(path)}")
+                f"no telemetry track (GPMF/CAMM/RTMD/CTMD/insv) in "
+                f"{os.path.basename(path)}")
     raise TelemetryError(f"Unsupported telemetry format: {ext} "
                          f"(supported: .gcsv, .csv, blackbox, GPMF/CAMM/RTMD "
                          f"MP4, .insv, .braw, .r3d)")

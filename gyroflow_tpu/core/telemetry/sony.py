@@ -18,9 +18,12 @@ on the same tag-map abstraction:
      "mesh_correction": {"data": {"size", "divisions", "mesh", "raw_mesh"}},
      "focal_plane_distortion": {"data": {"unk1", "unk2", "scale", "unk4"}}}
 
-MP4 carriage: samples of an `rtmd` metadata track holding CBOR-encoded tag
-maps (`parse_sony_mp4` / `write_sony_mp4_fixture` round-trip; raw Sony KLV
-payloads are detected and reported as unsupported rather than misparsed).
+MP4 carriage: samples of an `rtmd` metadata track holding either real SMPTE
+ST 336 KLV sets (decoded by telemetry/klv.py — 16-byte ULs, BER lengths,
+RDD 18 local sets; Sony's vendor gyro/IBIS items live in the user-defined
+set, see klv.SONY_USER_TAGS) or the CBOR tag-map fixture encoding kept for
+tests. `parse_sony_mp4` auto-detects per sample; anything that is neither is
+rejected with a clear error instead of being misparsed.
 """
 from __future__ import annotations
 
@@ -459,15 +462,22 @@ def has_sony_rtmd(path: str) -> bool:
         return False
 
 
-def build_tagmap_mp4(tag_maps: List[dict], fps: float = 30.0) -> bytes:
-    """Serialize per-frame tag maps into an MP4 with an `rtmd` metadata track
-    (CBOR samples). Used by tests and by tooling that embeds pre-parsed Sony
-    telemetry back into a clip."""
+def build_tagmap_mp4(tag_maps: List[dict], fps: float = 30.0,
+                     encoding: str = "cbor") -> bytes:
+    """Serialize per-frame tag maps into an MP4 with an `rtmd` metadata track.
+
+    encoding="klv" writes real SMPTE ST 336 samples (telemetry/klv.py);
+    "cbor" keeps the legacy fixture encoding. Used by tests and by tooling
+    that embeds pre-parsed Sony telemetry back into a clip."""
     import struct
 
     from ...utils import cbor
+    from . import klv
 
-    payloads = [cbor.dumps(tm) for tm in tag_maps]
+    if encoding == "klv":
+        payloads = [klv.encode_rtmd_sample(tm) for tm in tag_maps]
+    else:
+        payloads = [cbor.dumps(tm) for tm in tag_maps]
     sizes = [len(p) for p in payloads]
     timescale = 90000
     dur = int(round(timescale / fps))
@@ -522,15 +532,28 @@ def parse_sony_mp4(path: str, fps: float = 0.0, size=(0, 0),
     if track is None:
         raise ValueError(f"No rtmd track in {path}")
 
+    from . import klv
+
     tag_maps = []
+    klv_skipped = 0
     for (off, sz, ts, _dur) in track.samples():
         payload = buf[off:off + sz]
+        if klv.looks_like_klv(payload):
+            try:
+                tm, skipped = klv.decode_rtmd_sample(payload)
+            except klv.KLVError as e:
+                raise ValueError(f"malformed Sony RTMD KLV sample: {e}")
+            klv_skipped += skipped
+            tag_maps.append((ts, tm))
+            continue
         try:
             tag_maps.append((ts, cbor.loads(payload)))
         except Exception:
             raise ValueError(
-                "rtmd track present but not in the gyroflow_tpu tag-map "
-                "encoding — raw Sony KLV decoding is not supported yet")
+                "rtmd track present but neither SMPTE KLV nor the "
+                "gyroflow_tpu tag-map encoding")
+    if klv_skipped:
+        log.info("Sony RTMD: skipped %d unknown KLV tags/sets", klv_skipped)
 
     md = FileMetadata()
     md.detected_source = "Sony " + (tag_maps[0][1].get("camera_model", "")

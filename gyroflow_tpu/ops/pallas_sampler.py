@@ -55,11 +55,16 @@ class SamplerSpec(NamedTuple):
     win_k: int = 0         # rolled compute width (0 = full win_w, no roll)
     exact8: bool = False   # content is exactly bf16-representable (uint8
                            # codes): the colmix needs no hi/lo pixel split
+    win_r: int = 0         # rolled compute height (0 = full win_h): the DMA
+                           # stays 8-row-aligned but the kernel rolls each
+                           # tile's exact row band to sublane 0 and mixes only
+                           # win_r rows — the colmix matmul M-dim drops by the
+                           # up-to-7-row alignment slack
 
     @classmethod
     def create(cls, height, width, out_height, out_width, interpolation,
                tile_h=8, tile_w=128, win_h=64, win_w=512, source_rect=None,
-               win_k=0, exact8=False):
+               win_k=0, exact8=False, win_r=0):
         # plane dims padded to the f32 tile grid so aligned window origins can
         # reach every edge; src_rect keeps the true extent (padding reads bg).
         # win_k < win_w enables the ROLLED mode: the DMA window stays
@@ -73,14 +78,25 @@ class SamplerSpec(NamedTuple):
         win_w = min(-(-win_w // LANE) * LANE, pwidth)
         if win_k:
             win_k = min(-(-win_k // LANE) * LANE, win_w)
+        if win_r:
+            win_r = -(-win_r // SUBLANE) * SUBLANE
+            # the rolled band needs yoff in [0, 8) of slack inside the window
+            win_h = max(win_h, min(win_r + SUBLANE, pheight))
+            if win_r >= win_h:
+                win_r = 0
         rect = source_rect or (0, 0, width, height)
         return cls(pheight, pwidth, out_height, out_width, interpolation,
-                   tile_h, tile_w, win_h, win_w, rect, win_k, exact8)
+                   tile_h, tile_w, win_h, win_w, rect, win_k, exact8, win_r)
 
     @property
     def kw(self) -> int:
         """Effective column-mix width (lanes the matmul contracts over)."""
         return self.win_k or self.win_w
+
+    @property
+    def kh(self) -> int:
+        """Effective row-mix height (rows the R mix runs over)."""
+        return self.win_r or self.win_h
 
     @property
     def taps(self) -> int:
@@ -217,6 +233,7 @@ def _group_size(spec: SamplerSpec, nchan: int) -> int:
 
 def _sampler_kernel(spec: SamplerSpec, G: int,
                     y0_ref, x0_ref, xoff_ref,  # scalar prefetch (ntiles,)
+                    yoff_ref,                  # scalar prefetch (ntiles,)
                     img_ref,                   # ANY (HBM): (C, H, W)
                     u_ref, v_ref,              # VMEM (1, G, P)
                     bg_ref,                    # SMEM (1, C)
@@ -273,8 +290,9 @@ def _sampler_kernel(spec: SamplerSpec, G: int,
         rsum = rsum + w
     bg_weight = 1.0 - rsum * csum     # (G, P)
 
+    Kh = spec.kh                     # rolled compute height (== Sr if no roll)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (Kw, P), 0)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (Sr, P), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (Kh, P), 0)
 
     def _tap_tree(T, ws):
         """weight[T] via a log2(n)-deep bit-select tree, 0 outside [0, n)."""
@@ -331,16 +349,24 @@ def _sampler_kernel(spec: SamplerSpec, G: int,
         y0 = pl.multiple_of(y0_ref[tile], SUBLANE)
         x0 = pl.multiple_of(x0_ref[tile], LANE)
         xoff = pl.multiple_of(xoff_ref[tile], SUBLANE)
+        yoff = yoff_ref[tile]              # 0 when row rolling is disabled
         fx_rel = fx[j:j + 1] - x0 - xoff   # xoff == 0 when rolling is disabled
-        fy_rel = fy[j:j + 1] - y0
+        fy_rel = fy[j:j + 1] - y0 - yoff
         wxm_j = [w[j:j + 1] for w in wxm]
         wym_j = [w[j:j + 1] for w in wym]
         if taps == 8:
             C = build_onehot8_blocked(Kw, fx_rel, wxm_j)
-            R = build_onehot8_blocked(Sr, fy_rel, wym_j)
+            R = build_onehot8_blocked(Kh, fy_rel, wym_j)
         else:
             C = build_onehot(col_ids, fx_rel, wxm_j)
             R = build_onehot(row_ids, fy_rel, wym_j)
+        # NOTE (r3 negative result, don't retry): materializing the C band
+        # as bf16 hi/lo (either pre-split tap weights or one explicit cast)
+        # is SLOWER than _dot3 on f32 — bf16 VPU values live in (16, 128)
+        # vregs, so every select/cast pays a sublane repack, while the dot's
+        # internal f32->bf16 operand conversion is fused into the MXU feed
+        # (measured 9.81 vs 8.65 ms 4K Y; pre-split trips a Mosaic i1
+        # relayout error outright).
 
         win_dma(j).wait()
 
@@ -350,15 +376,20 @@ def _sampler_kernel(spec: SamplerSpec, G: int,
         # 3 bf16 passes (_dot3) for f32-accurate pixels — the MXU's 1-pass
         # default rounds operands to bf16 (~5/1023 pixel error, fails parity)
         # — or 2 passes when the content is uint8 codes (exactly bf16).
-        win_all = win_ref[j].reshape(nchan * Sr, Sc)
+        if Kh < Sr:
+            # roll the tile's exact row band to sublane 0, mix Kh rows only
+            w3 = pltpu.roll(win_ref[j], (Sr - yoff) % Sr, 1)
+            win_all = w3[:, :Kh, :].reshape(nchan * Kh, Sc)
+        else:
+            win_all = win_ref[j].reshape(nchan * Sr, Sc)
         if Kw < Sc:
             # roll the tile's source band to lane 0, compute on Kw lanes only
             win_all = pltpu.roll(win_all, (Sc - xoff) % Sc, 1)[:, :Kw]
         colmix = (_dot2_exact_a(win_all, C) if spec.exact8
-                  else _dot3(win_all, C))                # (C*Sr, P)
+                  else _dot3(win_all, C))                # (C*Kh, P)
         for ch in range(nchan):
             sampled_rows[ch].append(
-                jnp.sum(R * colmix[ch * Sr:(ch + 1) * Sr], axis=0,
+                jnp.sum(R * colmix[ch * Kh:(ch + 1) * Kh], axis=0,
                         keepdims=True))                  # (1, P)
 
     # background blend + output write once per group on (G, P) blocks
@@ -368,7 +399,7 @@ def _sampler_kernel(spec: SamplerSpec, G: int,
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
-def _sample_call(spec: SamplerSpec, img, u_t, v_t, y0s, x0s, xoffs, bg,
+def _sample_call(spec: SamplerSpec, img, u_t, v_t, y0s, x0s, xoffs, yoffs, bg,
                  interpret=False):
     """Run the grouped sampler. Returns (C, ntiles, P) channel-major output.
 
@@ -389,8 +420,9 @@ def _sample_call(spec: SamplerSpec, img, u_t, v_t, y0s, x0s, xoffs, bg,
         y0s = jnp.pad(y0s, (0, pad))
         x0s = jnp.pad(x0s, (0, pad))
         xoffs = jnp.pad(xoffs, (0, pad))
+        yoffs = jnp.pad(yoffs, (0, pad))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(ng,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                 # img (C, H, W) HBM
@@ -409,7 +441,7 @@ def _sample_call(spec: SamplerSpec, img, u_t, v_t, y0s, x0s, xoffs, bg,
         out_shape=jax.ShapeDtypeStruct((nchan, ng, G, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(y0s, x0s, xoffs, img, u_t.reshape(ng, G, P), v_t.reshape(ng, G, P), bg)
+    )(y0s, x0s, xoffs, yoffs, img, u_t.reshape(ng, G, P), v_t.reshape(ng, G, P), bg)
     out = out.reshape(nchan, ng * G, P)
     return out[:, :ntiles] if pad else out
 
@@ -477,12 +509,20 @@ def plan_windows(spec: SamplerSpec, u, v, valid):
     off = spec.offset
     xf = (jnp.floor(umin - off).astype(jnp.int32) - 1) & ~(SUBLANE - 1)
     x0 = xf & ~(LANE - 1)
-    y0 = (jnp.floor(vmin - off).astype(jnp.int32) - 1) & ~(SUBLANE - 1)
+    yf = jnp.floor(vmin - off).astype(jnp.int32) - 1
+    y0 = yf & ~(SUBLANE - 1)
     x0 = jnp.clip(x0, 0, max(spec.width - spec.win_w, 0))
     y0 = jnp.clip(y0, 0, max(spec.height - spec.win_h, 0))
     xf = jnp.clip(xf, x0, x0 + spec.win_w - SUBLANE)
     xoff = (xf - x0) if spec.kw < spec.win_w else jnp.zeros_like(x0)
     xband = xf if spec.kw < spec.win_w else x0
+    if spec.win_r and spec.win_r < spec.win_h:
+        yf = jnp.clip(yf, y0, y0 + spec.win_h - spec.win_r)
+        yoff = yf - y0
+        yband = yf
+    else:
+        yoff = jnp.zeros_like(y0)
+        yband = y0
 
     # the farthest in-rect tap each tile needs
     srx, sry, srw, srh = spec.src_rect
@@ -491,10 +531,11 @@ def plan_windows(spec: SamplerSpec, u, v, valid):
     xfirst = jnp.maximum(jnp.floor(umin - off).astype(jnp.int32), srx)
     yfirst = jnp.maximum(jnp.floor(vmin - off).astype(jnp.int32), sry)
     overflow = (((xlast - xband >= spec.kw) | (xlast - x0 >= spec.win_w) |
-                 (ylast - y0 >= spec.win_h)) &
+                 (ylast - yband >= spec.kh) | (ylast - y0 >= spec.win_h)) &
                 (xlast >= xfirst) & (ylast >= yfirst) & any_valid)
 
-    return y0.reshape(-1), x0.reshape(-1), xoff.reshape(-1), overflow.any()
+    return (y0.reshape(-1), x0.reshape(-1), xoff.reshape(-1),
+            yoff.reshape(-1), overflow.any())
 
 
 def sample_planes(spec: SamplerSpec, imgs, u, v, valid, bg_vec):
@@ -516,11 +557,11 @@ def sample_planes(spec: SamplerSpec, imgs, u, v, valid, bg_vec):
     up = jnp.clip(up, -32768.0, 32768.0)
     vp = jnp.clip(vp, -32768.0, 32768.0)
 
-    y0s, x0s, xoffs, overflow = plan_windows(spec, up, vp, validp)
+    y0s, x0s, xoffs, yoffs, overflow = plan_windows(spec, up, vp, validp)
     bg = jnp.asarray(bg_vec, jnp.float32).reshape(1, nchan)
     interpret = jax.default_backend() == "cpu"  # Mosaic is TPU-only; tests interpret
     out_t = _sample_call(spec, imgs, _tileize(spec, up), _tileize(spec, vp),
-                         y0s, x0s, xoffs, bg, interpret=interpret)
+                         y0s, x0s, xoffs, yoffs, bg, interpret=interpret)
     return out_untileize_c(spec, out_t), overflow
 
 
@@ -737,7 +778,7 @@ def sample_planes_ewa(spec: SamplerSpec, imgs, u, v, jac, valid, bg_vec,
     up = jnp.clip(jnp.where(jnp.isfinite(up), up, 0.0), -32768.0, 32768.0)
     vp = jnp.clip(jnp.where(jnp.isfinite(vp), vp, 0.0), -32768.0, 32768.0)
 
-    y0s, x0s, _xoffs, overflow = plan_windows(spec, up, vp, validp)
+    y0s, x0s, _xoffs, _yoffs, overflow = plan_windows(spec, up, vp, validp)
     P = spec.tile_h * spec.tile_w
     ntiles = spec.grid[0] * spec.grid[1]
     jac_t = jnp.stack([_tileize(spec, _pad_to(jac[..., i], spec.tile_h, spec.tile_w))
@@ -774,12 +815,20 @@ def plan_windows_t(spec: SamplerSpec, u_t, v_t, valid_t):
     taps = spec.taps
     xf = (jnp.floor(umin - off).astype(jnp.int32) - 1) & ~(SUBLANE - 1)
     x0 = xf & ~(LANE - 1)
-    y0 = (jnp.floor(vmin - off).astype(jnp.int32) - 1) & ~(SUBLANE - 1)
+    yf = jnp.floor(vmin - off).astype(jnp.int32) - 1
+    y0 = yf & ~(SUBLANE - 1)
     x0 = jnp.clip(x0, 0, max(spec.width - spec.win_w, 0))
     y0 = jnp.clip(y0, 0, max(spec.height - spec.win_h, 0))
     xf = jnp.clip(xf, x0, x0 + spec.win_w - SUBLANE)
     xoff = (xf - x0) if spec.kw < spec.win_w else jnp.zeros_like(x0)
     xband = xf if spec.kw < spec.win_w else x0
+    if spec.win_r and spec.win_r < spec.win_h:
+        yf = jnp.clip(yf, y0, y0 + spec.win_h - spec.win_r)
+        yoff = yf - y0
+        yband = yf
+    else:
+        yoff = jnp.zeros_like(y0)
+        yband = y0
 
     srx, sry, srw, srh = spec.src_rect
     xlast = jnp.minimum(jnp.floor(umax - off).astype(jnp.int32) + taps, srx + srw - 1)
@@ -787,9 +836,9 @@ def plan_windows_t(spec: SamplerSpec, u_t, v_t, valid_t):
     xfirst = jnp.maximum(jnp.floor(umin - off).astype(jnp.int32), srx)
     yfirst = jnp.maximum(jnp.floor(vmin - off).astype(jnp.int32), sry)
     overflow = (((xlast - xband >= spec.kw) | (xlast - x0 >= spec.win_w) |
-                 (ylast - y0 >= spec.win_h)) &
+                 (ylast - yband >= spec.kh) | (ylast - y0 >= spec.win_h)) &
                 (xlast >= xfirst) & (ylast >= yfirst) & any_valid)
-    return y0, x0, xoff, overflow.any()
+    return y0, x0, xoff, yoff, overflow.any()
 
 
 def _pad_imgs(spec: SamplerSpec, imgs):
@@ -808,10 +857,10 @@ def sample_planes_t(spec: SamplerSpec, imgs, u_t, v_t, valid_t, bg_vec):
     imgs = _pad_imgs(spec, imgs)
     u_t = _guard_uv(u_t)
     v_t = _guard_uv(v_t)
-    y0s, x0s, xoffs, overflow = plan_windows_t(spec, u_t, v_t, valid_t)
+    y0s, x0s, xoffs, yoffs, overflow = plan_windows_t(spec, u_t, v_t, valid_t)
     bg = jnp.asarray(bg_vec, jnp.float32).reshape(1, imgs.shape[0])
     interpret = jax.default_backend() == "cpu"
-    out_t = _sample_call(spec, imgs, u_t, v_t, y0s, x0s, xoffs, bg,
+    out_t = _sample_call(spec, imgs, u_t, v_t, y0s, x0s, xoffs, yoffs, bg,
                          interpret=interpret)
     return out_t, overflow
 
@@ -822,7 +871,7 @@ def sample_planes_ewa_t(spec: SamplerSpec, imgs, u_t, v_t, jac_t, valid_t,
     imgs = _pad_imgs(spec, imgs)
     u_t = _guard_uv(u_t)
     v_t = _guard_uv(v_t)
-    y0s, x0s, _xoffs, overflow = plan_windows_t(spec, u_t, v_t, valid_t)
+    y0s, x0s, _xoffs, _yoffs, overflow = plan_windows_t(spec, u_t, v_t, valid_t)
     ntiles = u_t.shape[0]
     P = spec.tile_h * spec.tile_w
     jac4 = jnp.moveaxis(jac_t, -1, 1)            # (ntiles, 4, P)

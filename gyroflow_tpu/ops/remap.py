@@ -632,7 +632,8 @@ def to_uint16_jit(img, maxv):
 def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
                        mesh=None, win_h: int = 64, win_w: int = 512,
                        drawing=None, out_rows: int = None, oy0=0,
-                       tile_h: int = 8, tile_w: int = 128, win_k: int = 0):
+                       tile_h: int = 8, tile_w: int = 128, win_k: int = 0,
+                       win_r: int = 0):
     """Drop-in replacement for remap_plane using the Pallas sampling kernels.
 
     Returns (output, overflow) — overflow True means some tile's source bbox
@@ -671,7 +672,7 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         height=img.shape[0], width=img.shape[1], out_height=oh_local, out_width=ow,
         interpolation=cfg.interpolation, tile_h=tile_h, tile_w=tile_w,
         win_h=win_h, win_w=win_w, source_rect=cfg.src_rect, win_k=win_k,
-        exact8=exact8)
+        exact8=exact8, win_r=win_r)
     P = spec.tile_h * spec.tile_w
     ox, oy, pad_ok = ps.tiled_grid(spec)            # (ntiles, P)
     oy = oy + jnp.asarray(oy0, jnp.float32)         # absolute output row
@@ -849,11 +850,14 @@ def _remap_colorrange_t(px, is_y: bool, max_pixel_value):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "win_h", "win_w", "out_rows",
-                                             "tile_h", "tile_w", "win_k"))
+                                             "tile_h", "tile_w", "win_k",
+                                             "win_r"))
 def remap_plane_pallas_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
                            mesh=None, win_h: int = 64, win_w: int = 512,
                            drawing=None, out_rows: int = None, oy0=0,
-                           tile_h: int = 8, tile_w: int = 128, win_k: int = 0):
+                           tile_h: int = 8, tile_w: int = 128, win_k: int = 0,
+                           win_r: int = 0):
     return remap_plane_pallas(img, matrices, cfg, dyn, mesh, win_h, win_w,
                               drawing=drawing, out_rows=out_rows, oy0=oy0,
-                              tile_h=tile_h, tile_w=tile_w, win_k=win_k)
+                              tile_h=tile_h, tile_w=tile_w, win_k=win_k,
+                              win_r=win_r)

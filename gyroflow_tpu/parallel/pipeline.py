@@ -144,7 +144,8 @@ def make_window_step(mesh: Mesh, cfg: KernelConfig, f_local: int,
     if oh % sp != 0:
         raise ValueError(f"plane output height {oh} not divisible by sp={sp}")
     rows_local = oh // sp
-    win_h, win_w, win_k, tile_w, tile_h = win
+    win_h, win_w, win_k, tile_w, tile_h = win[:5]
+    win_r = win[5] if len(win) > 5 else 0
 
     def _local(imgs_l, mats_l, dyns_l, mesh_l):
         oy0 = jax.lax.axis_index("sp") * rows_local
@@ -156,7 +157,7 @@ def make_window_step(mesh: Mesh, cfg: KernelConfig, f_local: int,
                 out, ov = remap.remap_plane_pallas(
                     imgs_l[i], mats_l[i], cfg, dyn_i, mesh=mesh_i,
                     win_h=win_h, win_w=win_w, win_k=win_k, tile_w=tile_w,
-                    tile_h=tile_h, out_rows=rows_local, oy0=oy0)
+                    tile_h=tile_h, win_r=win_r, out_rows=rows_local, oy0=oy0)
             else:
                 full = remap.remap_plane(imgs_l[i], mats_l[i], cfg, dyn_i,
                                          mesh=mesh_i)
@@ -214,11 +215,11 @@ def place_window(mesh: Mesh, imgs, matrices, dyns, mesh_data=None):
 # window-size ladder shared with the single-frame path (manager.process_pixels):
 # rolled (win_k=128) configs first, then classic full-width windows for
 # stronger zoom-out; tile_h=16 is the measured knee at 4K (STATUS.md)
-WINDOW_LADDER = ((24, 256, 128, 96, 16), (32, 256, 128, 96, 16),
-                 (40, 256, 128, 96, 16), (48, 256, 128, 96, 16),
-                 (32, 256, 0, 128, 16), (40, 384, 0, 128, 16),
-                 (48, 384, 0, 128, 16), (64, 512, 0, 128, 16),
-                 (96, 768, 0, 128, 16))
+WINDOW_LADDER = ((24, 256, 128, 96, 16, 16), (32, 256, 128, 96, 16, 24),
+                 (40, 256, 128, 96, 16, 32), (48, 256, 128, 96, 16, 40),
+                 (40, 256, 0, 128, 16, 32), (48, 384, 0, 128, 16, 40),
+                 (56, 384, 0, 128, 16, 48), (72, 512, 0, 128, 16, 64),
+                 (104, 768, 0, 128, 16, 96))
 
 
 def stabilize_window_production(mesh: Mesh, imgs, matrices, cfg: KernelConfig,

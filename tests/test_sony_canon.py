@@ -93,10 +93,13 @@ def make_tagmap(i: int, with_mesh=True, with_ibis=True) -> dict:
     return tm
 
 
-@pytest.fixture(scope="module")
-def sony_mp4(tmp_path_factory):
-    p = str(tmp_path_factory.mktemp("sony") / "sony_fixture.mp4")
-    data = sony.build_tagmap_mp4([make_tagmap(i) for i in range(N_FRAMES)], FPS)
+@pytest.fixture(scope="module", params=["cbor", "klv"])
+def sony_mp4(request, tmp_path_factory):
+    # every Sony test runs against BOTH carriages: the CBOR tag-map fixture
+    # and real SMPTE ST 336 KLV samples (VERDICT r2 #3)
+    p = str(tmp_path_factory.mktemp("sony") / f"sony_{request.param}.mp4")
+    data = sony.build_tagmap_mp4([make_tagmap(i) for i in range(N_FRAMES)], FPS,
+                                 encoding=request.param)
     with open(p, "wb") as f:
         f.write(data)
     return p
@@ -204,6 +207,71 @@ class TestSonyKernelFlow:
                                       np.asarray(ft.mesh_data, np.float64))
         diff = np.abs(out - want)
         assert diff.max() < 1.5, f"sony kernel-flow golden diff {diff.max()}"
+
+
+class TestKLV:
+    """SMPTE ST 336 machinery (telemetry/klv.py)."""
+
+    def test_ber_lengths_roundtrip(self):
+        from gyroflow_tpu.core.telemetry import klv
+        for n in (0, 1, 0x7F, 0x80, 0xFF, 0x100, 0x12345, 0xFFFFFF):
+            enc = klv.write_ber_length(n)
+            got, pos = klv.read_ber_length(enc + b"xx", 0)
+            assert got == n and pos == len(enc)
+
+    def test_sample_roundtrip_equals_cbor_path(self):
+        """decode(encode(tag_map)) reproduces the fields parse_sony_mp4
+        consumes — the KLV carriage is semantically equal to the fixture."""
+        from gyroflow_tpu.core.telemetry import klv
+        tm = make_tagmap(3)
+        dec, skipped = klv.decode_rtmd_sample(klv.encode_rtmd_sample(tm))
+        assert skipped == 0
+        for key in ("gyroscope", "accelerometer", "ibis", "lens_oss",
+                    "imager", "lens_distortion", "frame_readout_time",
+                    "imu_orientation"):
+            assert key in dec, key
+        np.testing.assert_allclose(
+            np.asarray(dec["gyroscope"]["data"]),
+            np.asarray(tm["gyroscope"]["data"]))
+        np.testing.assert_allclose(
+            np.asarray(dec["ibis"]["data2"]), np.asarray(tm["ibis"]["data2"]))
+        assert dec["lens_distortion"]["data"]["coeffs"] == \
+            list(tm["lens_distortion"]["data"]["coeffs"])
+
+    def test_unknown_tags_skipped_not_misparsed(self):
+        from gyroflow_tpu.core.telemetry import klv
+        body = klv.encode_local_set([(0xBEEF, b"\x01\x02"),
+                                     (klv.SONY_USER_TAGS["gyro_freq"],
+                                      np.float64(990.0).tobytes()[::-1])])
+        buf = klv.encode_klv(klv.UL_USER_DEFINED, body)
+        # an unknown top-level UL rides along too
+        other = klv.encode_klv(
+            klv.UL_PREFIX + bytes(12), b"\x00" * 5)
+        tm, skipped = klv.decode_rtmd_sample(buf + other)
+        assert skipped == 2
+        assert tm["gyroscope"]["frequency"] == 990.0
+
+    def test_malformed_raises(self):
+        from gyroflow_tpu.core.telemetry import klv
+        with pytest.raises(klv.KLVError):
+            list(klv.iter_klv(b"\x06\x0e\x2b\x34" + b"\x00" * 5))  # short key
+        good = klv.encode_klv(klv.UL_USER_DEFINED, b"")
+        with pytest.raises(klv.KLVError):
+            list(klv.iter_klv(good[:-1] + b"\x85"))  # value exceeds buffer
+        with pytest.raises(klv.KLVError):
+            list(klv.iter_local_set(b"\x80\x00\x00\x09short"))
+
+    def test_truncated_mp4_sample_raises_valueerror(self, tmp_path):
+        from gyroflow_tpu.core.telemetry import klv
+        data = sony.build_tagmap_mp4([make_tagmap(0)], FPS, encoding="klv")
+        # corrupt the mdat payload: flip a BER length deep inside
+        idx = data.rfind(klv.UL_USER_DEFINED)
+        bad = bytearray(data)
+        bad[idx + 16] = 0x89        # invalid long-form (9 length bytes)
+        p = tmp_path / "bad.mp4"
+        p.write_bytes(bytes(bad))
+        with pytest.raises(ValueError, match="KLV|RTMD|rtmd"):
+            sony.parse_sony_mp4(str(p), fps=FPS, size=(W, H))
 
 
 class TestCanon:
