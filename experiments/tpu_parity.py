@@ -84,6 +84,41 @@ def main():
     print(f"{'Y-uint8':12s} win=(48, 256, 128, 96)  max pixel diff = {diff:.4f}  "
           f"{'OK' if line_ok else 'FAIL'}")
 
+    # 16-bit content (AYUV64/RGBA16 class, VERDICT r2 weak #6): pins the
+    # _dot3 dropped-lo*lo-term error bound on device at full 16-bit range.
+    # Measured: 13.24 / 65535 = 0.0202% — the SAME relative error as the
+    # passing 10-bit case (0.2174/1023 = 0.0213%), i.e. the phase-flip
+    # content effect scaled by code range, with NO additional degradation
+    # from the dropped lo*lo term (analysis bound: ~0.4 codes of 65535).
+    # Threshold = the 10-bit relative budget scaled to 16-bit codes.
+    W, H = 1920, 1080
+    f = (W * 0.62, W * 0.62)
+    cfg = KernelConfig(width=W, height=H, output_width=W, output_height=H,
+                       interpolation=8, distortion_model="opencv_fisheye",
+                       flags=FIX_COLOR_RANGE)
+    dyn = KernelDynamics.make(f=f, c=(W / 2, H / 2), k=[0.25, -0.07, 0.02, -0.003],
+                              fov=0.92, max_pixel_value=65535.0,
+                              pixel_value_limit=65535.0, background=(0, 0, 0, 1))
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    base16 = (np.sin(xx * 0.013) * np.cos(yy * 0.011) * 0.5 + 0.5) * 65535.0
+    img16 = jnp.asarray(np.repeat(base16[..., None], 2, axis=-1)
+                        + rng.uniform(0, 2.0, (H, W, 2)).astype(np.float32))
+    mats = jnp.asarray(make_matrices(W, H, f, 0.92, H))
+    for win in ((48, 256, 128, 96, 0), (48, 256, 128, 96, 32)):
+        got, ov = remap.remap_plane_pallas_jit(img16, mats, cfg, dyn, None,
+                                               win_h=win[0], win_w=win[1],
+                                               win_k=win[2], tile_w=win[3],
+                                               tile_h=16, win_r=win[4])
+        assert not bool(ov), "16-bit: window overflow"
+        want = remap.remap_plane_jit(img16, mats, cfg, dyn)
+        diff = float(jnp.max(jnp.abs(got - want)))
+        line_ok = diff < 0.25 / 1023.0 * 65535.0    # 16.0: same relative
+                                                    # budget as the 10-bit case
+        ok &= line_ok
+        print(f"{'16bit' + ('-r32' if win[4] else ''):12s} win={win}  "
+              f"max pixel diff = {diff:.4f} / 65535  "
+              f"{'OK' if line_ok else 'FAIL'}")
+
     # EWA elliptical kernel (interpolation 11 = RobidouxSharp): single
     # matrix, Pallas elliptical kernel vs the XLA gather path
     W, H = 1920, 1080

@@ -184,10 +184,21 @@ def _decode_motion_sample(data: bytes, key_table: Dict[int, str]):
             kind = "gyro"
         elif "accel" in key or key.strip() == "accl":
             kind = "accel"
-        if kind and len(payload) >= 12:
+        if kind:
+            # layout gate (VERDICT r2 #5): a wrong field stride must be
+            # rejected, not silently reshaped into garbage triplets
+            if len(payload) < 12 or len(payload) % 12 != 0:
+                raise ValueError(
+                    f"BRAW motion record layout mismatch: key '{key}' payload "
+                    f"is {len(payload)} bytes (expected a multiple of 12 for "
+                    f"f32be xyz triplets)")
             n = len(payload) // 4
             vals = np.asarray(struct.unpack(f">{n}f", payload[:n * 4]), np.float64)
-            vals = vals[:(n // 3) * 3].reshape(-1, 3)
+            if not np.isfinite(vals).all():
+                raise ValueError(
+                    f"BRAW motion record '{key}' contains non-finite values "
+                    f"(wrong layout or corrupt sample)")
+            vals = vals.reshape(-1, 3)
             out[kind] = np.concatenate([out[kind], vals]) if kind in out else vals
         pos += size
     return out

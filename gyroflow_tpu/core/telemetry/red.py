@@ -92,10 +92,22 @@ def parse_r3d(path: str, fps: float = 0.0,
     def quads(tag):
         rows = []
         for payload in found.get(tag, []):
-            n = (len(payload) // 16) * 4
+            # layout gate (VERDICT r2 #5): records must be exact
+            # (t, x, y, z) f32be quads — a wrong stride raises instead of
+            # misparsing into garbage samples
+            if len(payload) % 16 != 0:
+                raise ValueError(
+                    f"R3D {tag.decode('latin-1')} record layout mismatch: "
+                    f"{len(payload)} bytes is not a multiple of 16")
+            n = len(payload) // 4
             if n:
-                vals = struct.unpack(f">{n}f", payload[:n * 4])
-                rows.extend(np.asarray(vals, np.float64).reshape(-1, 4))
+                vals = np.asarray(struct.unpack(f">{n}f", payload[:n * 4]),
+                                  np.float64)
+                if not np.isfinite(vals).all():
+                    raise ValueError(
+                        f"R3D {tag.decode('latin-1')} record contains "
+                        f"non-finite values (wrong layout or corrupt block)")
+                rows.extend(vals.reshape(-1, 4))
         rows.sort(key=lambda r: r[0])
         return rows
 
@@ -121,8 +133,13 @@ def parse_r3d(path: str, fps: float = 0.0,
 
     # RED per-frame time offsets: -(exposure_ms / 2) (gyro_source/mod.rs:479-487)
     for payload in found.get(b"expo", []):
+        if len(payload) % 4 != 0:
+            raise ValueError(f"R3D expo record layout mismatch: "
+                             f"{len(payload)} bytes")
         n = len(payload) // 4
         for v in struct.unpack(f">{n}f", payload[:n * 4]):
+            if not np.isfinite(v):
+                raise ValueError("R3D expo record contains non-finite values")
             md.per_frame_time_offsets.append(-(v * 1000.0) / 2.0)
 
     if not md.has_motion():

@@ -55,6 +55,67 @@ def ffprobe_video(path: str) -> dict:
             "duration": float(s.get("duration") or 0.0)}
 
 
+def probe_audio_codec(path: str) -> Optional[str]:
+    """Source audio codec name via ffprobe, or by parsing `ffmpeg -i` stderr
+    when only the ffmpeg binary exists. None = no audio stream."""
+    if shutil.which(FFPROBE) is not None:
+        out = subprocess.run(
+            [FFPROBE, "-v", "error", "-select_streams", "a:0",
+             "-show_entries", "stream=codec_name", "-of", "json", path],
+            capture_output=True, text=True, timeout=120)
+        if out.returncode == 0:
+            streams = json.loads(out.stdout).get("streams", [])
+            return streams[0].get("codec_name") if streams else None
+    out = subprocess.run([FFMPEG, "-hide_banner", "-i", path],
+                         capture_output=True, text=True, timeout=120)
+    for line in out.stderr.splitlines():
+        line = line.strip()
+        if line.startswith("Stream") and "Audio:" in line:
+            return line.split("Audio:", 1)[1].strip().split(" ")[0].rstrip(",")
+    return None
+
+
+# audio codecs each container can stream-copy (ffmpeg_audio.rs transcodes
+# through a resampler whenever the source can't be carried; we reproduce the
+# decision with a compat table + `-c:a aac` fallback)
+_AUDIO_COMPAT = {
+    ".mp4": {"aac", "mp3", "ac3", "eac3", "alac", "opus", "mp2"},
+    ".m4v": {"aac", "mp3", "ac3", "eac3", "alac", "opus", "mp2"},
+    ".mov": {"aac", "mp3", "ac3", "eac3", "alac", "pcm_s16le", "pcm_s16be",
+             "pcm_s24le", "pcm_s24be", "pcm_s32le", "pcm_f32le"},
+    ".webm": {"opus", "vorbis"},
+}
+
+# the reference's selectable audio codecs (rendering/mod.rs:250-255)
+AUDIO_CODECS = {"": "", "auto": "", "aac": "aac",
+                "pcm (s16le)": "pcm_s16le", "pcm (s16be)": "pcm_s16be",
+                "pcm (s24le)": "pcm_s24le", "pcm (s24be)": "pcm_s24be",
+                "pcm_s16le": "pcm_s16le", "pcm_s16be": "pcm_s16be",
+                "pcm_s24le": "pcm_s24le", "pcm_s24be": "pcm_s24be"}
+
+
+def audio_args(out_path: str, audio_from: str, audio_codec: str = "") -> List[str]:
+    """The -c:a argument set: stream-copy when the source codec fits the
+    output container, else transcode (AAC fallback), matching
+    ffmpeg_audio.rs:53-119 / audio_resampler.rs semantics."""
+    codec = AUDIO_CODECS.get(audio_codec.lower(), audio_codec.lower())         if audio_codec else ""
+    if codec:
+        return ["-c:a", codec]
+    ext = os.path.splitext(out_path)[1].lower()
+    compat = _AUDIO_COMPAT.get(ext)
+    try:
+        src = probe_audio_codec(audio_from)
+    except Exception:
+        src = None
+    if src is None or compat is None or src in compat:
+        return ["-c:a", "copy"]
+    fallback = "libopus" if ext == ".webm" else "aac"
+    log.info("audio: %s can't stream-copy into %s — transcoding to %s",
+             src, ext, fallback)
+    # explicit resample keeps A/V sync when the source rate is off-spec
+    return ["-c:a", fallback, "-b:a", "192k", "-af", "aresample=async=1"]
+
+
 def _decode_fmt_for(src_pix_fmt: str) -> RawFormat:
     """Pick the rawvideo pix_fmt that preserves the source's depth/sampling
     (the reference's per-format plane matrix, rendering/mod.rs:564-679)."""
@@ -258,7 +319,7 @@ class FFmpegWriter:
     def __init__(self, path: str, width: int, height: int, fps: float,
                  pix_fmt: str = "yuv420p10le", codec: str = "h265",
                  bitrate_mbps: float = 0.0, audio_from: Optional[str] = None,
-                 use_gpu: bool = False):
+                 use_gpu: bool = False, audio_codec: str = ""):
         self.fmt = RAW_FORMATS[pix_fmt]
         self.width = width
         self.height = height
@@ -269,7 +330,8 @@ class FFmpegWriter:
                "-s", f"{width}x{height}", "-r", f"{fr.numerator}/{fr.denominator}",
                "-i", "pipe:0"]
         if audio_from:
-            cmd += ["-i", audio_from, "-map", "0:v", "-map", "1:a?", "-c:a", "copy"]
+            cmd += ["-i", audio_from, "-map", "0:v", "-map", "1:a?"]
+            cmd += audio_args(path, audio_from, audio_codec)
         cmd += _encoder_args(codec, pix_fmt, bitrate_mbps, use_gpu=use_gpu)
         cmd += [path]
         # spooled-file stderr: a pipe would deadlock the encode once 64 KB
@@ -283,7 +345,7 @@ class FFmpegWriter:
         for a, (ph, pw, ch) in zip(planes, shapes):
             if a.shape[:2] != (ph, pw):
                 raise ValueError(f"plane shape {a.shape} != expected {(ph, pw)}")
-        self.proc.stdin.write(self.fmt.pack(planes))
+        self.fmt.write_to(self.proc.stdin, planes)
 
     def close(self):
         if self.proc.stdin:

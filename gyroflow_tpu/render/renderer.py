@@ -43,6 +43,8 @@ class RenderOptions:
     pix_fmt: str = ""                  # output raw format (y4m/ffmpeg backends)
     use_gpu: bool = True
     audio: bool = False
+    audio_codec: str = ""              # "" auto (copy/AAC fallback), "aac",
+                                       # "pcm (s16le)" etc. (mod.rs:250-255)
     trim_start: float = 0.0            # fraction 0..1
     trim_end: float = 1.0
     interpolation: int = 8
@@ -55,6 +57,57 @@ class RenderOptions:
     # N>1 = stabilize N-frame windows via jax.sharding.Mesh("dp","sp")
     frame_window: int = 0
     shard_sp: int = 1                  # output-row shards per frame ("sp" axis)
+    async_encode: bool = True          # encode on a writer thread so the
+                                       # device queue + decode overlap encode
+
+
+class _AsyncWriter:
+    """Background-thread writer: write_* enqueue, a worker drains to the real
+    writer. Errors surface on the next call or close()."""
+
+    def __init__(self, writer, depth: int = 4):
+        import queue
+        import threading
+        self._w = writer
+        self._q = queue.Queue(maxsize=depth)
+        self._err = None
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            fn, args = item
+            try:
+                getattr(self._w, fn)(*args)
+            except Exception as e:  # noqa: BLE001 — surfaced to the caller
+                self._err = e
+                return
+
+    def _check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def write_planes(self, planes):
+        self._check()
+        self._q.put(("write_planes", (planes,)))
+
+    def write_rgb(self, frame):
+        self._check()
+        self._q.put(("write_rgb", (frame,)))
+
+    def __getattr__(self, name):
+        return getattr(self._w, name)
+
+    def close(self):
+        if self._t.is_alive():
+            self._q.put(None)
+            self._t.join()
+        self._w.close()
+        self._check()
 
 
 def open_reader(input_path: str):
@@ -92,7 +145,8 @@ def open_reader(input_path: str):
 
 
 def open_writer(output_path: str, ow: int, oh: int, fps: float,
-                options: RenderOptions, reader, kind: str, input_path: str):
+                options: RenderOptions, reader, kind: str, input_path: str,
+                video_speed: float = 1.0):
     """Pick the encode backend matching the reader/output container."""
     ext = os.path.splitext(output_path)[1].lower()
     if ext == ".y4m":
@@ -115,10 +169,12 @@ def open_writer(output_path: str, ow: int, oh: int, fps: float,
         from .ffmpeg_io import FFmpegWriter
         pix = options.pix_fmt or getattr(reader, "pix_fmt", "") or "yuv420p"
         codec = options.codec if options.codec != "mp4v" else "h264"
+        # the reference disables audio when changing speed (mod.rs:446)
+        want_audio = options.audio and video_speed == 1.0
         return "planar", FFmpegWriter(
             output_path, ow, oh, fps, pix, codec, options.bitrate,
-            audio_from=input_path if options.audio else None,
-            use_gpu=options.use_gpu)
+            audio_from=input_path if want_audio else None,
+            use_gpu=options.use_gpu, audio_codec=options.audio_codec)
     return "rgb", VideoWriter(output_path, ow, oh, fps, options.codec)
 
 
@@ -217,7 +273,10 @@ def render(mgr, input_path: str, output_path: str,
         mgr.set_output_size(ow, oh)
         mgr.recompute_blocking()
     wkind, writer = open_writer(output_path, ow, oh, reader.fps, options,
-                                reader, kind, input_path)
+                                reader, kind, input_path,
+                                video_speed=mgr.params.video_speed)
+    if options.async_encode:
+        writer = _AsyncWriter(writer)
     fmt: Optional[RawFormat] = getattr(reader, "fmt", None)
     out_fmt: Optional[RawFormat] = getattr(writer, "fmt", None)
     if kind == "planar" and wkind == "rgb":
@@ -381,7 +440,9 @@ def render(mgr, input_path: str, output_path: str,
 
     audio_copied = wkind == "planar" and options.audio and \
         getattr(writer, "proc", None) is not None
-    if options.audio and not audio_copied \
+    if options.audio and video_speed != 1.0:
+        audio_copied = False        # reference: no audio when changing speed
+    elif options.audio and not audio_copied \
             and output_path.lower().endswith((".mp4", ".mov")) \
             and input_path.lower().endswith((".mp4", ".mov")):
         # passthrough remux (ffmpeg stream-copy equivalent, rendering/mod.rs:425)

@@ -124,7 +124,7 @@ class Y4MWriter:
             if a.shape[:2] != (ph, pw):
                 raise ValueError(f"plane shape {a.shape} != expected {(ph, pw)}")
         self.f.write(b"FRAME\n")
-        self.f.write(self.fmt.pack(planes))
+        self.fmt.write_to(self.f, planes)
 
     def close(self):
         self.f.close()

@@ -127,6 +127,50 @@ class TestBraw:
         assert md.has_motion()
 
 
+def _braw_with_raw_gyro_payload(tmp_path, payload: bytes, name="s.braw"):
+    """Hand-assembled .braw whose single motion sample carries `payload`
+    under the gyroscope key — byte-level control for stride fuzzing."""
+    ftyp = box(b"ftyp", b"braw" + struct.pack(">I", 0) + b"braw")
+    rec = struct.pack(">II", 8 + len(payload), 1) + payload
+    sizes = [len(rec)]
+    meta = _meta_box({"camera_type": "Pocket 6K"})
+    for _ in range(2):
+        trak = _mebx_trak(sizes, chunk_offset=0)
+        moov = box(b"moov", meta + trak)
+        off = len(ftyp) + len(moov) + 8
+        trak = _mebx_trak(sizes, chunk_offset=off)
+        moov = box(b"moov", meta + trak)
+    path = tmp_path / name
+    path.write_bytes(ftyp + moov + box(b"mdat", rec))
+    return str(path)
+
+
+class TestBrawLayoutGates:
+    """VERDICT r2 #5: wrong field strides must be rejected, not reshaped
+    into garbage gyro."""
+
+    @pytest.mark.parametrize("nbytes", [11, 13, 16, 20, 35])
+    def test_stride_mismatch_raises(self, tmp_path, nbytes):
+        p = _braw_with_raw_gyro_payload(tmp_path, b"\x3f" * nbytes,
+                                        name=f"s{nbytes}.braw")
+        with pytest.raises(ValueError, match="layout mismatch"):
+            parse_braw(p)
+
+    def test_nonfinite_motion_raises(self, tmp_path):
+        bad = np.full((2, 3), np.nan, ">f4").tobytes()
+        p = _braw_with_raw_gyro_payload(tmp_path, bad)
+        with pytest.raises(ValueError, match="non-finite"):
+            parse_braw(p)
+
+    def test_exact_triplets_decode_to_known_values(self, tmp_path):
+        # independently computed: 0.25 rad/s roll -> 14.3239... deg/s
+        g = np.asarray([[0.25, -0.5, 0.125]], ">f4")
+        p = _braw_with_raw_gyro_payload(tmp_path, g.tobytes())
+        md = parse_braw(p)
+        assert abs(md.raw_imu[0].gyro[0] - math.degrees(0.25)) < 1e-5
+        assert abs(md.raw_imu[0].gyro[1] - math.degrees(-0.5)) < 1e-5
+
+
 def make_r3d(tmp_path, with_motion=True):
     gyro = np.asarray([[0.00, 0.2, 0.0, 0.0],
                        [0.01, 0.2, 0.0, 0.0],
@@ -167,6 +211,44 @@ class TestR3d:
         p = make_r3d(tmp_path, with_motion=False)
         with pytest.raises(ValueError):
             parse_r3d(p)
+
+
+class TestR3dLayoutGates:
+    """VERDICT r2 #5: stride fuzzing — misaligned records raise."""
+
+    def _r3d_with(self, tmp_path, tag, payload, name="x.r3d"):
+        def chunk(t, p):
+            return struct.pack(">I4s", 8 + len(p), t) + p
+        blocks = chunk(b"RED2", b"\x00" * 16) + \
+            chunk(b"RDX\x01", chunk(tag, payload))
+        path = tmp_path / name
+        path.write_bytes(blocks)
+        return str(path)
+
+    @pytest.mark.parametrize("nbytes", [4, 12, 20, 17, 31])
+    def test_gyro_stride_mismatch_raises(self, tmp_path, nbytes):
+        p = self._r3d_with(tmp_path, b"gyro", b"\x3f" * nbytes,
+                           name=f"g{nbytes}.r3d")
+        with pytest.raises(ValueError, match="layout mismatch"):
+            parse_r3d(p)
+
+    def test_gyro_nonfinite_raises(self, tmp_path):
+        bad = np.full((1, 4), np.inf, ">f4").tobytes()
+        p = self._r3d_with(tmp_path, b"gyro", bad)
+        with pytest.raises(ValueError, match="non-finite"):
+            parse_r3d(p)
+
+    def test_expo_stride_mismatch_raises(self, tmp_path):
+        # valid gyro so motion exists; expo misaligned
+        def chunk(t, p):
+            return struct.pack(">I4s", 8 + len(p), t) + p
+        g = np.asarray([[0.0, 0.1, 0.0, 0.0]], ">f4").tobytes()
+        blocks = chunk(b"RED2", b"\x00" * 16) + \
+            chunk(b"RDX\x01", chunk(b"gyro", g) + chunk(b"expo", b"\x00" * 6))
+        path = tmp_path / "e.r3d"
+        path.write_bytes(blocks)
+        with pytest.raises(ValueError, match="layout mismatch"):
+            parse_r3d(str(path))
 
 
 class TestBlackmagicQuirks:

@@ -131,3 +131,69 @@ class TestRemux:
         assert n == 6, f"decoded {n} frames after remux"
         tracks = parse_tracks(open(ofile, "rb").read())
         assert {t.handler_type for t in tracks} >= {b"vide", b"soun"}
+
+
+class TestPcmRewrite:
+    """QuickTime PCM ('sowt' etc.) -> ISO 23003-5 ipcm+pcmC when remuxing
+    into .mp4 (VERDICT r2 #6); the ffmpeg path transcodes instead."""
+
+    def _remux(self, tmp_path, out_name):
+        vid = make_media_mp4(b"vide", b"Video", b"avc1",
+                             [b"\x00\x01\x02\x03"] * 3)
+        pcm = np.arange(-500, 500, dtype="<i2").tobytes()
+        aud = make_media_mp4(b"soun", b"Sound", b"sowt", [pcm], track_id=2)
+        v = tmp_path / "v.mp4"
+        a = tmp_path / "a.mov"
+        v.write_bytes(vid)
+        a.write_bytes(aud)
+        out = tmp_path / out_name
+        assert remux_with_audio(str(v), str(a), str(out))
+        return out.read_bytes(), pcm
+
+    def test_sowt_becomes_ipcm_in_mp4(self, tmp_path):
+        buf, pcm = self._remux(tmp_path, "o.mp4")
+        assert b"sowt" not in buf
+        i = buf.find(b"ipcm")
+        assert i > 0
+        # pcmC follows inside the grown entry: version/flags 0, LE flag, 16
+        j = buf.find(b"pcmC")
+        assert j > i
+        assert buf[j + 4:j + 10] == b"\x00\x00\x00\x00\x01\x10"
+        # the PCM chunk bytes survive at the patched chunk offset
+        tracks = parse_tracks(buf)
+        aud = [t for t in tracks if t.handler_type == b"soun"][0]
+        (off, sz, _t, _d) = list(aud.samples())[0]
+        assert buf[off:off + sz] == pcm
+
+    def test_mov_output_keeps_qt_entry(self, tmp_path):
+        buf, _ = self._remux(tmp_path, "o.mov")
+        assert b"sowt" in buf and b"pcmC" not in buf
+
+
+class TestAudioArgs:
+    """ffmpeg audio codec decision (ffmpeg_audio.rs:53-119 semantics)."""
+
+    def test_compat_copy_vs_transcode(self, monkeypatch):
+        from gyroflow_tpu.render import ffmpeg_io as fio
+        monkeypatch.setattr(fio, "probe_audio_codec", lambda p: "pcm_s16le")
+        assert fio.audio_args("out.mp4", "in.mov") == \
+            ["-c:a", "aac", "-b:a", "192k", "-af", "aresample=async=1"]
+        monkeypatch.setattr(fio, "probe_audio_codec", lambda p: "pcm_s16le")
+        assert fio.audio_args("out.mov", "in.mov") == ["-c:a", "copy"]
+        monkeypatch.setattr(fio, "probe_audio_codec", lambda p: "aac")
+        assert fio.audio_args("out.mp4", "in.mp4") == ["-c:a", "copy"]
+        monkeypatch.setattr(fio, "probe_audio_codec", lambda p: "aac")
+        assert fio.audio_args("out.webm", "in.mp4")[:2] == ["-c:a", "libopus"]
+
+    def test_explicit_codec_wins(self):
+        from gyroflow_tpu.render import ffmpeg_io as fio
+        assert fio.audio_args("o.mp4", "i.mov", "PCM (s16le)") == \
+            ["-c:a", "pcm_s16le"]
+        assert fio.audio_args("o.mp4", "i.mov", "aac") == ["-c:a", "aac"]
+
+    def test_probe_failure_falls_back_to_copy(self, monkeypatch):
+        from gyroflow_tpu.render import ffmpeg_io as fio
+        def boom(p):
+            raise OSError("no ffmpeg")
+        monkeypatch.setattr(fio, "probe_audio_codec", boom)
+        assert fio.audio_args("o.mp4", "i.mov") == ["-c:a", "copy"]
