@@ -558,3 +558,64 @@ class TestFFmpegPipes:
         assert stub_bins._encoder_pix_fmt("hevc_nvenc", True) == "p010le"
         assert stub_bins._encoder_pix_fmt("libx265", True) == "yuv420p10le"
         assert stub_bins._encoder_pix_fmt("h264_nvenc", False) == "yuv420p"
+
+
+class TestAudioTranscodeCommand:
+    """FFmpegWriter builds the right -c:a arguments (ffmpeg_audio.rs
+    semantics) — verified via the stub-binary command line."""
+
+    @pytest.fixture()
+    def stub_bins(self, tmp_path, monkeypatch):
+        for name, body in (("ffmpeg", FAKE_FFMPEG), ("ffprobe", FAKE_FFPROBE)):
+            p = tmp_path / name
+            p.write_text(body.replace("%PY%", sys.executable))
+            p.chmod(p.stat().st_mode | stat.S_IEXEC)
+        monkeypatch.setenv("PATH", f"{tmp_path}{os.pathsep}{os.environ['PATH']}")
+        import gyroflow_tpu.render.ffmpeg_io as fio
+        monkeypatch.setattr(fio, "FFMPEG", str(tmp_path / "ffmpeg"))
+        monkeypatch.setattr(fio, "FFPROBE", str(tmp_path / "ffprobe"))
+        return fio
+
+    def test_pcm_source_to_mp4_transcodes(self, stub_bins, tmp_path,
+                                          monkeypatch):
+        monkeypatch.setattr(stub_bins, "probe_audio_codec",
+                            lambda p: "pcm_s16le")
+        captured = {}
+        real_popen = stub_bins.subprocess.Popen
+
+        def spy(cmd, **kw):
+            captured["cmd"] = cmd
+            return real_popen(cmd, **kw)
+
+        monkeypatch.setattr(stub_bins.subprocess, "Popen", spy)
+        out = str(tmp_path / "enc.mp4")
+        w = stub_bins.FFmpegWriter(out, 64, 48, 30.0, "yuv420p", "h264",
+                                   audio_from="src.mov")
+        w.write_planes([np.zeros((48, 64, 1), np.uint8),
+                        np.zeros((24, 32, 1), np.uint8),
+                        np.zeros((24, 32, 1), np.uint8)])
+        w.close()
+        cmd = captured["cmd"]
+        i = cmd.index("-c:a")
+        assert cmd[i + 1] == "aac"
+        assert "-af" in cmd and "aresample=async=1" in cmd
+
+    def test_compatible_source_copies(self, stub_bins, tmp_path, monkeypatch):
+        monkeypatch.setattr(stub_bins, "probe_audio_codec", lambda p: "aac")
+        captured = {}
+        real_popen = stub_bins.subprocess.Popen
+
+        def spy(cmd, **kw):
+            captured["cmd"] = cmd
+            return real_popen(cmd, **kw)
+
+        monkeypatch.setattr(stub_bins.subprocess, "Popen", spy)
+        out = str(tmp_path / "enc2.mp4")
+        w = stub_bins.FFmpegWriter(out, 64, 48, 30.0, "yuv420p", "h264",
+                                   audio_from="src.mp4")
+        w.write_planes([np.zeros((48, 64, 1), np.uint8),
+                        np.zeros((24, 32, 1), np.uint8),
+                        np.zeros((24, 32, 1), np.uint8)])
+        w.close()
+        cmd = captured["cmd"]
+        assert cmd[cmd.index("-c:a") + 1] == "copy"
