@@ -163,6 +163,40 @@ class TestWindowedPallasParity:
                 out[i].astype(np.int32), np.asarray(ref).astype(np.int32),
                 atol=1)
 
+    def test_window_with_sony_mesh_matches_per_frame(self, tmp_path_factory):
+        """with_mesh branch: per-frame Sony mesh/FPD blobs ride the sharded
+        window (dp-sharded operand) and match the per-frame path."""
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from test_sony_canon import make_tagmap, FPS as SFPS, W as SW, H as SH
+        from gyroflow_tpu.core.telemetry import sony
+        from gyroflow_tpu.core.manager import StabilizationManager
+        from gyroflow_tpu.parallel.pipeline import make_frame_mesh
+
+        p = str(tmp_path_factory.mktemp("sonyw") / "s.mp4")
+        open(p, "wb").write(sony.build_tagmap_mp4(
+            [make_tagmap(i) for i in range(8)], SFPS))
+        mgr = StabilizationManager()
+        mgr.init_from_video_data(8 / SFPS * 1000.0, SFPS, 8, (SW, SH))
+        mgr.load_gyro_data(p)
+        mgr.recompute_blocking()
+        # confirm the mesh actually flows
+        ft = mgr.frame_transform_at(2 * 1000.0 / SFPS)
+        assert ft.mesh_data is not None
+
+        rng = np.random.default_rng(9)
+        frames = rng.uniform(0, 255, (4, SH, SW, 1)).astype(np.float32)
+        ts = [int(i / SFPS * 1e6) for i in range(4)]
+        mesh = make_frame_mesh(4, sp=1)
+        out, info = mgr.process_pixels_window(ts, frames, mesh,
+                                              interpolation=2,
+                                              use_pallas=True)
+        out = np.asarray(out)
+        for i in range(4):
+            ref, _ = mgr.process_pixels(ts[i], frames[i], interpolation=2,
+                                        use_pallas=True)
+            np.testing.assert_allclose(out[i], np.asarray(ref), atol=1e-3)
+
     def test_overflow_ladder_climbs(self, gcsv_path):  # noqa: F811
         """A strong zoom-out forces small windows to overflow; the ladder
         must climb to a bigger window instead of shipping corrupt tiles."""
