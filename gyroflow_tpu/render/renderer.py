@@ -300,7 +300,11 @@ def render(mgr, input_path: str, output_path: str,
     if window == 0:
         window = n_dev if n_dev > 1 else 1
     device_mesh = None
-    if window > 1 and n_dev > 1 and kind == "planar" \
+    # auto mode windows only with >1 device; an EXPLICIT frame_window also
+    # batches on a single device (F frames per dispatch amortize the
+    # per-call launch/dispatch overhead, ~1.2 ms/frame through the tunnel)
+    if window > 1 and (n_dev > 1 or options.frame_window > 1) \
+            and kind == "planar" \
             and options.overlay is None and options.safe_area is None:
         from ..parallel.pipeline import make_frame_mesh
         sp = min(max(options.shard_sp, 1), n_dev)

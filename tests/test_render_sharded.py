@@ -92,6 +92,28 @@ class TestWindowedRender:
                 np.testing.assert_allclose(pb.astype(np.int32),
                                            pa.astype(np.int32), atol=1)
 
+    def test_single_device_explicit_window(self, clip_path, gcsv_path,  # noqa: F811
+                                           tmp_path, monkeypatch):
+        """An explicit frame_window batches frames per dispatch even on one
+        device (dp=1, f_local=F) and matches the per-frame render."""
+        import jax
+        import gyroflow_tpu.render.renderer as rmod
+        one = jax.devices()[:1]
+        monkeypatch.setattr(jax, "devices", lambda *a: one)
+        mgr = make_mgr(gcsv_path)
+        s1 = self._render(mgr.get_cloned(), clip_path,
+                          str(tmp_path / "pf.y4m"), frame_window=1)
+        s2 = self._render(mgr.get_cloned(), clip_path,
+                          str(tmp_path / "w4.y4m"), frame_window=4)
+        assert s2["backend"].endswith("-sharded")
+        assert s2["mesh"] == {"dp": 1, "sp": 1}
+        a = read_y4m_planes(str(tmp_path / "pf.y4m"))
+        b = read_y4m_planes(str(tmp_path / "w4.y4m"))
+        for fa, fb in zip(a, b):
+            for pa, pb in zip(fa, fb):
+                np.testing.assert_allclose(pb.astype(np.int32),
+                                           pa.astype(np.int32), atol=1)
+
     def test_partial_tail_window_pads(self, clip_path, gcsv_path, tmp_path):  # noqa: F811
         # 10 frames, window 8 -> one full window + a 2-frame padded tail
         mgr = make_mgr(gcsv_path)
