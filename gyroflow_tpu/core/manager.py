@@ -108,6 +108,25 @@ class StabilizationManager:
             elif rot == 180:
                 self.params.frame_readout_direction = ReadoutDirection.BottomToTop
                 fm.imu_orientation = "YXz"
+        elif src.startswith("GyroflowProtobuf"):
+            # gyro_source/mod.rs:444-456: per-frame time offset from each
+            # sample's Imager group: first_frame_ts - exposure/2 + readout/2.
+            # The protobuf wire schema lives in the external gyroflow-proto
+            # repo (not available offline), so the carriage here is the
+            # pre-parsed per-sample tag maps in additional_data["samples"];
+            # the timing quirk itself matches the reference exactly.
+            samples = (fm.additional_data or {}).get("samples") or []
+            for tag_map in samples:
+                imager = tag_map.get("Imager") if isinstance(tag_map, dict) else None
+                if not isinstance(imager, dict):
+                    continue
+                first_ts = imager.get("FirstFrameTimestamp")
+                if first_ts is None:
+                    continue
+                exposure = float(imager.get("ExposureTime") or 0.0)
+                readout = float(imager.get("FrameReadoutTime") or 0.0)
+                fm.per_frame_time_offsets.append(
+                    float(first_ts) - exposure / 2.0 + readout / 2.0)
         elif src.startswith("Canon"):
             # gyro_source/mod.rs:491-499: apply the Canon tag-map quirks when
             # parsed CTMD tags ride along (project import / pre-parsed

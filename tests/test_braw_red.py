@@ -283,3 +283,29 @@ class TestBlackmagicQuirks:
         fm.frame_readout_direction = "LeftToRight"
         mgr._apply_camera_quirks(fm)
         assert mgr.params.frame_readout_direction == ReadoutDirection.LeftToRight
+
+
+class TestGyroflowProtobufQuirk:
+    """gyro_source/mod.rs:444-456: per-frame offsets from Imager samples."""
+
+    def test_per_frame_offsets(self):
+        mgr = StabilizationManager()
+        fm = FileMetadata()
+        fm.detected_source = "GyroflowProtobuf Logger"
+        fm.additional_data = {"samples": [
+            {"Imager": {"FirstFrameTimestamp": 10.0, "ExposureTime": 2.0,
+                        "FrameReadoutTime": 8.0}},
+            {"Imager": {"FirstFrameTimestamp": 20.0}},   # missing -> 0 defaults
+            {"Other": {"FirstFrameTimestamp": 99.0}},    # no Imager -> skipped
+            {"Imager": {"ExposureTime": 2.0}},           # no first ts -> skipped
+        ]}
+        mgr._apply_camera_quirks(fm)
+        # 10 - 2/2 + 8/2 = 13; 20 - 0 + 0 = 20
+        assert fm.per_frame_time_offsets == [13.0, 20.0]
+
+    def test_no_samples_is_noop(self):
+        mgr = StabilizationManager()
+        fm = FileMetadata()
+        fm.detected_source = "GyroflowProtobuf"
+        mgr._apply_camera_quirks(fm)
+        assert fm.per_frame_time_offsets == []
