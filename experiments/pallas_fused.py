@@ -224,7 +224,7 @@ def remap_fused(img, matsT_padded, matrix_count, x_t, y_t, idx_t,
     imgs = ps._pad_imgs(spec, img)
     m0s, m_over = pc.plan_matrix_windows(
         idx_t.reshape(idx_t.shape[0], 1, -1), win_m, matsT_padded.shape[1])
-    y0s, x0s, _ = ps.plan_windows_t(spec, probe_u, probe_v, probe_valid)
+    y0s, x0s, _xo, _yo, _ = ps.plan_windows_t(spec, probe_u, probe_v, probe_valid)
     params = pc.pack_params(dyn)
     bg = jnp.asarray(bg_vec, jnp.float32).reshape(1, imgs.shape[0])
     interpret = jax.default_backend() == "cpu"

@@ -26,7 +26,7 @@ def main():
 
     @jax.jit
     def xla(u, v, m, salt):
-        y0, x0, xoff, ovf = ps.plan_windows_t(spec, u + salt, v, m > 0.5)
+        y0, x0, xoff, _yoff, ovf = ps.plan_windows_t(spec, u + salt, v, m > 0.5)
         return jnp.sum(y0) + jnp.sum(x0) + jnp.sum(xoff) + ovf.astype(jnp.float32)
 
     @jax.jit

@@ -94,7 +94,7 @@ def main():
         # --- window planning alone ------------------------------------------
         @jax.jit
         def plan_only(u_t, v_t, valid_t, salt, _spec=spec):
-            y0s, x0s, ov = ps.plan_windows_t(_spec, u_t + salt * 0, v_t, valid_t)
+            y0s, x0s, _xo, _yo, ov = ps.plan_windows_t(_spec, u_t + salt * 0, v_t, valid_t)
             return jnp.sum(y0s) + jnp.sum(x0s) + salt
 
         results[f"plan t{tile_h}"] = round(timed(plan_only, u_t, v_t, valid_t), 3)

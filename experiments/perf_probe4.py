@@ -71,7 +71,7 @@ def main():
     u_t, v_t, valid_t = jax.block_until_ready(make_uv(img, mats))
     u_t = ps._guard_uv(u_t)
     v_t = ps._guard_uv(v_t)
-    y0s, x0s, _ = jax.block_until_ready(ps.plan_windows_t(spec, u_t, v_t, valid_t))
+    y0s, x0s, _xo, _yo, _ = jax.block_until_ready(ps.plan_windows_t(spec, u_t, v_t, valid_t))
     imgs = jnp.moveaxis(img, -1, 0)
     imgs_p = ps._pad_imgs(spec, imgs)
     bg = jnp.zeros((1, 1))

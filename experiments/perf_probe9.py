@@ -96,7 +96,7 @@ def main():
 
     @jax.jit
     def plan(u_t, v_t, salt):
-        y0s, x0s, xoffs, ovf = ps.plan_windows_t(spec, u_t + salt * 0, v_t,
+        y0s, x0s, xoffs, _yoffs, ovf = ps.plan_windows_t(spec, u_t + salt * 0, v_t,
                                                  valid_t)
         return jnp.sum(y0s) + jnp.sum(x0s) + jnp.sum(xoffs)
 

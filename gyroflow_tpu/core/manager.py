@@ -649,6 +649,7 @@ class StabilizationManager:
                for ts in timestamps_us]
         cfg = None
         dyns = []
+        hetero = None
         for ft in fts:
             c, d = self._plane_cfg_dyn(
                 ft, frames.shape[1:], interpolation, plane_index,
@@ -656,14 +657,38 @@ class StabilizationManager:
             if cfg is None:
                 cfg = c
             elif c != cfg:
-                raise ValueError("KernelConfig must be identical across a "
-                                 "frame window (got differing configs)")
+                # flags (HAS_MESH_DATA/HAS_FPD_DATA...) can legitimately vary
+                # across frames of a Sony clip — not an error
+                hetero = "kernel configs differ"
+                break
             dyns.append(d)
-        mats = np.stack([ft.matrices for ft in fts]).astype(np.float32)
         mesh_blobs = None
-        if any(ft.mesh_data is not None for ft in fts):
-            mesh_blobs = np.stack([
-                np.asarray(ft.mesh_data, np.float32) for ft in fts])
+        if hetero is None and any(ft.mesh_data is not None for ft in fts):
+            shapes = {np.asarray(ft.mesh_data, np.float32).shape
+                      if ft.mesh_data is not None else None for ft in fts}
+            if len(shapes) > 1:
+                hetero = "mesh data varies across frames"
+            else:
+                mesh_blobs = np.stack([
+                    np.asarray(ft.mesh_data, np.float32) for ft in fts])
+        if hetero is not None:
+            # Window batching needs one trace for the whole window; process
+            # frame-by-frame instead of aborting the render.
+            log.info("frame window not batchable (%s); per-frame fallback",
+                     hetero)
+            outs = []
+            info = {"fov": fts[0].fov, "backend": "none"}
+            for ts, fr in zip(timestamps_us, frames):
+                o, info = self.process_pixels(
+                    ts, fr, interpolation=interpolation,
+                    use_pallas=use_pallas, plane_index=plane_index,
+                    max_pixel_value=max_pixel_value, plane_rects=plane_rects,
+                    background_override=background_override)
+                outs.append(np.asarray(o))
+            info = dict(info)
+            info["backend"] = str(info.get("backend", "")) + "+per-frame"
+            return jnp.asarray(np.stack(outs)), info
+        mats = np.stack([ft.matrices for ft in fts]).astype(np.float32)
 
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
@@ -737,17 +762,20 @@ class StabilizationManager:
             wkey = (cfg, img.shape)
             win = self._win_cache.get(wkey)
             out = None
-            # 16-row tiles halve the per-tile fixed costs (one-hot builds,
-            # DMA waits, matmul fills) vs the 8-row default; every window
-            # candidate keeps win_h >= tile_h + taps. win_r < win_h rolls the
-            # exact row band to sublane 0 so the colmix matmul skips the
-            # up-to-7-row origin-alignment slack (r3: -0.36 ms/frame 4K Y).
-            tile_h = 16
+            # Window ladder is shared with the multi-chip path
+            # (parallel.pipeline.WINDOW_LADDER): rolled win_k=128 rungs
+            # first, then classic full-width windows for stronger zoom-out.
+            # Tuple layout (win_h, win_w, win_k, tile_w, tile_h, win_r):
+            # 16-row tiles halve the per-tile fixed costs vs the 8-row
+            # default; win_r < win_h rolls the exact row band to sublane 0 so
+            # the colmix matmul skips the up-to-7-row origin-alignment slack
+            # (r3: -0.36 ms/frame 4K Y).
+            from ..parallel.pipeline import WINDOW_LADDER
             if win is not None:
                 out, ov = remap.remap_plane_pallas_jit(
                     img, mats, cfg, dyn, mesh, win_h=win[0], win_w=win[1],
-                    win_k=win[2], tile_w=win[3], tile_h=tile_h, drawing=drawing,
-                    win_r=win[4] if len(win) > 4 else 0)
+                    win_k=win[2], tile_w=win[3], tile_h=win[4],
+                    drawing=drawing, win_r=win[5])
                 if bool(ov):
                     # geometry changed since the probe (zoom/fov keyframes):
                     # the cached window no longer covers some tile — re-probe
@@ -758,15 +786,11 @@ class StabilizationManager:
                     win = None
                     out = None
             if win is None:
-                for cand in ((24, 256, 128, 96, 16), (32, 256, 128, 96, 24),
-                             (40, 256, 128, 96, 32), (48, 256, 128, 96, 40),
-                             (40, 256, 0, 128, 32), (48, 384, 0, 128, 40),
-                             (56, 384, 0, 128, 48), (72, 512, 0, 128, 64),
-                             (104, 768, 0, 128, 96)):
+                for cand in WINDOW_LADDER:
                     out, ov = remap.remap_plane_pallas_jit(
                         img, mats, cfg, dyn, mesh, win_h=cand[0], win_w=cand[1],
-                        win_k=cand[2], tile_w=cand[3], tile_h=tile_h,
-                        drawing=drawing, win_r=cand[4])
+                        win_k=cand[2], tile_w=cand[3], tile_h=cand[4],
+                        drawing=drawing, win_r=cand[5])
                     if not bool(ov):
                         self._win_cache[wkey] = cand
                         break

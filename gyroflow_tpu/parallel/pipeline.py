@@ -260,6 +260,10 @@ def stabilize_window_production(mesh: Mesh, imgs, matrices, cfg: KernelConfig,
                         stats["window_reprobes"] = stats.get("window_reprobes", 0) + 1
                     win_cache[wkey] = win
                 return out, "pallas-tpu-sharded"
+        if win_cache is not None:
+            # every rung overflowed: evict so the next window goes straight
+            # to the ladder instead of re-dispatching a known-stale rung
+            win_cache.pop(wkey, None)
         if stats is not None:
             stats["xla_fallbacks"] = stats.get("xla_fallbacks", 0) + 1
     step = make_window_step(mesh, cfg, f_local, WINDOW_LADDER[0], False,

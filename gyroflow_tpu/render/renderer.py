@@ -79,12 +79,16 @@ class _AsyncWriter:
             item = self._q.get()
             if item is None:
                 return
+            if self._err is not None:
+                # Keep draining after a failure: a producer blocked in
+                # Queue.put() on the bounded queue would otherwise deadlock
+                # (the error only surfaces via _check() on the next call).
+                continue
             fn, args = item
             try:
                 getattr(self._w, fn)(*args)
             except Exception as e:  # noqa: BLE001 — surfaced to the caller
                 self._err = e
-                return
 
     def _check(self):
         if self._err is not None:

@@ -103,7 +103,14 @@ _QT_PCM = {b"sowt": (b"ipcm", 0x01, 16), b"twos": (b"ipcm", 0x00, 16),
 def _rewrite_pcm_entry(trak: bytearray):
     """Rewrite a QuickTime PCM stsd entry to ipcm/fpcm + pcmC in place.
 
-    Returns (insert_pos, inserted_len) or None if no rewrite happened.
+    QuickTime SoundDescriptions come in versions 0/1/2 (v1 appends 16 bytes
+    of per-packet fields — the normal MOV PCM case; v2 is a different layout
+    with f64 sample rate). ISO/IEC 23003-5 ipcm/fpcm requires a plain v0
+    AudioSampleEntry, so the entry is CANONICALIZED: channels / sample rate /
+    data-ref index are extracted from whatever version is present and a fresh
+    36-byte v0 entry + pcmC is written in its place.
+
+    Returns (end_pos, size_delta) or None if no rewrite happened.
     Only handles 32-bit box sizes (audio traks are small)."""
     spans = []
     _walk_spans(trak, 8, len(trak), ["trak"], spans)
@@ -117,23 +124,48 @@ def _rewrite_pcm_entry(trak: bytearray):
     esize = struct.unpack_from(">I", trak, entry_off)[0]
     fourcc = bytes(trak[entry_off + 4:entry_off + 8])
     repl = _QT_PCM.get(fourcc)
-    if repl is None or esize == 1 or entry_off + esize > e:
+    if repl is None or esize == 1 or entry_off + esize > e or esize < 36:
         return None
     new_cc, flags, bits = repl
-    pcmc = struct.pack(">I4s", 8 + 4 + 2, b"pcmC") + b"\x00" * 4 + \
-        bytes([flags, bits])
-    insert_pos = entry_off + esize
-    trak[entry_off + 4:entry_off + 8] = new_cc
-    trak[insert_pos:insert_pos] = pcmc
-    n = len(pcmc)
-    # grow the entry + every ancestor box (entry, stsd, and all spans that
-    # contain it: stbl/minf/mdia/trak)
-    struct.pack_into(">I", trak, entry_off, esize + n)
+    entry = bytes(trak[entry_off:entry_off + esize])
+    dref_idx = struct.unpack_from(">H", entry, 14)[0]
+    version = struct.unpack_from(">H", entry, 16)[0]
+    if version in (0, 1):
+        channels = struct.unpack_from(">H", entry, 24)[0]
+        rate = struct.unpack_from(">I", entry, 32)[0] >> 16
+    elif version == 2 and esize >= 72:
+        rate = int(round(struct.unpack_from(">d", entry, 40)[0]))
+        channels = struct.unpack_from(">I", entry, 48)[0]
+        v2_bits = struct.unpack_from(">I", entry, 56)[0]
+        if v2_bits:
+            bits = v2_bits
+    else:
+        return None
+    new_entry = bytearray(36)
+    new_entry[4:8] = new_cc
+    struct.pack_into(">H", new_entry, 14, dref_idx or 1)
+    # version/revision/vendor = 0; samplesize field is the 16 template
+    # (ISO 14496-12), real bit depth rides in pcmC
+    struct.pack_into(">H", new_entry, 24, max(1, min(channels, 0xFFFF)))
+    struct.pack_into(">H", new_entry, 26, 16)
+    struct.pack_into(">I", new_entry, 32, min(rate, 0xFFFF) << 16)
+    new_entry += struct.pack(">I4s", 8 + 4 + 2, b"pcmC") + b"\x00" * 4 + \
+        bytes([flags, bits & 0xFF])
+    if rate > 0xFFFF:
+        # ISO 14496-12 12.2.4 SamplingRateBox: rates that don't fit the
+        # 16.16 template field ride in an srat box
+        new_entry += struct.pack(">I4s", 8 + 4 + 4, b"srat") + b"\x00" * 4 + \
+            struct.pack(">I", rate)
+    struct.pack_into(">I", new_entry, 0, len(new_entry))
+    delta = len(new_entry) - esize
+    trak[entry_off:entry_off + esize] = new_entry
+    # resize every ancestor box (stsd and all spans that contain it:
+    # stbl/minf/mdia/trak)
     for p, b2, e2, s2 in spans + [(("trak",), 8, len(trak), 0)]:
-        if b2 <= entry_off and insert_pos <= e2:
+        if b2 <= entry_off and entry_off + esize <= e2:  # old-offset spans
             old = struct.unpack_from(">I", trak, s2)[0]
-            struct.pack_into(">I", trak, s2, old + n)
-    return insert_pos, n
+            struct.pack_into(">I", trak, s2, old + delta)
+    return entry_off + len(new_entry), delta
 
 
 def remux_with_audio(video_path: str, audio_source_path: str, out_path: str) -> bool:

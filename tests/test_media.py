@@ -619,3 +619,49 @@ class TestAudioTranscodeCommand:
         w.close()
         cmd = captured["cmd"]
         assert cmd[cmd.index("-c:a") + 1] == "copy"
+
+
+class TestAsyncWriter:
+    """renderer._AsyncWriter must surface worker errors without deadlocking
+    the producer on the bounded queue."""
+
+    class _FailingWriter:
+        def __init__(self, fail_after):
+            self.fail_after = fail_after
+            self.written = 0
+            self.closed = False
+
+        def write_planes(self, planes):
+            import time
+            time.sleep(0.005)
+            if self.written >= self.fail_after:
+                raise BrokenPipeError("encoder died")
+            self.written += 1
+
+        def close(self):
+            self.closed = True
+
+    def test_error_surfaces_not_deadlocks(self):
+        from gyroflow_tpu.render.renderer import _AsyncWriter
+        w = _AsyncWriter(self._FailingWriter(fail_after=2), depth=2)
+        with pytest.raises(BrokenPipeError):
+            # many more writes than queue depth: without the post-error
+            # drain the producer would block forever in Queue.put
+            for _ in range(50):
+                w.write_planes([np.zeros((4, 4, 1), np.uint8)])
+        # close() after a surfaced error must not hang (it may re-raise if
+        # later queued writes also failed)
+        try:
+            w.close()
+        except BrokenPipeError:
+            pass
+
+    def test_error_on_close_when_tail_write_fails(self):
+        from gyroflow_tpu.render.renderer import _AsyncWriter
+        inner = self._FailingWriter(fail_after=3)
+        w = _AsyncWriter(inner, depth=8)
+        for _ in range(4):          # all fit in the queue; last one fails
+            w.write_planes([np.zeros((4, 4, 1), np.uint8)])
+        with pytest.raises(BrokenPipeError):
+            w.close()
+        assert inner.closed

@@ -20,11 +20,13 @@ def full(typ, body, ver=0, flags=0):
 
 
 def make_media_mp4(handler: bytes, handler_name: bytes, fmt: bytes,
-                   payloads, timescale=48000, sample_dur=1024, track_id=1):
+                   payloads, timescale=48000, sample_dur=1024, track_id=1,
+                   stsd_entry=None):
     """Single-track MP4 with real chunk data (one chunk per sample)."""
     sizes = [len(p) for p in payloads]
-    stsd = full(b"stsd", struct.pack(">I", 1) +
-                box(fmt, b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 20))
+    if stsd_entry is None:
+        stsd_entry = box(fmt, b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 20)
+    stsd = full(b"stsd", struct.pack(">I", 1) + stsd_entry)
     stts = full(b"stts", struct.pack(">III", 1, len(payloads), sample_dur))
     stsz = full(b"stsz", struct.pack(">II", 0, len(sizes)) +
                 struct.pack(f">{len(sizes)}I", *sizes))
@@ -168,6 +170,78 @@ class TestPcmRewrite:
     def test_mov_output_keeps_qt_entry(self, tmp_path):
         buf, _ = self._remux(tmp_path, "o.mov")
         assert b"sowt" in buf and b"pcmC" not in buf
+
+    @staticmethod
+    def _qt_sound_entry(fmt, version, channels=2, rate=48000, bits=16):
+        """QuickTime SoundDescription v0/v1/v2 sample entry."""
+        if version in (0, 1):
+            body = b"\x00" * 6 + struct.pack(">H", 1)           # dref idx
+            body += struct.pack(">HHI", version, 0, 0)          # ver/rev/vendor
+            body += struct.pack(">HHHHI", channels, bits, 0, 0, rate << 16)
+            if version == 1:
+                body += struct.pack(">IIII", 1024, 0, 0, 0)     # per-packet
+        else:                                                   # v2
+            body = b"\x00" * 6 + struct.pack(">H", 1)
+            body += struct.pack(">HHI", 2, 0, 0)
+            body += struct.pack(">HHhHI", 3, 16, -2, 0, 65536)
+            body += struct.pack(">I", 72)                       # struct size
+            body += struct.pack(">d", float(rate))
+            body += struct.pack(">IIIIII", channels, 0x7F000000, bits, 0, 0, 0)
+        return box(fmt, body)
+
+    def _remux_entry(self, tmp_path, entry, pcm):
+        vid = make_media_mp4(b"vide", b"Video", b"avc1",
+                             [b"\x00\x01\x02\x03"] * 3)
+        aud = make_media_mp4(b"soun", b"Sound", b"sowt", [pcm], track_id=2,
+                             stsd_entry=entry)
+        v, a = tmp_path / "v.mp4", tmp_path / "a.mov"
+        v.write_bytes(vid)
+        a.write_bytes(aud)
+        out = tmp_path / "o.mp4"
+        assert remux_with_audio(str(v), str(a), str(out))
+        return out.read_bytes()
+
+    def test_v1_sound_description_canonicalized(self, tmp_path):
+        # the normal MOV PCM case: v1 entry with 16 extra per-packet bytes
+        # must come out as a plain v0 AudioSampleEntry + pcmC
+        pcm = np.arange(-500, 500, dtype="<i2").tobytes()
+        entry = self._qt_sound_entry(b"sowt", 1, channels=2, rate=48000)
+        buf = self._remux_entry(tmp_path, entry, pcm)
+        assert b"sowt" not in buf
+        i = buf.find(b"ipcm")
+        assert i > 0
+        eoff = i - 4
+        esize = struct.unpack_from(">I", buf, eoff)[0]
+        assert esize == 36 + 14                      # v0 base + pcmC, no v1 tail
+        assert struct.unpack_from(">H", buf, eoff + 16)[0] == 0   # version
+        assert struct.unpack_from(">H", buf, eoff + 24)[0] == 2   # channels
+        assert struct.unpack_from(">I", buf, eoff + 32)[0] >> 16 == 48000
+        j = buf.find(b"pcmC")
+        assert buf[j + 4:j + 10] == b"\x00\x00\x00\x00\x01\x10"
+        tracks = parse_tracks(buf)
+        aud = [t for t in tracks if t.handler_type == b"soun"][0]
+        (off, sz, _t, _d) = list(aud.samples())[0]
+        assert buf[off:off + sz] == pcm              # offsets survive the -2 delta
+
+    def test_v2_sound_description_canonicalized(self, tmp_path):
+        pcm = np.arange(0, 1000, dtype="<f4").tobytes()
+        entry = self._qt_sound_entry(b"fl32", 2, channels=6, rate=96000, bits=32)
+        buf = self._remux_entry(tmp_path, entry, pcm)
+        assert b"fl32" not in buf
+        i = buf.find(b"fpcm")
+        assert i > 0
+        eoff = i - 4
+        assert struct.unpack_from(">I", buf, eoff)[0] == 36 + 14 + 16
+        assert struct.unpack_from(">H", buf, eoff + 24)[0] == 6    # channels
+        j = buf.find(b"pcmC")
+        assert buf[j + 4:j + 10] == b"\x00\x00\x00\x00\x00\x20"   # BE float 32
+        k = buf.find(b"srat")                        # 96 kHz exceeds 16.16
+        assert k > j
+        assert struct.unpack_from(">I", buf, k + 8)[0] == 96000
+        tracks = parse_tracks(buf)
+        aud = [t for t in tracks if t.handler_type == b"soun"][0]
+        (off, sz, _t, _d) = list(aud.samples())[0]
+        assert buf[off:off + sz] == pcm
 
 
 class TestAudioArgs:

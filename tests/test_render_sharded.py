@@ -219,6 +219,43 @@ class TestWindowedPallasParity:
                                         use_pallas=True)
             np.testing.assert_allclose(out[i], np.asarray(ref), atol=1e-3)
 
+    def test_heterogeneous_window_falls_back_per_frame(self, tmp_path_factory):
+        """Mesh data present for only part of the window (flags differ across
+        frames): the windowed entry point must process frame-by-frame instead
+        of aborting the render."""
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from test_sony_canon import make_tagmap, FPS as SFPS, W as SW, H as SH
+        from gyroflow_tpu.core.telemetry import sony
+        from gyroflow_tpu.core.manager import StabilizationManager
+        from gyroflow_tpu.parallel.pipeline import make_frame_mesh
+
+        p = str(tmp_path_factory.mktemp("sonyh") / "s.mp4")
+        open(p, "wb").write(sony.build_tagmap_mp4(
+            [make_tagmap(i) for i in range(8)], SFPS))
+        mgr = StabilizationManager()
+        mgr.init_from_video_data(8 / SFPS * 1000.0, SFPS, 8, (SW, SH))
+        mgr.load_gyro_data(p)
+        # frames 2+ lose their mesh blobs -> HAS_MESH_DATA flag varies
+        del mgr.gyro.file_metadata.mesh_correction[2:]
+        mgr.recompute_blocking()
+        assert mgr.frame_transform_at(0.0).mesh_data is not None
+        assert mgr.frame_transform_at(3 * 1000.0 / SFPS).mesh_data is None
+
+        rng = np.random.default_rng(11)
+        frames = rng.uniform(0, 255, (4, SH, SW, 1)).astype(np.float32)
+        ts = [int(i / SFPS * 1e6) for i in range(4)]
+        mesh = make_frame_mesh(4, sp=1)
+        out, info = mgr.process_pixels_window(ts, frames, mesh,
+                                              interpolation=2,
+                                              use_pallas=True)
+        assert info["backend"].endswith("+per-frame")
+        out = np.asarray(out)
+        for i in range(4):
+            ref, _ = mgr.process_pixels(ts[i], frames[i], interpolation=2,
+                                        use_pallas=True)
+            np.testing.assert_allclose(out[i], np.asarray(ref), atol=1e-3)
+
     def test_overflow_ladder_climbs(self, gcsv_path):  # noqa: F811
         """A strong zoom-out forces small windows to overflow; the ladder
         must climb to a bigger window instead of shipping corrupt tiles."""
