@@ -39,7 +39,7 @@ def _build_and_load():
         if not os.path.exists(so_path):
             tmp = so_path + f".build{os.getpid()}"
             cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                   "-o", tmp, src]
+                   "-pthread", "-o", tmp, src]
             res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
             if res.returncode != 0:
                 log.warning("native build failed, using Python fallbacks:\n%s",
@@ -58,6 +58,10 @@ def _build_and_load():
                                      ctypes.POINTER(ctypes.c_uint16),
                                      ctypes.c_int64, iptr, iptr, iptr]
         lib.ljpeg_decode.restype = ctypes.c_int
+        fptr = ctypes.POINTER(ctypes.c_float)
+        lib.ref_cpu_remap_anchor.argtypes = [
+            fptr, ctypes.c_int, ctypes.c_int, fptr, ctypes.c_int, fptr,
+            fptr, ctypes.c_int, ctypes.c_int, ctypes.c_int]
         _LIB = lib
         log.debug("native library loaded: %s", so_path)
     except Exception as e:  # noqa: BLE001 — any failure -> Python fallback
@@ -133,4 +137,26 @@ def ljpeg_decode(data: bytes) -> np.ndarray:
         ctypes.byref(w), ctypes.byref(h), ctypes.byref(nc))
     if rc != 0:
         raise ValueError(f"ljpeg: decode failed (rc={rc})")
+    return out
+
+
+def ref_cpu_remap_anchor(img: np.ndarray, mats: np.ndarray, params,
+                         nthreads: int = 0) -> np.ndarray:
+    """Reference-CPU-path performance anchor (BASELINE.md): one plane through
+    the cpu_undistort.rs per-pixel workload (center probe + row matrix +
+    fisheye distort + lanczos4 8x8 LUT taps), multithreaded. Measurement
+    harness only — the production pipeline is the Pallas path."""
+    lib = _build_and_load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    im = np.ascontiguousarray(img, dtype=np.float32)
+    m = np.ascontiguousarray(mats, dtype=np.float32)
+    p = np.ascontiguousarray(params, dtype=np.float32)
+    assert m.ndim == 2 and m.shape[1] == 14 and p.size == 10
+    out = np.empty_like(im)
+    fptr = ctypes.POINTER(ctypes.c_float)
+    lib.ref_cpu_remap_anchor(
+        im.ctypes.data_as(fptr), im.shape[0], im.shape[1],
+        m.ctypes.data_as(fptr), m.shape[0], p.ctypes.data_as(fptr),
+        out.ctypes.data_as(fptr), out.shape[0], out.shape[1], nthreads)
     return out

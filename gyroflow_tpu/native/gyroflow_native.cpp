@@ -766,3 +766,158 @@ int ljpeg_decode(const uint8_t* data, int64_t size, uint16_t* out,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Reference-CPU-path performance anchor (BASELINE.md "anchors to produce
+// ourselves"). The reference's CPU fallback (cpu_undistort.rs:543-625) does,
+// per output pixel: a rolling-shutter center-matrix probe + row-matrix
+// projection (two 3x3 homogeneous transforms), the forward fisheye distort
+// (atan + 8th-order polynomial), and an interpolated gather (lanczos4: 8x8
+// LUT taps), rayon-parallel over rows. Rust/cargo is not available in this
+// image, so this is a native C++ re-statement of the SAME per-pixel work
+// (math mirrored from our independent oracle, tests/oracle.py — not copied
+// from the reference) used purely to measure what that algorithm achieves on
+// host CPU cores. Not part of the stabilization pipeline.
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <thread>
+#include <vector>
+
+namespace anchor {
+
+static const int TAB = 32;          // 32-phase fixed-point LUT, 8 taps
+static float g_lut[TAB + 1][8];
+static bool g_lut_init = false;
+
+static void init_lut() {
+    if (g_lut_init) return;
+    const double a = 4.0;           // lanczos4
+    for (int p = 0; p <= TAB; p++) {
+        double fr = (double)p / TAB;
+        double sum = 0.0;
+        for (int t = 0; t < 8; t++) {
+            double x = (double)(t - 3) - fr;
+            double w;
+            if (std::fabs(x) < 1e-12) w = 1.0;
+            else if (std::fabs(x) >= a) w = 0.0;
+            else {
+                double px = M_PI * x;
+                w = a * std::sin(px) * std::sin(px / a) / (px * px);
+            }
+            g_lut[p][t] = (float)w;
+            sum += w;
+        }
+        for (int t = 0; t < 8; t++) g_lut[p][t] = (float)(g_lut[p][t] / sum);
+    }
+    g_lut_init = true;
+}
+
+struct Params {
+    float f0, f1, c0, c1;
+    float k1, k2, k3, k4;
+    float r_limit, bg;
+};
+
+// Forward fisheye projection of one output position through matrix row m
+// (14 floats; cols 0-8 are the 3x3). Returns false when behind the camera
+// or past the radial limit.
+static inline bool rot_and_distort(const float* m, float x, float y,
+                                   const Params& pr, float* u, float* v) {
+    float _x = m[0] * x + m[1] * y + m[2];
+    float _y = m[3] * x + m[4] * y + m[5];
+    float _w = m[6] * x + m[7] * y + m[8];
+    if (_w <= 0.0f) return false;
+    float px = _x / _w, py = _y / _w;
+    float r2 = px * px + py * py;
+    if (pr.r_limit > 0.0f && r2 > pr.r_limit * pr.r_limit) return false;
+    float r = std::sqrt(r2);
+    float scale = 1.0f;
+    if (r > 1e-8f) {
+        float th = std::atan(r);
+        float t2 = th * th;
+        float thd = th * (1.0f + t2 * (pr.k1 + t2 * (pr.k2 + t2 * (pr.k3 + t2 * pr.k4))));
+        scale = thd / r;
+    }
+    *u = pr.f0 * px * scale + pr.c0;
+    *v = pr.f1 * py * scale + pr.c1;
+    return true;
+}
+
+static void rows_worker(const float* img, int h, int w, const float* mats,
+                        int nmat, const Params pr, float* out, int oh, int ow,
+                        std::atomic<int>* next_row) {
+    const float* mc = mats + (int64_t)(nmat / 2) * 14;   // center probe matrix
+    for (;;) {
+        int y = next_row->fetch_add(1);
+        if (y >= oh) return;
+        float* orow = out + (int64_t)y * ow;
+        for (int x = 0; x < ow; x++) {
+            float fx = (float)x, fy = (float)y;
+            float u, v;
+            // RS row select: center-matrix probe picks the source row, whose
+            // matrix then projects for real (cpu_undistort.rs:465-482 shape)
+            int idx = y;
+            if (nmat > 1 && rot_and_distort(mc, fx, fy, pr, &u, &v))
+                idx = (int)v;
+            if (idx < 0) idx = 0;
+            if (idx >= nmat) idx = nmat - 1;
+            if (!rot_and_distort(mats + (int64_t)idx * 14, fx, fy, pr, &u, &v)) {
+                orow[x] = pr.bg;
+                continue;
+            }
+            // fixed-point 5-bit phase, separable 8x8 lanczos4 LUT taps
+            int su = (int)std::lround(u * TAB);
+            int sv = (int)std::lround(v * TAB);
+            int bx = (su >> 5) - 3, by = (sv >> 5) - 3;
+            const float* wx = g_lut[su & (TAB - 1)];
+            const float* wy = g_lut[sv & (TAB - 1)];
+            float acc = 0.0f;
+            for (int ty = 0; ty < 8; ty++) {
+                int yy = by + ty;
+                if (yy < 0) yy = 0;
+                if (yy >= h) yy = h - 1;
+                const float* irow = img + (int64_t)yy * w;
+                float racc = 0.0f;
+                for (int tx = 0; tx < 8; tx++) {
+                    int xx = bx + tx;
+                    if (xx < 0) xx = 0;
+                    if (xx >= w) xx = w - 1;
+                    racc += wx[tx] * irow[xx];
+                }
+                acc += wy[ty] * racc;
+            }
+            orow[x] = acc;
+        }
+    }
+}
+
+}  // namespace anchor
+
+extern "C" {
+
+// Single-plane remap with the reference-CPU-path per-pixel workload.
+// img: (h, w) f32; mats: (nmat, 14) f32; params: [f0 f1 c0 c1 k1 k2 k3 k4
+// r_limit bg]; out: (oh, ow) f32. nthreads <= 0 => hardware concurrency.
+void ref_cpu_remap_anchor(const float* img, int h, int w, const float* mats,
+                          int nmat, const float* params, float* out, int oh,
+                          int ow, int nthreads) {
+    anchor::init_lut();
+    anchor::Params pr{params[0], params[1], params[2], params[3], params[4],
+                      params[5], params[6], params[7], params[8], params[9]};
+    if (nthreads <= 0)
+        nthreads = (int)std::thread::hardware_concurrency();
+    if (nthreads < 1) nthreads = 1;
+    std::atomic<int> next_row{0};
+    if (nthreads == 1) {
+        anchor::rows_worker(img, h, w, mats, nmat, pr, out, oh, ow, &next_row);
+        return;
+    }
+    std::vector<std::thread> ts;
+    for (int i = 0; i < nthreads; i++)
+        ts.emplace_back(anchor::rows_worker, img, h, w, mats, nmat, pr, out,
+                        oh, ow, &next_row);
+    for (auto& t : ts) t.join();
+}
+
+}  // extern "C"
