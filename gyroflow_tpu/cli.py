@@ -75,7 +75,7 @@ def _load_inputs(args):
                 mgr.load_lens_profile(content)
             else:
                 _apply_preset(mgr, obj)
-        elif ext in (".gcsv", ".csv", ".bbl", ".bfl"):
+        elif ext in (".gcsv", ".csv", ".bbl", ".bfl", ".bin", ".log", ".txt"):
             args.gyro_file = inp
         else:
             video = inp

@@ -36,20 +36,57 @@ def parse_telemetry_file(path: str, options: Optional[dict] = None,
 
 def _parse_telemetry_file(path, options, size, fps, progress_cb) -> FileMetadata:
     ext = os.path.splitext(path)[1].lower()
-    if ext in (".gcsv", ".csv"):
+    if ext == ".gcsv":
         return parse_gcsv(path, progress_cb=progress_cb)
+    if ext == ".csv":
+        try:
+            return parse_gcsv(path, progress_cb=progress_cb)
+        except Exception:  # noqa: BLE001
+            # vendor CSV dialects (Runcam/Hawkeye/XTU/phone apps/WitMotion
+            # text export) share a header-row shape — generic importer
+            from .generic_csv import parse_generic_csv
+            try:
+                return parse_generic_csv(path, options=options,
+                                         progress_cb=progress_cb)
+            except Exception as e:
+                raise TelemetryError(
+                    f"{os.path.basename(path)} is neither a gcsv nor a "
+                    f"recognized vendor CSV gyro log: {e}")
+    if ext in (".bin", ".log"):
+        from .ardupilot import parse_ardupilot_bin, parse_ardupilot_log
+        try:
+            if ext == ".bin":
+                return parse_ardupilot_bin(path, progress_cb=progress_cb)
+            return parse_ardupilot_log(path, progress_cb=progress_cb)
+        except ValueError as e:
+            raise TelemetryError(str(e))
     if ext in (".bbl", ".bfl", ".txt"):
         from .blackbox_bin import parse_blackbox_bin
         from .blackbox_csv import parse_blackbox_csv
         try:
             return parse_blackbox_bin(path, progress_cb=progress_cb)
         except ValueError:
-            try:
-                return parse_blackbox_csv(path, progress_cb=progress_cb)
-            except Exception as e:
-                raise TelemetryError(
-                    f"{os.path.basename(path)} is neither a binary nor a CSV "
-                    f"blackbox log: {e}")
+            pass
+        if ext == ".txt":
+            from .witmotion import looks_like_witmotion, parse_witmotion
+            if looks_like_witmotion(path):
+                return parse_witmotion(path, options=options,
+                                       progress_cb=progress_cb)
+        try:
+            return parse_blackbox_csv(path, progress_cb=progress_cb)
+        except Exception:  # noqa: BLE001
+            if ext == ".txt":
+                from .generic_csv import parse_generic_csv
+                try:
+                    return parse_generic_csv(path, options=options,
+                                             progress_cb=progress_cb)
+                except Exception as e:
+                    raise TelemetryError(
+                        f"{os.path.basename(path)} is not a blackbox, "
+                        f"WitMotion, or delimited gyro log: {e}")
+            raise TelemetryError(
+                f"{os.path.basename(path)} is neither a binary nor a CSV "
+                f"blackbox log")
     if ext == ".braw":
         from .blackmagic import parse_braw
         try:
@@ -88,5 +125,6 @@ def _parse_telemetry_file(path, options, size, fps, progress_cb) -> FileMetadata
                 f"no telemetry track (GPMF/CAMM/RTMD/CTMD/insv) in "
                 f"{os.path.basename(path)}")
     raise TelemetryError(f"Unsupported telemetry format: {ext} "
-                         f"(supported: .gcsv, .csv, blackbox, GPMF/CAMM/RTMD "
+                         f"(supported: .gcsv, .csv, blackbox, ArduPilot "
+                         f".bin/.log, WitMotion .txt, GPMF/CAMM/RTMD "
                          f"MP4, .insv, .braw, .r3d)")

@@ -1,0 +1,202 @@
+"""Generic CSV gyro-log importer.
+
+The reference's telemetry-parser crate accepts many vendor CSV dialects
+(Runcam 5 Orange / Thumb, Hawkeye Firefly, XTU, iFlight GOCam, WitMotion
+text export, phone apps like Sensor Logger / Sensor Record — reference
+README.md:100-108). The files share one shape: a header row naming a time
+column and gyro (optionally accel) columns, then numeric rows. Rather than
+one brittle parser per vendor, this importer recognizes the known column
+vocabularies and normalizes units:
+
+- time: autodetected s/ms/us from the median sample delta;
+- gyro: rad/s vs deg/s from the column label when it names a unit, else a
+  magnitude heuristic (sustained |w| > 35 implies deg/s — 35 rad/s being
+  an implausible 2000 deg/s);
+- accel: g vs m/s^2 from the label, else from the median magnitude at rest
+  (~1 vs ~9.8).
+
+Options: {"gyro_unit": "deg"|"rad", "accel_unit": "g"|"ms2"} override the
+heuristics (CLI --sync-params passthrough).
+
+Output matches telemetry-parser's normalized IMU: timestamps ms, gyro deg/s,
+accel m/s^2 (gyro_source/mod.rs:380 consumption contract).
+"""
+from __future__ import annotations
+
+import math
+import re
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..file_metadata import FileMetadata, TimeIMU
+
+RAD2DEG = 180.0 / math.pi
+G_TO_MS2 = 9.80665
+
+# column vocabularies, checked in order (lowercase, unit suffixes stripped)
+_TIME_NAMES = ("t", "time", "timestamp", "seconds_elapsed", "time_s",
+               "timems", "time_ms", "chiptime", "datetime")
+_GYRO_SETS = (
+    ("gx", "gy", "gz"),
+    ("rx", "ry", "rz"),
+    ("gyrox", "gyroy", "gyroz"),
+    ("gyro_x", "gyro_y", "gyro_z"),
+    ("gyroadc[0]", "gyroadc[1]", "gyroadc[2]"),
+    ("angularvelocityx", "angularvelocityy", "angularvelocityz"),
+    ("wx", "wy", "wz"),
+    ("omega_x", "omega_y", "omega_z"),
+    ("x", "y", "z"),              # single-sensor exports (Sensor Logger)
+)
+_ACC_SETS = (
+    ("ax", "ay", "az"),
+    ("accx", "accy", "accz"),
+    ("accelx", "accely", "accelz"),
+    ("accel_x", "accel_y", "accel_z"),
+    ("accsmooth[0]", "accsmooth[1]", "accsmooth[2]"),
+    ("accelerationx", "accelerationy", "accelerationz"),
+)
+
+_UNIT_RE = re.compile(r"[\s(\[]+([^)\]]*)[)\]]?\s*$")
+
+
+def _norm(name: str):
+    """lowercase column key + the unit text inside (...)/[...] if present."""
+    name = name.strip().lower()
+    m = _UNIT_RE.search(name)
+    unit = ""
+    if m:
+        unit = m.group(1).strip()
+        name = name[:m.start()].strip()
+    return name.replace(" ", "_"), unit
+
+
+def parse_generic_csv(path: str,
+                      options: Optional[dict] = None,
+                      progress_cb: Optional[Callable[[float], None]] = None
+                      ) -> FileMetadata:
+    options = options or {}
+    delim = None
+    header_cols = None
+    rows = []
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            line = line.strip().lstrip("﻿")
+            if not line or line.startswith(("#", "//", ";")):
+                continue
+            if header_cols is None:
+                for d in (",", ";", "\t"):
+                    if d in line:
+                        delim = d
+                        break
+                if delim is None:
+                    raise ValueError(f"not a delimited log: {path!r}")
+                header_cols = [_norm(c) for c in line.split(delim)]
+                continue
+            parts = line.split(delim)
+            if len(parts) < len(header_cols):
+                continue
+            try:
+                rows.append([float(p) for p in parts[:len(header_cols)]])
+            except ValueError:
+                continue  # non-numeric row (repeated header, footer text)
+    if header_cols is None or not rows:
+        raise ValueError(f"no numeric data rows in {path!r}")
+
+    names = [n for n, _u in header_cols]
+    units = {n: u for n, u in header_cols}
+    idx = {n: i for i, n in enumerate(names)}
+
+    arr0 = np.asarray(rows, np.float64)
+    # first time-name candidate whose deltas are usable (e.g. Sensor Logger
+    # has BOTH a nanosecond-epoch `time` — which collapses to dt=0 in f64 —
+    # and `seconds_elapsed`; prefer whichever actually advances)
+    t_col = None
+    for cand in (n for n in _TIME_NAMES if n in idx):
+        tv = arr0[:, idx[cand]]
+        if len(tv) < 2 or float(np.median(np.diff(np.sort(tv)))) > 0:
+            t_col = cand
+            break
+    g_cols = next((s for s in _GYRO_SETS if all(c in idx for c in s)), None)
+    a_cols = next((s for s in _ACC_SETS if all(c in idx for c in s)), None)
+    if g_cols == ("x", "y", "z") and a_cols:
+        # bare x/y/z plus a dedicated accel set means x/y/z IS the gyro;
+        # bare x/y/z alone is ambiguous but the common single-sensor export
+        # is the gyroscope file — accept it.
+        pass
+    if t_col is None or g_cols is None:
+        raise ValueError(
+            f"{path!r}: no recognized time+gyro columns (saw {names[:12]})")
+
+    arr = np.asarray(rows, np.float64)
+    t = arr[:, idx[t_col]]
+    order = np.argsort(t, kind="stable")
+    arr = arr[order]
+    t = t[order]
+
+    # --- time unit: pick the scale that lands the median dt in [0.1, 50] ms
+    tu = units.get(t_col, "")
+    if "ms" in tu:
+        t_ms = t
+    elif tu in ("s", "sec", "secs", "seconds") or t_col == "seconds_elapsed":
+        t_ms = t * 1000.0
+    elif ("us" in tu) or ("µs" in tu):
+        t_ms = t * 1e-3
+    else:
+        dt = float(np.median(np.diff(t))) if len(t) > 1 else 1.0
+        if dt <= 0:
+            raise ValueError(f"{path!r}: non-increasing timestamps")
+        if dt < 0.05:          # seconds at >= 20 Hz
+            t_ms = t * 1000.0
+        elif dt < 50.0:        # already ms (20 Hz..10 kHz)
+            t_ms = t.copy()
+        else:                  # microseconds
+            t_ms = t * 1e-3
+    t_ms -= t_ms[0]
+
+    gyro = arr[:, [idx[c] for c in g_cols]]
+    gu = units.get(g_cols[0], "")
+    unit_opt = options.get("gyro_unit")
+    if unit_opt == "deg" or ("deg" in gu) or ("°" in gu) or ("dps" in gu):
+        pass                               # already deg/s
+    elif unit_opt == "rad" or ("rad" in gu):
+        gyro = gyro * RAD2DEG
+    else:
+        # magnitude heuristic: sustained 35 rad/s = 2005 deg/s is implausible
+        p99 = float(np.percentile(np.abs(gyro), 99)) if gyro.size else 0.0
+        if p99 <= 35.0:
+            gyro = gyro * RAD2DEG
+
+    accl = None
+    if a_cols:
+        accl = arr[:, [idx[c] for c in a_cols]]
+        au = units.get(a_cols[0], "")
+        aopt = options.get("accel_unit")
+        if aopt == "ms2" or ("m/s" in au) or ("ms2" in au) or ("m/s2" in au) \
+                or ("m/s^2" in au) or ("m/s²" in au):
+            pass
+        elif aopt == "g" or au == "g":
+            accl = accl * G_TO_MS2
+        else:
+            med = float(np.median(np.linalg.norm(accl, axis=1))) if accl.size else 0.0
+            if med < 4.0:                 # magnitude ~1 -> g units
+                accl = accl * G_TO_MS2
+
+    raw_imu = []
+    for i in range(len(t_ms)):
+        raw_imu.append(TimeIMU(
+            timestamp_ms=float(t_ms[i]),
+            gyro=gyro[i].copy(),
+            accl=accl[i].copy() if accl is not None else None,
+            magn=None,
+        ))
+        if progress_cb and (i & 0x3FF) == 0:
+            progress_cb(i / max(len(t_ms), 1))
+
+    md = FileMetadata()
+    md.raw_imu = raw_imu
+    md.frame_readout_time = None
+    md.detected_source = "Generic CSV"
+    if progress_cb:
+        progress_cb(1.0)
+    return md
