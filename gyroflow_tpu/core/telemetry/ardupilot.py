@@ -82,8 +82,8 @@ def _extract_rows(msgs_by_name):
     if "IMU" in msgs_by_name:
         cols, rows = msgs_by_name["IMU"]
         need = ("TimeUS", "GyrX", "GyrY", "GyrZ")
+        rows = first_instance(rows, cols) if rows else rows
         if all(c in cols for c in need) and rows:
-            rows = first_instance(rows, cols)
             ix = {c: cols.index(c) for c in cols}
             t = np.asarray([r[ix["TimeUS"]] for r in rows], np.float64) * 1e-3
             gyr = np.asarray([[r[ix["GyrX"]], r[ix["GyrY"]], r[ix["GyrZ"]]]
@@ -95,8 +95,8 @@ def _extract_rows(msgs_by_name):
             return t, gyr, acc
     if "GYR" in msgs_by_name:
         cols, rows = msgs_by_name["GYR"]
+        rows = first_instance(rows, cols) if rows else rows
         if all(c in cols for c in ("TimeUS", "GyrX", "GyrY", "GyrZ")) and rows:
-            rows = first_instance(rows, cols)
             ix = {c: cols.index(c) for c in cols}
             t = np.asarray([r[ix["TimeUS"]] for r in rows], np.float64) * 1e-3
             gyr = np.asarray([[r[ix["GyrX"]], r[ix["GyrY"]], r[ix["GyrZ"]]]

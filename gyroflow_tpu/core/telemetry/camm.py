@@ -57,17 +57,16 @@ def parse_camm_samples(samples: List[Tuple[bytes, float]]) -> FileMetadata:
 
 
 def parse_camm_mp4(path: str, progress_cb=None) -> FileMetadata:
-    from .mp4 import find_metadata_track
-    with open(path, "rb") as f:
-        buf = f.read()
-    track = find_metadata_track(buf, b"camm")
-    if track is None:
-        from . import TelemetryError
-        raise TelemetryError("no CAMM track in MP4")
-    out = []
-    samples = track.samples()
-    for i, (off, size, t, _dur) in enumerate(samples):
-        out.append((buf[off:off + size], t))
-        if progress_cb:
-            progress_cb((i + 1) / max(len(samples), 1))
+    from .mp4 import find_metadata_track, mapped
+    with mapped(path) as buf:
+        track = find_metadata_track(buf, b"camm")
+        if track is None:
+            from . import TelemetryError
+            raise TelemetryError("no CAMM track in MP4")
+        out = []
+        samples = track.samples()
+        for i, (off, size, t, _dur) in enumerate(samples):
+            out.append((bytes(buf[off:off + size]), t))
+            if progress_cb:
+                progress_cb((i + 1) / max(len(samples), 1))
     return parse_camm_samples(out)

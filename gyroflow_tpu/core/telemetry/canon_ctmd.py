@@ -64,11 +64,10 @@ _TAG_NAMES = {v: k for k, v in CTMD_TAGS.items()}
 
 
 def has_canon_ctmd(path: str) -> bool:
-    from .mp4 import find_metadata_track
+    from .mp4 import find_metadata_track, mapped
     try:
-        with open(path, "rb") as f:
-            buf = f.read()
-        return find_metadata_track(buf, b"CTMD") is not None
+        with mapped(path) as buf:
+            return find_metadata_track(buf, b"CTMD") is not None
     except Exception:
         return False
 
@@ -110,13 +109,15 @@ def parse_ctmd_mp4(path: str, fps: float = 0.0, size=(0, 0),
                    ) -> FileMetadata:
     """Demux the CTMD track into FileMetadata (+ tag_map for the manager's
     Canon quirks)."""
-    from .mp4 import find_metadata_track
+    from .mp4 import find_metadata_track, mapped
 
-    with open(path, "rb") as f:
-        buf = f.read()
-    track = find_metadata_track(buf, b"CTMD")
-    if track is None:
-        raise ValueError(f"No CTMD track in {path}")
+    with mapped(path) as buf:
+        track = find_metadata_track(buf, b"CTMD")
+        if track is None:
+            raise ValueError(f"No CTMD track in {path}")
+        # mmap slices are plain bytes copies of just the metadata samples
+        payloads = [bytes(buf[off:off + sz])
+                    for (off, sz, _ts, _dur) in track.samples()]
 
     md = FileMetadata()
     tag_map: dict = {}
@@ -125,9 +126,7 @@ def parse_ctmd_mp4(path: str, fps: float = 0.0, size=(0, 0),
     camera_model = ""
     imu_rows = []
 
-    samples = list(track.samples())
-    for si, (off, sz, _ts, _dur) in enumerate(samples):
-        payload = buf[off:off + sz]
+    for si, payload in enumerate(payloads):
         for typ, body in _iter_records(payload):
             if typ not in _TLV_TYPES:
                 if typ not in (REC_TIMECODE, REC_FRAME_INFO):
@@ -172,7 +171,7 @@ def parse_ctmd_mp4(path: str, fps: float = 0.0, size=(0, 0),
                     imu_rows.extend(vals[i:i + 7]
                                     for i in range(0, len(vals), 7))
         if progress_cb:
-            progress_cb((si + 1) / max(len(samples), 1))
+            progress_cb((si + 1) / max(len(payloads), 1))
 
     if not imu_rows:
         raise ValueError(f"CTMD track in {path} carries no IMU samples")
@@ -261,45 +260,6 @@ def build_ctmd_sample(tag_map: dict, imu_samples=None, sample_rate: float = 0.0,
 
 def build_ctmd_mp4(sample_payloads, fps: float = 30.0) -> bytes:
     """Wrap per-frame CTMD samples into an MP4 with a `CTMD` metadata track
-    (same container surgery as sony.build_tagmap_mp4)."""
-    import struct as _s
-
-    timescale = 90000
-    dur = int(round(timescale / fps))
-    sizes = [len(p) for p in sample_payloads]
-
-    def box(typ: bytes, payload: bytes) -> bytes:
-        return _s.pack(">I4s", 8 + len(payload), typ) + payload
-
-    def full(typ, body, ver=0, flags=0):
-        return box(typ, _s.pack(">I", (ver << 24) | flags) + body)
-
-    stsd = full(b"stsd", _s.pack(">I", 1) +
-                box(b"CTMD", b"\x00" * 6 + _s.pack(">H", 1)))
-    stts = full(b"stts", _s.pack(">III", 1, len(sizes), dur))
-    stsz = full(b"stsz", _s.pack(">II", 0, len(sizes)) +
-                _s.pack(f">{len(sizes)}I", *sizes))
-    stsc = full(b"stsc", _s.pack(">I", 1) + _s.pack(">III", 1, 1, 1))
-    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
-    offs = [0] * len(sizes)
-    out = b""
-    for _ in range(2):
-        stco = full(b"stco", _s.pack(">I", len(sizes)) +
-                    _s.pack(f">{len(sizes)}I", *offs))
-        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
-        minf = box(b"minf", stbl)
-        hdlr = full(b"hdlr", b"\x00" * 4 + b"meta" + b"\x00" * 12 +
-                    b"Canon CTMD\x00")
-        mdhd = full(b"mdhd", _s.pack(">IIII", 0, 0, timescale,
-                                     dur * len(sizes)) +
-                    _s.pack(">HH", 0x55C4, 0))
-        mdia = box(b"mdia", mdhd + hdlr + minf)
-        trak = box(b"trak", mdia)
-        moov = box(b"moov", trak)
-        out = ftyp + moov
-        pos = len(out) + 8
-        offs = []
-        for s in sizes:
-            offs.append(pos)
-            pos += s
-    return out + box(b"mdat", b"".join(sample_payloads))
+    (shared container surgery: mp4.build_metadata_mp4)."""
+    from .mp4 import build_metadata_mp4
+    return build_metadata_mp4(b"CTMD", "Canon CTMD", sample_payloads, fps)

@@ -61,14 +61,46 @@ _UNIT_RE = re.compile(r"[\s(\[]+([^)\]]*)[)\]]?\s*$")
 
 
 def _norm(name: str):
-    """lowercase column key + the unit text inside (...)/[...] if present."""
+    """lowercase column key + the unit text inside (...)/[...] if present.
+
+    Purely-numeric bracket suffixes are array indices, not units — keep them
+    in the key so vocabularies like 'gyroadc[0]' can match."""
     name = name.strip().lower()
     m = _UNIT_RE.search(name)
     unit = ""
-    if m:
+    if m and not m.group(1).strip().isdigit():
         unit = m.group(1).strip()
         name = name[:m.start()].strip()
     return name.replace(" ", "_"), unit
+
+
+# chosen scale must land the median sample delta in a plausible gyro cadence
+_SCALES = (("s", 1000.0), ("ms", 1.0), ("us", 1e-3), ("ns", 1e-6))
+
+
+def _time_scale(t: np.ndarray, unit_label: str, col_name: str):
+    """ms-per-unit factor for a time column, or None if no scale lands the
+    cadence in a plausible range (0.05..1000 ms; preferring 0.05..50 ms =
+    20 Hz..20 kHz when two scales both fit)."""
+    ul = unit_label
+    if "ms" in ul:
+        return 1.0
+    if ("us" in ul) or ("µs" in ul):
+        return 1e-3
+    if "ns" in ul:
+        return 1e-6
+    if ul in ("s", "sec", "secs", "seconds") or col_name == "seconds_elapsed":
+        return 1000.0
+    if len(t) < 2:
+        return 1.0
+    dt = float(np.median(np.diff(np.sort(t))))
+    if dt <= 0:
+        return None
+    for lo, hi in ((0.05, 50.0), (0.05, 1000.0)):
+        for _n, sc in _SCALES:
+            if lo <= dt * sc <= hi:
+                return sc
+    return None
 
 
 def parse_generic_csv(path: str,
@@ -107,15 +139,16 @@ def parse_generic_csv(path: str,
     units = {n: u for n, u in header_cols}
     idx = {n: i for i, n in enumerate(names)}
 
-    arr0 = np.asarray(rows, np.float64)
-    # first time-name candidate whose deltas are usable (e.g. Sensor Logger
-    # has BOTH a nanosecond-epoch `time` — which collapses to dt=0 in f64 —
-    # and `seconds_elapsed`; prefer whichever actually advances)
-    t_col = None
+    arr = np.asarray(rows, np.float64)
+    # first time-name candidate with a usable scale: e.g. Sensor Logger has
+    # BOTH a nanosecond-epoch `time` (f64 deltas may collapse to 0, or read
+    # as an implausible cadence under the wrong scale) and `seconds_elapsed`
+    # — prefer whichever yields a plausible sample cadence
+    t_col = scale = None
     for cand in (n for n in _TIME_NAMES if n in idx):
-        tv = arr0[:, idx[cand]]
-        if len(tv) < 2 or float(np.median(np.diff(np.sort(tv)))) > 0:
-            t_col = cand
+        sc = _time_scale(arr[:, idx[cand]], units.get(cand, ""), cand)
+        if sc is not None:
+            t_col, scale = cand, sc
             break
     g_cols = next((s for s in _GYRO_SETS if all(c in idx for c in s)), None)
     a_cols = next((s for s in _ACC_SETS if all(c in idx for c in s)), None)
@@ -128,30 +161,11 @@ def parse_generic_csv(path: str,
         raise ValueError(
             f"{path!r}: no recognized time+gyro columns (saw {names[:12]})")
 
-    arr = np.asarray(rows, np.float64)
     t = arr[:, idx[t_col]]
     order = np.argsort(t, kind="stable")
     arr = arr[order]
     t = t[order]
-
-    # --- time unit: pick the scale that lands the median dt in [0.1, 50] ms
-    tu = units.get(t_col, "")
-    if "ms" in tu:
-        t_ms = t
-    elif tu in ("s", "sec", "secs", "seconds") or t_col == "seconds_elapsed":
-        t_ms = t * 1000.0
-    elif ("us" in tu) or ("µs" in tu):
-        t_ms = t * 1e-3
-    else:
-        dt = float(np.median(np.diff(t))) if len(t) > 1 else 1.0
-        if dt <= 0:
-            raise ValueError(f"{path!r}: non-increasing timestamps")
-        if dt < 0.05:          # seconds at >= 20 Hz
-            t_ms = t * 1000.0
-        elif dt < 50.0:        # already ms (20 Hz..10 kHz)
-            t_ms = t.copy()
-        else:                  # microseconds
-            t_ms = t * 1e-3
+    t_ms = t * scale
     t_ms -= t_ms[0]
 
     gyro = arr[:, [idx[c] for c in g_cols]]

@@ -204,27 +204,25 @@ def parse_gpmf_payloads(payloads: List[Tuple[bytes, float, float]]) -> FileMetad
 
 def parse_gpmf_mp4(path: str, progress_cb=None) -> FileMetadata:
     """Extract the `gpmd` metadata track from an MP4 and parse its payloads."""
-    from .mp4 import find_metadata_track
-    with open(path, "rb") as f:
-        buf = f.read()
-    track = find_metadata_track(buf, b"gpmd")
-    if track is None:
-        from . import TelemetryError
-        raise TelemetryError("no GPMF (gpmd) track in MP4")
-    payloads = []
-    samples = track.samples()
-    for i, (off, size, t, dur) in enumerate(samples):
-        payloads.append((buf[off:off + size], t, dur))
-        if progress_cb:
-            progress_cb((i + 1) / max(len(samples), 1))
+    from .mp4 import find_metadata_track, mapped
+    with mapped(path) as buf:
+        track = find_metadata_track(buf, b"gpmd")
+        if track is None:
+            from . import TelemetryError
+            raise TelemetryError("no GPMF (gpmd) track in MP4")
+        payloads = []
+        samples = track.samples()
+        for i, (off, size, t, dur) in enumerate(samples):
+            payloads.append((bytes(buf[off:off + size]), t, dur))
+            if progress_cb:
+                progress_cb((i + 1) / max(len(samples), 1))
     return parse_gpmf_payloads(payloads)
 
 
 def has_gpmf(path: str) -> bool:
     try:
-        from .mp4 import find_metadata_track
-        with open(path, "rb") as f:
-            buf = f.read()
-        return find_metadata_track(buf, b"gpmd") is not None
+        from .mp4 import find_metadata_track, mapped
+        with mapped(path) as buf:
+            return find_metadata_track(buf, b"gpmd") is not None
     except Exception:
         return False

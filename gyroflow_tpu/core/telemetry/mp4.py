@@ -7,9 +7,31 @@ moov → trak → mdia(hdlr, mdhd) → stbl(stsd, stts, stsz, stsc, stco/co64).
 """
 from __future__ import annotations
 
+import contextlib
+import mmap
 import struct
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
+
+
+@contextlib.contextmanager
+def mapped(path: str):
+    """Read-only file view WITHOUT copying it into RAM.
+
+    Container probes walk only the moov boxes, so multi-GB clips must not be
+    slurped per probe (the dispatcher tries up to 5 formats per MP4). mmap
+    touches only the pages actually read; sample slices come out as plain
+    bytes copies. Empty files yield b''."""
+    with open(path, "rb") as f:
+        try:
+            mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        except ValueError:          # zero-length file
+            yield b""
+            return
+        try:
+            yield mm
+        finally:
+            mm.close()
 
 _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
@@ -142,3 +164,49 @@ def find_metadata_track(buf: bytes, sample_format: bytes) -> Optional[Track]:
         if tr.sample_format == sample_format:
             return tr
     return None
+
+
+def build_metadata_mp4(sample_format: bytes, handler_name: str,
+                       payloads, fps: float = 30.0) -> bytes:
+    """Single-track timed-metadata MP4 (one sample per frame, one chunk per
+    sample). Shared container surgery for the Sony rtmd and Canon CTMD
+    fixture/embedding builders."""
+    timescale = 90000
+    dur = int(round(timescale / fps))
+    sizes = [len(p) for p in payloads]
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I4s", 8 + len(payload), typ) + payload
+
+    def full(typ, body, ver=0, flags=0):
+        return box(typ, struct.pack(">I", (ver << 24) | flags) + body)
+
+    stsd = full(b"stsd", struct.pack(">I", 1) +
+                box(sample_format, b"\x00" * 6 + struct.pack(">H", 1)))
+    stts = full(b"stts", struct.pack(">III", 1, len(sizes), dur))
+    stsz = full(b"stsz", struct.pack(">II", 0, len(sizes)) +
+                struct.pack(f">{len(sizes)}I", *sizes))
+    stsc = full(b"stsc", struct.pack(">I", 1) + struct.pack(">III", 1, 1, 1))
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    offs = [0] * len(sizes)
+    out = b""
+    for _ in range(2):   # second pass fills real chunk offsets
+        stco = full(b"stco", struct.pack(">I", len(sizes)) +
+                    struct.pack(f">{len(sizes)}I", *offs))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = box(b"minf", stbl)
+        hdlr = full(b"hdlr", b"\x00" * 4 + b"meta" + b"\x00" * 12 +
+                    handler_name.encode() + b"\x00")
+        mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, timescale,
+                                         dur * len(sizes)) +
+                    struct.pack(">HH", 0x55C4, 0))
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", mdia)
+        moov = box(b"moov", trak)
+        out = ftyp + moov
+        pos = len(out) + 8   # + mdat header
+        offs = []
+        for s in sizes:
+            offs.append(pos)
+            pos += s
+    return out + box(b"mdat", b"".join(payloads))

@@ -78,16 +78,18 @@ def _scan(buf: bytes, start: int, end: int, found: dict, depth: int = 0):
 def parse_r3d(path: str, fps: float = 0.0,
               progress_cb: Optional[Callable[[float], None]] = None) -> FileMetadata:
     size = os.path.getsize(path)
-    with open(path, "rb") as f:
-        buf = f.read()
-    if len(buf) < 8 or buf[4:8] not in (b"RED1", b"RED2"):
-        raise ValueError(f"{os.path.basename(path)}: not an R3D file")
+    from .mp4 import mapped
+    # R3D clips are GB-scale: walk the block tree through a page-mapped view
+    # (motion-record payload slices come out as plain bytes copies)
+    with mapped(path) as buf:
+        if len(buf) < 8 or bytes(buf[4:8]) not in (b"RED1", b"RED2"):
+            raise ValueError(f"{os.path.basename(path)}: not an R3D file")
+        red2 = bytes(buf[4:8]) == b"RED2"
+        found: dict = {}
+        _scan(buf, 0, size, found)
 
     md = FileMetadata()
-    md.detected_source = "RED RAW" if buf[4:8] == b"RED2" else "RED"
-
-    found: dict = {}
-    _scan(buf, 0, size, found)
+    md.detected_source = "RED RAW" if red2 else "RED"
 
     def quads(tag):
         rows = []

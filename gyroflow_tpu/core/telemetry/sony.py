@@ -453,11 +453,10 @@ def get_mesh_correction(tag_map: dict, cache: Dict[int, tuple]) -> Optional[tupl
 # ---------------------------------------------------------------------------
 
 def has_sony_rtmd(path: str) -> bool:
-    from .mp4 import find_metadata_track
+    from .mp4 import find_metadata_track, mapped
     try:
-        with open(path, "rb") as f:
-            buf = f.read()
-        return find_metadata_track(buf, b"rtmd") is not None
+        with mapped(path) as buf:
+            return find_metadata_track(buf, b"rtmd") is not None
     except Exception:
         return False
 
@@ -469,54 +468,15 @@ def build_tagmap_mp4(tag_maps: List[dict], fps: float = 30.0,
     encoding="klv" writes real SMPTE ST 336 samples (telemetry/klv.py);
     "cbor" keeps the legacy fixture encoding. Used by tests and by tooling
     that embeds pre-parsed Sony telemetry back into a clip."""
-    import struct
-
     from ...utils import cbor
     from . import klv
+    from .mp4 import build_metadata_mp4
 
     if encoding == "klv":
         payloads = [klv.encode_rtmd_sample(tm) for tm in tag_maps]
     else:
         payloads = [cbor.dumps(tm) for tm in tag_maps]
-    sizes = [len(p) for p in payloads]
-    timescale = 90000
-    dur = int(round(timescale / fps))
-
-    def box(typ: bytes, payload: bytes) -> bytes:
-        return struct.pack(">I4s", 8 + len(payload), typ) + payload
-
-    def full(typ, body, ver=0, flags=0):
-        return box(typ, struct.pack(">I", (ver << 24) | flags) + body)
-
-    stsd = full(b"stsd", struct.pack(">I", 1) +
-                box(b"rtmd", b"\x00" * 6 + struct.pack(">H", 1)))
-    stts = full(b"stts", struct.pack(">III", 1, len(payloads), dur))
-    stsz = full(b"stsz", struct.pack(">II", 0, len(sizes)) +
-                struct.pack(f">{len(sizes)}I", *sizes))
-    stsc = full(b"stsc", struct.pack(">I", 1) + struct.pack(">III", 1, 1, 1))
-    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
-    offs = [0] * len(sizes)
-    out = b""
-    for _ in range(2):   # second pass fills real chunk offsets
-        stco = full(b"stco", struct.pack(">I", len(sizes)) +
-                    struct.pack(f">{len(sizes)}I", *offs))
-        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
-        minf = box(b"minf", stbl)
-        hdlr = full(b"hdlr", b"\x00" * 4 + b"meta" + b"\x00" * 12 +
-                    b"Sony RTMD\x00")
-        mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, timescale,
-                                         dur * len(payloads)) +
-                    struct.pack(">HH", 0x55C4, 0))
-        mdia = box(b"mdia", mdhd + hdlr + minf)
-        trak = box(b"trak", mdia)
-        moov = box(b"moov", trak)
-        out = ftyp + moov
-        pos = len(out) + 8   # + mdat header
-        offs = []
-        for s in sizes:
-            offs.append(pos)
-            pos += s
-    return out + box(b"mdat", b"".join(payloads))
+    return build_metadata_mp4(b"rtmd", "Sony RTMD", payloads, fps)
 
 
 def parse_sony_mp4(path: str, fps: float = 0.0, size=(0, 0),
@@ -526,18 +486,19 @@ def parse_sony_mp4(path: str, fps: float = 0.0, size=(0, 0),
     from ...utils import cbor
     from .mp4 import find_metadata_track
 
-    with open(path, "rb") as f:
-        buf = f.read()
-    track = find_metadata_track(buf, b"rtmd")
-    if track is None:
-        raise ValueError(f"No rtmd track in {path}")
+    from .mp4 import mapped
+    with mapped(path) as buf:
+        track = find_metadata_track(buf, b"rtmd")
+        if track is None:
+            raise ValueError(f"No rtmd track in {path}")
+        sample_payloads = [(bytes(buf[off:off + sz]), ts)
+                           for (off, sz, ts, _dur) in track.samples()]
 
     from . import klv
 
     tag_maps = []
     klv_skipped = 0
-    for (off, sz, ts, _dur) in track.samples():
-        payload = buf[off:off + sz]
+    for payload, ts in sample_payloads:
         if klv.looks_like_klv(payload):
             try:
                 tm, skipped = klv.decode_rtmd_sample(payload)

@@ -104,7 +104,18 @@ def parse_witmotion(path: str,
         keep = np.concatenate(([True], np.diff(ai) > 0))
         ai, aw = ai[keep], aw[keep]
         if len(ai) >= 2:
-            t_ms = np.interp(np.arange(ng, dtype=np.float64), ai, aw)
+            n_idx = np.arange(ng, dtype=np.float64)
+            t_ms = np.interp(n_idx, ai, aw)
+            # np.interp clamps outside [ai[0], ai[-1]]: extend the head and
+            # tail bursts at the adjacent segment's sample spacing so the
+            # samples after the LAST 0x50 anchor don't collapse onto one
+            # duplicated timestamp
+            s0 = (aw[1] - aw[0]) / (ai[1] - ai[0])
+            s1 = (aw[-1] - aw[-2]) / (ai[-1] - ai[-2])
+            head = n_idx < ai[0]
+            tail = n_idx > ai[-1]
+            t_ms[head] = aw[0] + (n_idx[head] - ai[0]) * s0
+            t_ms[tail] = aw[-1] + (n_idx[tail] - ai[-1]) * s1
     if t_ms is None:
         rate = float(options.get("sample_rate", 0.0))
         if rate <= 0:

@@ -264,3 +264,59 @@ class TestWitMotion:
         p.write_bytes(blob)
         md = parse_telemetry_file(str(p))
         assert md.detected_source == "WitMotion"
+
+
+class TestReviewFindings:
+    """Round-3 adversarial review regressions."""
+
+    def test_nanosecond_epoch_time_column(self, tmp_path):
+        # Sensor Logger: `time` is a ns epoch (deltas 1e7 at 100 Hz). The
+        # old heuristic read it as us -> 10000 ms spacing; ns must land at
+        # 10 ms (or the seconds_elapsed column must win).
+        p = tmp_path / "Gyroscope.csv"
+        lines = ["time,seconds_elapsed,z,y,x"]
+        for i in range(50):
+            lines.append(f"{1700000000000000000 + i * 10000000},{i * 0.01},"
+                         f"0.5,-0.25,1.0")
+        p.write_text("\n".join(lines))
+        md = parse_generic_csv(str(p))
+        assert md.raw_imu[1].timestamp_ms == pytest.approx(10.0, abs=0.5)
+
+    def test_betaflight_csv_bracket_columns(self, tmp_path):
+        # gyroADC[0..2] vocab: the bracket index must survive header
+        # normalization (only unit-like suffixes are stripped)
+        p = tmp_path / "bf.csv"
+        lines = ["loopIteration,time,gyroADC[0],gyroADC[1],gyroADC[2]"]
+        for i in range(30):
+            lines.append(f"{i},{i * 500},{100 + i},-50,25")  # time in us
+        p.write_text("\n".join(lines))
+        md = parse_generic_csv(str(p))
+        assert md.raw_imu[1].timestamp_ms == pytest.approx(0.5)
+        assert md.raw_imu[0].gyro[0] == pytest.approx(100.0)
+
+    def test_witmotion_tail_extrapolates(self, tmp_path):
+        # samples AFTER the last 0x50 anchor must continue at the adjacent
+        # segment's spacing, not collapse onto one clamped timestamp
+        blob = _wit_time(10, 0, 0, 0)
+        blob += _wit_gyro(100, 0, 0) + _wit_gyro(90, 0, 0)
+        blob += _wit_time(10, 0, 0, 100)
+        blob += _wit_gyro(80, 0, 0) + _wit_gyro(70, 0, 0)
+        p = tmp_path / "tail.txt"
+        p.write_bytes(blob)
+        md = parse_witmotion(str(p))
+        ts = [s.timestamp_ms for s in md.raw_imu]
+        assert ts == pytest.approx([0.0, 50.0, 100.0, 150.0])
+
+    def test_ardupilot_instance_only_nonzero_is_clean_error(self, tmp_path):
+        fchars = "QffffffB"
+        length = 3 + 8 + 6 * 4 + 1
+        blob = _fmt_msg(0x05, "IMU", fchars,
+                        "TimeUS,GyrX,GyrY,GyrZ,AccX,AccY,AccZ,I", length)
+        for s in [(1_000_000, 0.1, 0.2, 0.3, 0.0, 0.0, 9.8, 1)] * 3:
+            blob += bytes((0xA3, 0x95, 0x05)) + struct.pack("<Qffffff B", *s)
+        p = tmp_path / "i1.bin"
+        p.write_bytes(blob)
+        with pytest.raises(ValueError, match="no IMU/GYR"):
+            parse_ardupilot_bin(str(p))
+        with pytest.raises(TelemetryError):
+            parse_telemetry_file(str(p))
