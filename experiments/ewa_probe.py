@@ -2,7 +2,12 @@
 
   PYTHONPATH=/root/repo:/root/.axon_site python experiments/ewa_probe.py
 
-History: round-1 ungrouped kernel = 22 ms/frame (1080p, interpolation 11).
+History: round-1 ungrouped kernel = 22 ms/frame (1080p, interpolation 11);
+round-3 per-tap-matmul kernel = 15.1 ms total step; round-3 band-space
+rewrite (one M-stacked gather matmul + analytic full-sublane weights +
+rolled win_k/win_r) = 10.7 ms at the production EWA_WINDOW_LADDER rung
+(40, 256, 128, 96, 8, 24). This probe times the classic full-width window
+(no rolls) — use /tmp-style sweeps or the ladder for production numbers.
 """
 import time
 

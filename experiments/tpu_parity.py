@@ -146,6 +146,17 @@ def main():
     print(f"{'EWA-11':12s} win=(48, 384)  max pixel diff = {diff:.4f}  "
           f"{'OK' if line_ok else 'FAIL'}")
 
+    # rolled production config (EWA_WINDOW_LADDER rung: th8/tw96/k128/r32)
+    got, ov = remap.remap_plane_pallas_jit(img, mats, cfg, dyn, None,
+                                           win_h=40, win_w=256, win_k=128,
+                                           win_r=32, tile_h=8, tile_w=96)
+    assert not bool(ov), "EWA rolled: window overflow"
+    diff = float(jnp.max(jnp.abs(got - want)))
+    line_ok = diff < 0.25
+    ok &= line_ok
+    print(f"{'EWA-11-roll':12s} win=(40, 256, 128, 96, 8, 32)  "
+          f"max pixel diff = {diff:.4f}  {'OK' if line_ok else 'FAIL'}")
+
     print("TPU parity:", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

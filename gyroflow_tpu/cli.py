@@ -35,7 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="synchronization parameters JSON")
     p.add_argument("--stdout-progress", action="store_true")
     p.add_argument("--export-project", type=int, default=0,
-                   help="1 - default project, 2 - with gyro data, 3 - with processed data")
+                   help="1 - default project, 2 - with gyro data, 3 - with "
+                        "processed data, 4 - video + project file")
     p.add_argument("--export-metadata", type=str, default=None,
                    help="<type>:<path>; 1 full, 2 parsed, 3 camera data")
     p.add_argument("--export-metadata-fields", type=str, default=None)
@@ -229,10 +230,14 @@ def _run_single(args) -> int:
             print(f"progress: {p*100:.1f}%", flush=True)
 
     if args.export_project:
+        # modes match cli.rs:70 / render_queue.rs:1018-1025 — 1 simple,
+        # 2 with gyro data, 3 with processed data, 4 = write the project
+        # (WithGyroData) AND continue to render the video
         from .core.project_file import GyroflowProjectType, export_gyroflow_data
         typ = {1: GyroflowProjectType.Simple, 2: GyroflowProjectType.WithGyroData,
-               3: GyroflowProjectType.WithProcessedData}.get(args.export_project,
-                                                             GyroflowProjectType.Simple)
+               3: GyroflowProjectType.WithProcessedData,
+               4: GyroflowProjectType.WithGyroData}.get(args.export_project,
+                                                        GyroflowProjectType.Simple)
         out = (os.path.splitext(video or "project")[0]) + ".gyroflow"
         if os.path.exists(out) and not args.overwrite:
             log.error("%s exists (use -f)", out)
@@ -240,7 +245,8 @@ def _run_single(args) -> int:
         with open(out, "w") as f:
             f.write(export_gyroflow_data(mgr, typ))
         print(f"exported project: {out}")
-        return 0
+        if args.export_project != 4:
+            return 0
 
     if args.export_metadata:
         typ, _, path = args.export_metadata.partition(":")

@@ -770,7 +770,7 @@ class StabilizationManager:
             # default; win_r < win_h rolls the exact row band to sublane 0 so
             # the colmix matmul skips the up-to-7-row origin-alignment slack
             # (r3: -0.36 ms/frame 4K Y).
-            from ..parallel.pipeline import WINDOW_LADDER
+            from ..parallel.pipeline import ladder_for
             if win is not None:
                 out, ov = remap.remap_plane_pallas_jit(
                     img, mats, cfg, dyn, mesh, win_h=win[0], win_w=win[1],
@@ -786,7 +786,7 @@ class StabilizationManager:
                     win = None
                     out = None
             if win is None:
-                for cand in WINDOW_LADDER:
+                for cand in ladder_for(cfg):
                     out, ov = remap.remap_plane_pallas_jit(
                         img, mats, cfg, dyn, mesh, win_h=cand[0], win_w=cand[1],
                         win_k=cand[2], tile_w=cand[3], tile_h=cand[4],

@@ -578,6 +578,7 @@ def sample_plane(spec: SamplerSpec, img, u, v, valid, bg_scalar):
 
 def _ewa_kernel(spec: SamplerSpec,
                 y0_ref, x0_ref,            # scalar prefetch (ntiles,)
+                xoff_ref, yoff_ref,        # scalar prefetch (ntiles,)
                 img_ref,                   # ANY (HBM): (C, H, W)
                 u_ref, v_ref,              # VMEM (1, P)
                 jac_ref,                   # VMEM (1, 4, P): jx, jy, jz, jw
@@ -587,11 +588,20 @@ def _ewa_kernel(spec: SamplerSpec,
                 win_ref, sem):
     """EWA sampling (cpu_undistort.rs:267-369) in the window-DMA formulation.
 
-    The elliptical weight k(typ, txp, pixel) is not separable, so instead of
-    one weighted C matmul, each tap column txp gets an UNWEIGHTED one-hot
-    colmix matmul and a row matrix R_txp carrying the per-(typ, txp) weights
-    (built with the same bit-select tree as the separable kernel)."""
+    The elliptical weight k(typ, txp, pixel) is not separable, so the kernel
+    contracts ONE exact one-hot column matrix Cm = onehot(bx_rel) against the
+    window statically rolled left by each tap column txp (all taps stacked on
+    the matmul M axis: one weight-load pipeline fill), then applies the
+    per-(typ, txp) weights to the gathered rows. The weights are analytic in
+    (fx, fy) and fy is affine in the source row index, so they evaluate
+    DIRECTLY on full-sublane row stacks — (Kh, P) band space for the pixel
+    mix, (taps, P) typ space for the normalization sums — with no per-tap
+    (1, P) degenerate-layout math and no bit-select trees. Rolled compute
+    windows (spec.win_k / win_r) shrink the matmul K/M dims to the tile's
+    actual source band (same mechanics as the separable kernel: the DMA
+    stays lane/sublane aligned, the kernel rolls the band to lane 0)."""
     Sr, Sc = spec.win_h, spec.win_w
+    Kh, Kw = spec.kh, spec.kw
     nchan = win_ref.shape[0]
     taps = 2 * EWA_CAP + 2
     P = spec.tile_h * spec.tile_w
@@ -600,6 +610,8 @@ def _ewa_kernel(spec: SamplerSpec,
     t_idx = pl.program_id(0)
     y0 = pl.multiple_of(y0_ref[t_idx], SUBLANE)
     x0 = pl.multiple_of(x0_ref[t_idx], LANE)
+    xoff = pl.multiple_of(xoff_ref[t_idx], SUBLANE)
+    yoff = yoff_ref[t_idx]
 
     copy = pltpu.make_async_copy(
         img_ref.at[:, pl.ds(y0, Sr), pl.ds(x0, Sc)], win_ref, sem)
@@ -649,96 +661,143 @@ def _ewa_kernel(spec: SamplerSpec,
     pw = [pq_ref[0, i] for i in range(4)]
     qw = [pq_ref[0, 4 + i] for i in range(4)]
 
-    def bc2(x):
-        x = jnp.abs(x)
-        x2 = x * x
-        pr = pw[0] + pw[1] * x + pw[2] * x2 + pw[3] * x2 * x
-        qr = qw[0] + qw[1] * x + qw[2] * x2 + qw[3] * x2 * x
-        return jnp.where(x < 1.0, pr, jnp.where(x < 2.0, qr, 0.0))
+    def bc2(dr):
+        # piecewise cubic in x = sqrt(dr), Estrin on (x², x): the x² terms
+        # are just dr, so only ONE sqrt and two fused mul-add chains run on
+        # the big (Kh, P)/(taps, P) stacks
+        x = jnp.sqrt(dr)
+        pr = (pw[0] + pw[2] * dr) + x * (pw[1] + pw[3] * dr)
+        qr = (qw[0] + qw[2] * dr) + x * (qw[1] + qw[3] * dr)
+        return jnp.where(dr < 1.0, pr, jnp.where(dr < 4.0, qr, 0.0))
 
     base_x = jnp.floor(u).astype(jnp.int32) - EWA_CAP    # absolute tap-0 col
     base_y = jnp.floor(v).astype(jnp.int32) - EWA_CAP
-    bx_rel = base_x - x0
-    by_rel = base_y - y0
+    bx_rel = base_x - x0 - xoff           # tap-0 col inside the rolled band
+    # The shared one-hot must FIRE even when tap 0 falls outside the band
+    # (plan_windows clips window origins to the plane, so base_x can be
+    # negative at the left source edge). Clamping the anchor is exact
+    # because the band-space weights below are computed from the ABSOLUTE
+    # gathered column in_xg (analytic in fx), not from the tap index — a
+    # shifted anchor just gathers a shifted column run, each column getting
+    # its true weight, with the stencil/rect masks zeroing the rest. The
+    # in-rect∩stencil columns stay covered: when the clamp binds upward
+    # (bx_rel < 0) the run [xband, xband+taps) contains them all.
+    gx_rel = jnp.clip(bx_rel, 0, Kw - 1)  # gather anchor inside the band
+    yband = y0 + yoff                     # absolute source row of band row 0
 
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (Sc, P), 0)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (Sr, P), 0)
-    Ty = row_ids - by_rel                                 # typ index per row
+    # Row-index stacks. The elliptical weight is an analytic function of
+    # (fx, fy) and fy is AFFINE in the source row index, so weights evaluate
+    # directly on full-sublane stacks — no (1, P) degenerate layouts and no
+    # bit-select trees (the trees exist in the separable kernel only because
+    # its weights are discrete LUT-phase taps):
+    #  * typ space (taps, P): rows = stencil tap index. Index-complete — used
+    #    for ksum_all/ksum_rect, whose out-of-rect taps may fall outside the
+    #    DMA'd window (plan_windows only guarantees IN-RECT taps in-window).
+    #  * band space (Kh, P): rows = window band row. Aligned with colmix —
+    #    used for the pixel accumulation weights (in-rect taps only, which
+    #    plan_windows guarantees are in-band for valid, non-overflowed tiles).
+    ty10 = jax.lax.broadcasted_iota(jnp.int32, (taps, P), 0)
+    in_y10 = base_y + ty10                               # absolute, (taps, P)
+    fy10 = in_y10.astype(jnp.float32) - v
+    fy10_z = fy10 * fy10 * abc_z                         # shared across taps
+    y_bb10 = (in_y10 >= by0) & (in_y10 <= by1)
+    y_rect10 = (in_y10 >= sry) & (in_y10 < sry + srh)
+
+    rb = jax.lax.broadcasted_iota(jnp.int32, (Kh, P), 0)
+    in_yb = yband + rb                                   # absolute, (Kh, P)
+    fyb = in_yb.astype(jnp.float32) - v
+    fyb_z = fyb * fyb * abc_z                            # shared across taps
+    typb = in_yb - base_y
+    band_ok = ((typb >= 0) & (typb < taps) &             # inside the stencil
+               (in_yb >= by0) & (in_yb <= by1) &         # inside the bbox
+               (in_yb >= sry) & (in_yb < sry + srh))     # inside the rect
 
     copy.wait()
 
-    # hi/lo split once per window: the per-tap colmix matmuls contract an
-    # EXACT 0/1 one-hot, so two bf16 passes over (win_hi, win_lo) reproduce
-    # the f32 gather exactly (the MXU's 1-pass default rounds pixels to
-    # bf16). uint8 content is already bf16-exact: single pass, no split.
-    win_hi = [None] * nchan
-    win_lo = [None] * nchan
-    for ch in range(nchan):
-        if spec.exact8:
-            win_hi[ch] = win_ref[ch]
-            win_lo[ch] = None
-        else:
-            win_hi[ch] = win_ref[ch].astype(jnp.bfloat16).astype(jnp.float32)
-            win_lo[ch] = win_ref[ch] - win_hi[ch]
+    # Roll the tile's exact row band to sublane 0 (win_r mode) and stack the
+    # channels on the matmul M axis.
+    if Kh < Sr:
+        w3 = pltpu.roll(win_ref[...], (Sr - yoff) % Sr, 1)[:, :Kh, :]
+    else:
+        w3 = win_ref[...]
+    win_all = w3.reshape(nchan * Kh, Sc)
+    # hi/lo split once per window: the colmix matmul contracts an EXACT 0/1
+    # one-hot, so two bf16 passes over (win_hi, win_lo) reproduce the f32
+    # gather exactly (the MXU's 1-pass default rounds pixels to bf16). uint8
+    # content is already bf16-exact: single pass, no split.
+    if spec.exact8:
+        win_hi, win_lo = win_all, None
+    else:
+        win_hi = win_all.astype(jnp.bfloat16).astype(jnp.float32)
+        win_lo = win_all - win_hi
 
-    acc = [jnp.zeros((1, P), jnp.float32) for _ in range(nchan)]
-    ksum_all = jnp.zeros((1, P), jnp.float32)
-    ksum_rect = jnp.zeros((1, P), jnp.float32)
+    # ONE one-hot column matrix + ONE stacked matmul: the window statically
+    # rolled left by each tap column txp rides the M axis ([txp][ch][row]),
+    # so all taps*C*Kh gathered rows share a single weight-load pipeline
+    # fill instead of `taps` separate matmuls with their own.
+    def tap_stack(w):
+        return jnp.concatenate(
+            [pltpu.roll(w, (Sc - xoff - txp) % Sc, 1)[:, :Kw]
+             for txp in range(taps)], axis=0)            # (taps*C*Kh, Kw)
 
-    n_pad = 16                                            # tree over 16 leaves
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (Kw, P), 0)
+    Cm = jnp.where(col_ids == gx_rel, 1.0, 0.0)
+    colmix = jnp.dot(tap_stack(win_hi), Cm, preferred_element_type=jnp.float32)
+    if win_lo is not None:
+        colmix = colmix + jnp.dot(tap_stack(win_lo), Cm,
+                                  preferred_element_type=jnp.float32)
+
+    acc = [jnp.zeros((Kh, P), jnp.float32) for _ in range(nchan)]
+    ksum_all = jnp.zeros((taps, P), jnp.float32)
+    ksum_rect = jnp.zeros((taps, P), jnp.float32)
+    xband = x0 + xoff                     # absolute source col of band col 0
     for txp in range(taps):
+        # typ space: normalization sums over the full stencil ∩ bbox,
+        # anchored at base_x (index-complete even off-plane)
         in_x = base_x + txp
         fx = in_x.astype(jnp.float32) - u
         fx_abc = fx * fx * abc_x
         fx_y = fx * abc_y
         x_bbox = (in_x >= bx0) & (in_x <= bx1)
         x_rect = (in_x >= srx) & (in_x < srx + srw)
+        dr10 = fx_abc + fy10 * fx_y + fy10_z
+        k10 = bc2(jnp.maximum(dr10, 0.0))
+        k10 = jnp.where(x_bbox & y_bb10, k10, 0.0)
+        ksum_all = ksum_all + k10
+        ksum_rect = ksum_rect + jnp.where(x_rect & y_rect10, k10, 0.0)
 
-        ws = []
-        for typ in range(taps):
-            in_y = base_y + typ
-            fy = in_y.astype(jnp.float32) - v
-            dr = fx_abc + fy * fx_y + fy * fy * abc_z
-            k = bc2(jnp.sqrt(jnp.maximum(dr, 0.0)))
-            k = jnp.where(x_bbox & (in_y >= by0) & (in_y <= by1), k, 0.0)
-            k_rect = jnp.where(x_rect & (in_y >= sry) & (in_y < sry + srh), k, 0.0)
-            ksum_all = ksum_all + k
-            ksum_rect = ksum_rect + k_rect
-            ws.append(k_rect)
-        ws += [jnp.zeros((1, P), jnp.float32)] * (n_pad - taps)
-
-        # bit-select tree: R[r, p] = ws[Ty[r, p]][p] for Ty in [0, 16)
-        level = ws
-        bit = 0
-        while len(level) > 1:
-            bsel = (Ty >> bit) & 1
-            level = [jnp.where(bsel == 1, level[i + 1], level[i])
-                     for i in range(0, len(level), 2)]
-            bit += 1
-        R = jnp.where((Ty >= 0) & (Ty < taps), level[0], 0.0)
-
-        Cm = jnp.where(col_ids == bx_rel + txp, 1.0, 0.0)
+        # band space: weights for the ACTUAL gathered column (anchored at
+        # the clamped gx_rel — equals base_x + txp except at the left edge),
+        # masked to stencil ∩ bbox ∩ rect
+        in_xg = xband + gx_rel + txp
+        fxg = in_xg.astype(jnp.float32) - u
+        g_ok = ((in_xg >= base_x) & (in_xg < base_x + taps) &
+                (in_xg >= bx0) & (in_xg <= bx1) &
+                (in_xg >= srx) & (in_xg < srx + srw))
+        drb = fxg * fxg * abc_x + fyb * (fxg * abc_y) + fyb_z
+        kb = bc2(jnp.maximum(drb, 0.0))
+        kb = jnp.where(g_ok & band_ok, kb, 0.0)
         for ch in range(nchan):
-            colmix = jnp.dot(win_hi[ch], Cm, preferred_element_type=jnp.float32)
-            if win_lo[ch] is not None:
-                colmix = colmix + jnp.dot(win_lo[ch], Cm,
-                                          preferred_element_type=jnp.float32)
-            acc[ch] = acc[ch] + jnp.sum(R * colmix, axis=0, keepdims=True)
+            rows = colmix[(txp * nchan + ch) * Kh:(txp * nchan + ch + 1) * Kh]
+            acc[ch] = acc[ch] + kb * rows
 
+    ksum_all = jnp.sum(ksum_all, axis=0, keepdims=True)
+    ksum_rect = jnp.sum(ksum_rect, axis=0, keepdims=True)
     denom = jnp.where(ksum_all == 0.0, 1.0, ksum_all)
     k_bg = ksum_all - ksum_rect
     for ch in range(nchan):
-        out_ref[0, ch] = ((acc[ch] + k_bg * bg_ref[0, ch]) / denom)[0]
+        s = jnp.sum(acc[ch], axis=0, keepdims=True)
+        out_ref[0, ch] = ((s + k_bg * bg_ref[0, ch]) / denom)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
-def _ewa_call(spec: SamplerSpec, img, u_t, v_t, jac_t, y0s, x0s, pq, bg,
-              interpret=False):
+def _ewa_call(spec: SamplerSpec, img, u_t, v_t, jac_t, y0s, x0s, xoffs, yoffs,
+              pq, bg, interpret=False):
     ntiles = u_t.shape[0]
     nchan = img.shape[0]
     P = spec.tile_h * spec.tile_w
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -759,8 +818,8 @@ def _ewa_call(spec: SamplerSpec, img, u_t, v_t, jac_t, y0s, x0s, pq, bg,
         out_shape=jax.ShapeDtypeStruct((ntiles, nchan, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(y0s, x0s, img, u_t.reshape(ntiles, 1, P), v_t.reshape(ntiles, 1, P),
-      jac_t, pq, bg)
+    )(y0s, x0s, xoffs, yoffs, img, u_t.reshape(ntiles, 1, P),
+      v_t.reshape(ntiles, 1, P), jac_t, pq, bg)
 
 
 def sample_planes_ewa(spec: SamplerSpec, imgs, u, v, jac, valid, bg_vec,
@@ -778,7 +837,7 @@ def sample_planes_ewa(spec: SamplerSpec, imgs, u, v, jac, valid, bg_vec,
     up = jnp.clip(jnp.where(jnp.isfinite(up), up, 0.0), -32768.0, 32768.0)
     vp = jnp.clip(jnp.where(jnp.isfinite(vp), vp, 0.0), -32768.0, 32768.0)
 
-    y0s, x0s, _xoffs, _yoffs, overflow = plan_windows(spec, up, vp, validp)
+    y0s, x0s, xoffs, yoffs, overflow = plan_windows(spec, up, vp, validp)
     P = spec.tile_h * spec.tile_w
     ntiles = spec.grid[0] * spec.grid[1]
     jac_t = jnp.stack([_tileize(spec, _pad_to(jac[..., i], spec.tile_h, spec.tile_w))
@@ -789,7 +848,8 @@ def sample_planes_ewa(spec: SamplerSpec, imgs, u, v, jac, valid, bg_vec,
     bg = jnp.asarray(bg_vec, jnp.float32).reshape(1, nchan)
     interpret = jax.default_backend() == "cpu"
     out_t = _ewa_call(spec, imgs, _tileize(spec, up), _tileize(spec, vp),
-                      jac_t, y0s, x0s, pq, bg, interpret=interpret)
+                      jac_t, y0s, x0s, xoffs, yoffs, pq, bg,
+                      interpret=interpret)
     return out_untileize_c(spec, jnp.moveaxis(out_t, 1, 0)), overflow
 
 
@@ -871,7 +931,7 @@ def sample_planes_ewa_t(spec: SamplerSpec, imgs, u_t, v_t, jac_t, valid_t,
     imgs = _pad_imgs(spec, imgs)
     u_t = _guard_uv(u_t)
     v_t = _guard_uv(v_t)
-    y0s, x0s, _xoffs, _yoffs, overflow = plan_windows_t(spec, u_t, v_t, valid_t)
+    y0s, x0s, xoffs, yoffs, overflow = plan_windows_t(spec, u_t, v_t, valid_t)
     ntiles = u_t.shape[0]
     P = spec.tile_h * spec.tile_w
     jac4 = jnp.moveaxis(jac_t, -1, 1)            # (ntiles, 4, P)
@@ -881,8 +941,8 @@ def sample_planes_ewa_t(spec: SamplerSpec, imgs, u_t, v_t, jac_t, valid_t,
     bg = jnp.asarray(bg_vec, jnp.float32).reshape(1, imgs.shape[0])
     interpret = jax.default_backend() == "cpu"
     out_t = _ewa_call(spec, imgs, u_t.reshape(ntiles, 1, P),
-                      v_t.reshape(ntiles, 1, P), jac4, y0s, x0s, pq, bg,
-                      interpret=interpret)
+                      v_t.reshape(ntiles, 1, P), jac4, y0s, x0s, xoffs, yoffs,
+                      pq, bg, interpret=interpret)
     return jnp.moveaxis(out_t, 1, 0), overflow   # (C, ntiles, P)
 
 

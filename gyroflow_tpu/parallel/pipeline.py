@@ -221,6 +221,20 @@ WINDOW_LADDER = ((24, 256, 128, 96, 16, 16), (32, 256, 128, 96, 16, 24),
                  (56, 384, 0, 128, 16, 48), (72, 512, 0, 128, 16, 64),
                  (104, 768, 0, 128, 16, 96))
 
+# EWA prefers 8-row tiles: its per-tap weights evaluate over the WHOLE row
+# band (Kh, P) — not a bit-select tree — so the band height is the dominant
+# VPU cost and halving the per-tile v-spread (th8 vs th16) buys a tighter
+# win_r rung (measured 11.4 vs 12.7 ms 1080p interp-11 on v5e)
+EWA_WINDOW_LADDER = ((24, 256, 128, 96, 8, 16), (32, 256, 128, 96, 8, 24),
+                     (40, 256, 128, 96, 8, 32), (48, 384, 128, 96, 8, 40),
+                     (48, 384, 0, 128, 8, 0), (72, 512, 0, 128, 8, 64),
+                     (104, 768, 0, 128, 8, 96))
+
+
+def ladder_for(cfg: KernelConfig):
+    """Window ladder for a kernel config (EWA uses 8-row tiles, see above)."""
+    return EWA_WINDOW_LADDER if cfg.interpolation > 8 else WINDOW_LADDER
+
 
 def stabilize_window_production(mesh: Mesh, imgs, matrices, cfg: KernelConfig,
                                 dyns: KernelDynamics, mesh_data=None,
@@ -248,7 +262,7 @@ def stabilize_window_production(mesh: Mesh, imgs, matrices, cfg: KernelConfig,
     wkey = ("window", cfg, tuple(imgs.shape))
     cached = win_cache.get(wkey) if win_cache is not None else None
     ladder = ((cached,) if cached is not None else ()) + tuple(
-        w for w in WINDOW_LADDER if w != cached)
+        w for w in ladder_for(cfg) if w != cached)
     if use_pallas:
         for win in ladder:
             step = make_window_step(mesh, cfg, f_local, win, True, with_mesh,

@@ -269,6 +269,34 @@ class TestEWAPallas:
         diff = np.abs(np.asarray(pal) - xla)
         assert diff.max() < 1.0, (interp, diff.max())
 
+    @pytest.mark.parametrize("wincfg", [
+        dict(win_h=64, win_w=512),                               # classic
+        dict(win_h=40, win_w=256, win_k=128, win_r=24,
+             tile_h=8, tile_w=96),                               # rolled rung
+    ])
+    def test_left_edge_clamp(self, wincfg):
+        """Pixels whose EWA stencil starts LEFT/ABOVE the plane (window
+        origin clipped to 0 -> negative tap-0 band column): the shared
+        one-hot gather must anchor at the clamped column and weight by the
+        absolute gathered coordinate (regression for the r3 band-space
+        rewrite, which initially zeroed every tap for such pixels)."""
+        img = make_image()
+        cfg, dyn, p, matrices = make_pair()
+        from gyroflow_tpu.ops.remap import ewa_coeffs
+        pq, qq = ewa_coeffs(11)
+        cfg = cfg._replace(interpolation=11)
+        dyn = dyn._replace(ewa_coeffs_p=jnp.asarray(pq, jnp.float32),
+                           ewa_coeffs_q=jnp.asarray(qq, jnp.float32))
+        xla = np.asarray(remap.remap_plane_jit(
+            jnp.asarray(img), jnp.asarray(matrices), cfg, dyn))
+        pal, ov = remap.remap_plane_pallas(
+            jnp.asarray(img), jnp.asarray(matrices), cfg, dyn, **wincfg)
+        assert not bool(ov)
+        diff = np.abs(np.asarray(pal) - xla)
+        # the make_pair geometry maps border tiles to source coords within
+        # EWA_CAP of the plane edge, exercising the clamped gather anchor
+        assert diff.max() < 1.0, diff.max()
+
     def test_oracle_golden(self):
         img = make_image()
         cfg, dyn, p, matrices = make_pair()
