@@ -101,7 +101,24 @@ def _extract_rows(msgs_by_name):
             t = np.asarray([r[ix["TimeUS"]] for r in rows], np.float64) * 1e-3
             gyr = np.asarray([[r[ix["GyrX"]], r[ix["GyrY"]], r[ix["GyrZ"]]]
                               for r in rows], np.float64) * RAD2DEG
-            return t, gyr, None
+            # older firmwares log accel as separate ACC messages on their own
+            # clock — interpolate onto the gyro timestamps
+            acc = None
+            if "ACC" in msgs_by_name:
+                acols, arows = msgs_by_name["ACC"]
+                arows = first_instance(arows, acols) if arows else arows
+                if all(c in acols for c in ("TimeUS", "AccX", "AccY", "AccZ")) \
+                        and arows:
+                    ax = {c: acols.index(c) for c in acols}
+                    at = np.asarray([r[ax["TimeUS"]] for r in arows],
+                                    np.float64) * 1e-3
+                    av = np.asarray([[r[ax["AccX"]], r[ax["AccY"]], r[ax["AccZ"]]]
+                                     for r in arows], np.float64)
+                    order = np.argsort(at, kind="stable")
+                    at, av = at[order], av[order]
+                    acc = np.stack([np.interp(t, at, av[:, k])
+                                    for k in range(3)], axis=1)
+            return t, gyr, acc
     raise ValueError("no IMU/GYR gyro messages in ArduPilot log")
 
 
@@ -125,21 +142,39 @@ def _build_metadata(t_ms, gyr, acc, progress_cb):
 def parse_ardupilot_bin(path: str,
                         progress_cb: Optional[Callable[[float], None]] = None
                         ) -> FileMetadata:
-    with open(path, "rb") as f:
-        data = f.read()
+    from .mp4 import mapped
+    # DataFlash logs are hundreds of MB to GBs: scan through a page-mapped
+    # view rather than slurping (only the pages actually read are touched)
+    with mapped(path) as data:
+        return _parse_bin_view(data, path, progress_cb)
+
+
+def _parse_bin_view(data, path, progress_cb):
     fmts = {}
+    # FMT-declared record lengths for types whose payload we can't decode
+    # (unknown format chars, e.g. 'a' = int16[32] in ISBH/ISBD batch-IMU
+    # messages): the LENGTH still frames the stream — skipping by it avoids
+    # byte-scan resyncs that can false-sync inside payload bytes and decode
+    # garbage rows as known types
+    lengths = {}
     wanted = ("IMU", "GYR", "ACC")
     msgs = {}
     pos = 0
     n = len(data)
     synced = False
+    sync_pair = bytes((_HEAD1, _HEAD2))
+
+    def _find(start):
+        # both bytes and mmap objects implement .find
+        return data.find(sync_pair, start)
+
     while pos + 3 <= n:
         if data[pos] != _HEAD1 or data[pos + 1] != _HEAD2:
             if not synced:
                 pos += 1
                 continue
             # lost sync mid-file: scan forward to the next header pair
-            nxt = data.find(bytes((_HEAD1, _HEAD2)), pos + 1)
+            nxt = _find(pos + 1)
             if nxt < 0:
                 break
             pos = nxt
@@ -149,7 +184,7 @@ def parse_ardupilot_bin(path: str,
         if mtype == _FMT_TYPE:
             if pos + 3 + 86 > n:
                 break
-            body = data[pos + 3:pos + 3 + 86]
+            body = bytes(data[pos + 3:pos + 3 + 86])
             ftype, flen = body[0], body[1]
             name = body[2:6].split(b"\x00", 1)[0].decode("latin-1")
             fchars = body[6:22].split(b"\x00", 1)[0].decode("latin-1")
@@ -157,6 +192,8 @@ def parse_ardupilot_bin(path: str,
             try:
                 fmt = _Fmt(name, flen, fchars, cols.split(","))
             except (KeyError, struct.error):
+                if flen >= 3:
+                    lengths[ftype] = flen    # undecodable but still framed
                 pos += 3 + 86
                 continue
             # declared length must cover header + payload exactly
@@ -171,8 +208,14 @@ def parse_ardupilot_bin(path: str,
             continue
         fmt = fmts.get(mtype)
         if fmt is None:
+            flen = lengths.get(mtype)
+            if flen is not None:
+                if pos + flen > n:
+                    break
+                pos += flen                  # skip by declared length
+                continue
             # unknown type before its FMT: cannot know its length — resync
-            nxt = data.find(bytes((_HEAD1, _HEAD2)), pos + 2)
+            nxt = _find(pos + 2)
             if nxt < 0:
                 break
             pos = nxt
@@ -180,7 +223,8 @@ def parse_ardupilot_bin(path: str,
         if pos + fmt.length > n:
             break
         if fmt.name in wanted:
-            msgs[fmt.name][1].append(fmt.decode(data[pos + 3:pos + fmt.length]))
+            msgs[fmt.name][1].append(
+                fmt.decode(bytes(data[pos + 3:pos + fmt.length])))
         pos += fmt.length
     if not fmts:
         raise ValueError(f"not an ArduPilot DataFlash log: {path!r}")

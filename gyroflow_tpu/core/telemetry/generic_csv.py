@@ -103,6 +103,45 @@ def _time_scale(t: np.ndarray, unit_label: str, col_name: str):
     return None
 
 
+_DT_FORMATS = ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",
+               "%Y/%m/%d %H:%M:%S.%f", "%Y/%m/%d %H:%M:%S",
+               "%H:%M:%S.%f", "%H:%M:%S")
+
+
+def _datetime_col(cells):
+    """Parse a wall-clock time column ('2024-01-01 10:00:00.000' — WitMotion
+    text exports, phone apps) into seconds; None if no format fits."""
+    import datetime as _dt
+    for fmt in _DT_FORMATS:
+        try:
+            base = _dt.datetime.strptime(cells[0].strip(), fmt)
+        except ValueError:
+            continue
+        out = np.empty(len(cells), np.float64)
+        try:
+            for i, c in enumerate(cells):
+                d = _dt.datetime.strptime(c.strip(), fmt)
+                out[i] = (d - base).total_seconds()
+        except ValueError:
+            return None
+        # time-only formats wrap at midnight: unwrap a single wrap
+        if fmt.startswith("%H"):
+            out = np.where(out < out[0] - 1.0, out + 86400.0, out) - out[0]
+        return out
+    return None
+
+
+def _float_col(cells):
+    """Column of floats with NaN for unparseable cells."""
+    out = np.empty(len(cells), np.float64)
+    for i, c in enumerate(cells):
+        try:
+            out[i] = float(c)
+        except ValueError:
+            out[i] = np.nan
+    return out
+
+
 def parse_generic_csv(path: str,
                       options: Optional[dict] = None,
                       progress_cb: Optional[Callable[[float], None]] = None
@@ -128,52 +167,82 @@ def parse_generic_csv(path: str,
             parts = line.split(delim)
             if len(parts) < len(header_cols):
                 continue
-            try:
-                rows.append([float(p) for p in parts[:len(header_cols)]])
-            except ValueError:
-                continue  # non-numeric row (repeated header, footer text)
+            rows.append(parts[:len(header_cols)])
     if header_cols is None or not rows:
-        raise ValueError(f"no numeric data rows in {path!r}")
+        raise ValueError(f"no data rows in {path!r}")
 
     names = [n for n, _u in header_cols]
     units = {n: u for n, u in header_cols}
     idx = {n: i for i, n in enumerate(names)}
 
-    arr = np.asarray(rows, np.float64)
+    # Cells convert COLUMN-WISE and only the columns the import needs must be
+    # numeric — vendor exports routinely carry datetime/text columns beside
+    # the sensor data (WitMotion ChipTime, phone-app battery state, ...).
+    col_cache = {}
+
+    def col(i):
+        if i not in col_cache:
+            col_cache[i] = _float_col([r[i] for r in rows])
+        return col_cache[i]
+
     # first time-name candidate with a usable scale: e.g. Sensor Logger has
     # BOTH a nanosecond-epoch `time` (f64 deltas may collapse to 0, or read
     # as an implausible cadence under the wrong scale) and `seconds_elapsed`
-    # — prefer whichever yields a plausible sample cadence
+    # — prefer whichever yields a plausible sample cadence. Wall-clock
+    # datetime columns parse via _datetime_col into seconds.
     t_col = scale = None
+    t_vals = None
     for cand in (n for n in _TIME_NAMES if n in idx):
-        sc = _time_scale(arr[:, idx[cand]], units.get(cand, ""), cand)
+        tv = col(idx[cand])
+        if np.isnan(tv).mean() > 0.02:
+            cells = [r[idx[cand]] for r in rows]
+            tv = _datetime_col(cells)
+            if tv is None:
+                continue
+            sc = 1000.0                   # datetime deltas are seconds
+        else:
+            sc = _time_scale(tv[~np.isnan(tv)], units.get(cand, ""), cand)
         if sc is not None:
-            t_col, scale = cand, sc
+            t_col, scale, t_vals = cand, sc, tv
             break
+    # bare x/y/z (last vocabulary entry) is the common single-sensor export
+    # shape (Sensor Logger gyroscope file) — ambiguous alone, accepted
     g_cols = next((s for s in _GYRO_SETS if all(c in idx for c in s)), None)
     a_cols = next((s for s in _ACC_SETS if all(c in idx for c in s)), None)
-    if g_cols == ("x", "y", "z") and a_cols:
-        # bare x/y/z plus a dedicated accel set means x/y/z IS the gyro;
-        # bare x/y/z alone is ambiguous but the common single-sensor export
-        # is the gyroscope file — accept it.
-        pass
     if t_col is None or g_cols is None:
         raise ValueError(
             f"{path!r}: no recognized time+gyro columns (saw {names[:12]})")
 
-    t = arr[:, idx[t_col]]
+    gyro = np.stack([col(idx[c]) for c in g_cols], axis=1)
+    accl = np.stack([col(idx[c]) for c in a_cols], axis=1) if a_cols else None
+
+    # drop rows where any needed column failed to parse (footer text,
+    # repeated headers, truncated tail lines)
+    good = np.isfinite(t_vals) & np.all(np.isfinite(gyro), axis=1)
+    if accl is not None:
+        good &= np.all(np.isfinite(accl), axis=1)
+    if not bool(good.any()):
+        raise ValueError(f"no numeric data rows in {path!r}")
+    t = t_vals[good]
+    gyro = gyro[good]
+    accl = accl[good] if accl is not None else None
+
     order = np.argsort(t, kind="stable")
-    arr = arr[order]
     t = t[order]
+    gyro = gyro[order]
+    accl = accl[order] if accl is not None else None
     t_ms = t * scale
     t_ms -= t_ms[0]
 
-    gyro = arr[:, [idx[c] for c in g_cols]]
+    # explicit unit options OVERRIDE the label/magnitude heuristics (the
+    # label wins only when no option is given — exporters mislabel)
     gu = units.get(g_cols[0], "")
     unit_opt = options.get("gyro_unit")
-    if unit_opt == "deg" or ("deg" in gu) or ("°" in gu) or ("dps" in gu):
+    if unit_opt == "rad":
+        gyro = gyro * RAD2DEG
+    elif unit_opt == "deg" or ("deg" in gu) or ("°" in gu) or ("dps" in gu):
         pass                               # already deg/s
-    elif unit_opt == "rad" or ("rad" in gu):
+    elif "rad" in gu:
         gyro = gyro * RAD2DEG
     else:
         # magnitude heuristic: sustained 35 rad/s = 2005 deg/s is implausible
@@ -181,15 +250,15 @@ def parse_generic_csv(path: str,
         if p99 <= 35.0:
             gyro = gyro * RAD2DEG
 
-    accl = None
-    if a_cols:
-        accl = arr[:, [idx[c] for c in a_cols]]
+    if accl is not None:
         au = units.get(a_cols[0], "")
         aopt = options.get("accel_unit")
-        if aopt == "ms2" or ("m/s" in au) or ("ms2" in au) or ("m/s2" in au) \
+        if aopt == "g":
+            accl = accl * G_TO_MS2
+        elif aopt == "ms2" or ("m/s" in au) or ("ms2" in au) or ("m/s2" in au) \
                 or ("m/s^2" in au) or ("m/s²" in au):
             pass
-        elif aopt == "g" or au == "g":
+        elif au == "g":
             accl = accl * G_TO_MS2
         else:
             med = float(np.median(np.linalg.norm(accl, axis=1))) if accl.size else 0.0

@@ -58,10 +58,9 @@ def parse_witmotion(path: str,
     with open(path, "rb") as f:
         data = f.read()
 
-    # (wall_ms_anchor_or_None, gyro, accel) in arrival order
-    gyros = []          # (frame_index, (x, y, z))
-    accls = []          # (frame_index, (x, y, z))
-    anchors = []        # (frame_index_of_next_sample, wall_ms)
+    gyros = []          # (stream_ordinal, x, y, z) in arrival order
+    accls = []          # (stream_ordinal, x, y, z)
+    anchors = []        # (gyro_sample_index_of_next_sample, wall_ms)
     pos = 0
     n = len(data)
     nframes = 0
@@ -83,12 +82,12 @@ def parse_witmotion(path: str,
             anchors.append((len(gyros), wall + dd * 86400000.0))
         elif typ == 0x52:
             x, y, z, _t = struct.unpack_from("<hhhh", payload)
-            gyros.append((x / 32768.0 * 2000.0, y / 32768.0 * 2000.0,
-                          z / 32768.0 * 2000.0))
+            gyros.append((nframes, x / 32768.0 * 2000.0,
+                          y / 32768.0 * 2000.0, z / 32768.0 * 2000.0))
         elif typ == 0x51:
             x, y, z, _t = struct.unpack_from("<hhhh", payload)
-            accls.append((x / 32768.0 * 16.0, y / 32768.0 * 16.0,
-                          z / 32768.0 * 16.0))
+            accls.append((nframes, x / 32768.0 * 16.0,
+                          y / 32768.0 * 16.0, z / 32768.0 * 16.0))
         pos += 11
         nframes += 1
     if len(gyros) < 4:
@@ -123,17 +122,23 @@ def parse_witmotion(path: str,
         t_ms = np.arange(ng, dtype=np.float64) * (1000.0 / rate)
     t_ms = t_ms - t_ms[0]
 
+    gyro_arr = np.asarray(gyros, np.float64)
+    g_ord, gyro_vals = gyro_arr[:, 0], gyro_arr[:, 1:]
     acc_arr = None
     if len(accls) >= ng * 0.5:                  # accel stream present
-        acc_arr = np.asarray(accls, np.float64) * G_TO_MS2
-        if len(acc_arr) < ng:                   # pad tail with last sample
-            acc_arr = np.vstack([acc_arr,
-                                 np.repeat(acc_arr[-1:], ng - len(acc_arr), 0)])
+        # pair by STREAM ORDINAL, not bare list index: a single dropped /
+        # checksum-failed frame mid-stream must not shift every later accel
+        # onto the wrong gyro sample. Each burst emits 0x51 next to 0x52, so
+        # nearest-ordinal interpolation recovers the pairing across gaps.
+        a = np.asarray(accls, np.float64)
+        a_ord, a_vals = a[:, 0], a[:, 1:] * G_TO_MS2
+        acc_arr = np.stack([np.interp(g_ord, a_ord, a_vals[:, k])
+                            for k in range(3)], axis=1)
 
     raw = []
     for i in range(ng):
         raw.append(TimeIMU(timestamp_ms=float(t_ms[i]),
-                           gyro=np.asarray(gyros[i], np.float64),
+                           gyro=gyro_vals[i].copy(),
                            accl=acc_arr[i].copy() if acc_arr is not None else None,
                            magn=None))
         if progress_cb and (i & 0x3FF) == 0:

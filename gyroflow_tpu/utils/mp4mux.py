@@ -165,7 +165,9 @@ def _rewrite_pcm_entry(trak: bytearray):
         if b2 <= entry_off and entry_off + esize <= e2:  # old-offset spans
             old = struct.unpack_from(">I", trak, s2)[0]
             struct.pack_into(">I", trak, s2, old + delta)
-    return entry_off + len(new_entry), delta
+    # return the OLD entry end: callers compare pre-rewrite offsets against
+    # it to decide whether trailing positions shift by delta
+    return entry_off + esize, delta
 
 
 def remux_with_audio(video_path: str, audio_source_path: str, out_path: str) -> bool:

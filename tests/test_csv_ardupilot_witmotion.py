@@ -320,3 +320,114 @@ class TestReviewFindings:
             parse_ardupilot_bin(str(p))
         with pytest.raises(TelemetryError):
             parse_telemetry_file(str(p))
+
+    # --- round-3 second review pass ---
+
+    def test_witmotion_text_export_with_datetime_column(self, tmp_path):
+        # WT901 text export: ChipTime wall-clock column + unit-suffixed
+        # sensor columns. Non-numeric cells must not reject the rows
+        # (column-wise parsing), and the datetime column must become time.
+        p = tmp_path / "wit_export.txt"
+        lines = ["ChipTime,AccelerationX(g),AccelerationY(g),AccelerationZ(g),"
+                 "AngularVelocityX(°/s),AngularVelocityY(°/s),"
+                 "AngularVelocityZ(°/s)"]
+        for i in range(40):
+            ms = i * 10
+            lines.append(f"2024-01-01 10:00:00.{ms:03d},0.0,0.0,1.0,"
+                         f"{100 + i},-50,25")
+        p.write_text("\n".join(lines))
+        md = parse_generic_csv(str(p))
+        assert len(md.raw_imu) == 40
+        assert md.raw_imu[1].timestamp_ms == pytest.approx(10.0)
+        assert md.raw_imu[0].gyro[0] == pytest.approx(100.0)  # labeled deg/s
+        assert md.raw_imu[0].accl[2] == pytest.approx(G)      # labeled g
+
+    def test_non_numeric_extra_column_tolerated(self, tmp_path):
+        # unrelated text columns beside the sensor data must not drop rows
+        p = tmp_path / "extra.csv"
+        lines = ["time,gx,gy,gz,state"]
+        for i in range(30):
+            lines.append(f"{i * 0.01},{100 + i},-50,25,RUNNING")
+        p.write_text("\n".join(lines))
+        md = parse_generic_csv(str(p))
+        assert len(md.raw_imu) == 30
+        assert md.raw_imu[1].timestamp_ms == pytest.approx(10.0)
+
+    def test_explicit_unit_option_beats_label(self, tmp_path):
+        # options say rad/s; the (mislabeled) header says deg/s -> the
+        # explicit option must win (docstring: options override heuristics)
+        p = tmp_path / "mislabel.csv"
+        lines = ["time,gx (deg/s),gy (deg/s),gz (deg/s)"]
+        for i in range(20):
+            lines.append(f"{i * 0.01},1.0,-0.5,0.25")
+        p.write_text("\n".join(lines))
+        md = parse_generic_csv(str(p), options={"gyro_unit": "rad"})
+        assert md.raw_imu[0].gyro[0] == pytest.approx(1.0 * RAD2DEG)
+        # and the reverse: explicit deg with a rad label
+        p2 = tmp_path / "mislabel2.csv"
+        lines = ["time,gx (rad/s),gy (rad/s),gz (rad/s)"]
+        for i in range(20):
+            lines.append(f"{i * 0.01},1.0,-0.5,0.25")
+        p2.write_text("\n".join(lines))
+        md2 = parse_generic_csv(str(p2), options={"gyro_unit": "deg"})
+        assert md2.raw_imu[0].gyro[0] == pytest.approx(1.0)
+
+    def test_ardupilot_unknown_format_char_keeps_framing(self, tmp_path):
+        # ISBD-style message with format char 'a' (int16[32], not in
+        # _STRUCT): its records must be skipped BY DECLARED LENGTH. The
+        # payload below contains 0xA3 0x95 bytes that a byte-scan resync
+        # would false-sync on and decode garbage IMU rows.
+        isbd_len = 3 + 64
+        blob = _fmt_msg(0x06, "ISBD", "a", "Data", isbd_len)
+        blob += _imu_fixture()
+        evil = bytearray(64)
+        evil[10:13] = bytes((0xA3, 0x95, 0x05))   # fake IMU header inside
+        blob += bytes((0xA3, 0x95, 0x06)) + bytes(evil)
+        blob += bytes((0xA3, 0x95, 0x06)) + bytes(evil)
+        p = tmp_path / "isbd.bin"
+        p.write_bytes(blob)
+        md = parse_ardupilot_bin(str(p))
+        assert len(md.raw_imu) == 3            # only the real IMU samples
+        assert md.raw_imu[0].gyro[0] == pytest.approx(0.1 * RAD2DEG)
+
+    def test_ardupilot_gyr_acc_old_firmware(self, tmp_path):
+        # separate GYR + ACC messages: accel must be consumed (interpolated
+        # onto the gyro clock), not silently dropped
+        glen = 3 + 8 + 3 * 4
+        blob = _fmt_msg(0x10, "GYR", "Qfff", "TimeUS,GyrX,GyrY,GyrZ", glen)
+        blob += _fmt_msg(0x11, "ACC", "Qfff", "TimeUS,AccX,AccY,AccZ", glen)
+        for i in range(4):
+            blob += bytes((0xA3, 0x95, 0x10)) + struct.pack(
+                "<Qfff", 1_000_000 + i * 2500, 0.1 * i, 0.0, 0.0)
+        for i in range(4):
+            blob += bytes((0xA3, 0x95, 0x11)) + struct.pack(
+                "<Qfff", 1_000_000 + i * 2500, 0.0, 0.0, 9.0 + i)
+        p = tmp_path / "gyracc.bin"
+        p.write_bytes(blob)
+        md = parse_ardupilot_bin(str(p))
+        assert len(md.raw_imu) == 4
+        assert md.raw_imu[0].accl is not None
+        assert md.raw_imu[2].accl[2] == pytest.approx(11.0)
+
+    def test_witmotion_dropped_accel_frame_keeps_pairing(self, tmp_path):
+        # one corrupt accel frame mid-stream: later accel samples must stay
+        # on their own gyro samples (ordinal pairing), not shift by one
+        blob = _wit_time(10, 0, 0, 0)
+        blob += _wit_acc(0, 0, 0.5) + _wit_gyro(100, 0, 0)
+        corrupt = bytearray(_wit_acc(0, 0, 0.6))
+        corrupt[-1] = (corrupt[-1] + 1) & 0xFF     # checksum fail -> dropped
+        blob += bytes(corrupt) + _wit_gyro(90, 0, 0)
+        blob += _wit_acc(0, 0, 0.7) + _wit_gyro(80, 0, 0)
+        blob += _wit_acc(0, 0, 0.8) + _wit_gyro(70, 0, 0)
+        blob += _wit_time(10, 0, 0, 150)
+        p = tmp_path / "drop.txt"
+        p.write_bytes(blob)
+        md = parse_witmotion(str(p))
+        assert len(md.raw_imu) == 4
+        # ordinal interpolation: gyro ordinals [2,3,5,7], accel [1,4,6] with
+        # z = [0.5, 0.7, 0.8] g. The old bare-index pairing shifted samples
+        # 2/3 to 0.8/0.8; ordinal pairing gives 0.75 (midpoint of 0.7/0.8)
+        # and 0.8 (clamped tail) — no systematic one-sample shift.
+        assert md.raw_imu[1].accl[2] == pytest.approx(0.6333 * G, rel=2e-2)
+        assert md.raw_imu[2].accl[2] == pytest.approx(0.75 * G, rel=2e-2)
+        assert md.raw_imu[3].accl[2] == pytest.approx(0.8 * G, rel=2e-2)
