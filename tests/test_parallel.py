@@ -155,3 +155,39 @@ def test_sharded_rolled_window_matches_single_device():
         assert not bool(ov)
         np.testing.assert_allclose(np.asarray(out[i]), np.asarray(want),
                                    atol=2e-2)
+
+
+def test_sharded_production_ewa():
+    """EWA interpolations through the PRODUCTION sharded step: the EWA
+    window ladder (parallel.pipeline.EWA_WINDOW_LADDER) feeds
+    stabilize_window_production and the banding path must reproduce the
+    single-device EWA render bit-for-bit."""
+    from gyroflow_tpu.parallel.pipeline import stabilize_window_production
+    from gyroflow_tpu.ops.remap import ewa_coeffs
+
+    F, sp = 4, 2
+    imgs, matss, cfg, dyns = _make_window(W=128, H=64, F=F, rs=True)
+    cfg = cfg._replace(interpolation=11)
+    pw, qw = ewa_coeffs(11)
+    dyns = dyns._replace(
+        ewa_coeffs_p=jnp.broadcast_to(jnp.asarray(pw, jnp.float32), (F, 4)),
+        ewa_coeffs_q=jnp.broadcast_to(jnp.asarray(qw, jnp.float32), (F, 4)))
+    mesh = make_frame_mesh(8, sp=sp)
+    win = (40, 256, 128, 96, 8, 24)     # EWA_WINDOW_LADDER rolled rung
+    win_cache = {("window", cfg, tuple(imgs.shape)): win}
+    out, backend = stabilize_window_production(
+        mesh, imgs, matss, cfg, dyns, win_cache=win_cache, stats={})
+    assert backend == "pallas-tpu-sharded"
+    assert out.shape == imgs.shape
+    rows = 64 // sp
+    for fi in range(F):
+        dyn_i = jax.tree.map(lambda x: x[fi], dyns)
+        for band in range(sp):
+            ref, ov = remap.remap_plane_pallas_jit(
+                imgs[fi], matss[fi], cfg, dyn_i, win_h=win[0], win_w=win[1],
+                win_k=win[2], tile_w=win[3], tile_h=win[4], win_r=win[5],
+                out_rows=rows, oy0=band * rows)
+            assert not bool(ov)
+            np.testing.assert_allclose(
+                np.asarray(out[fi, band * rows:(band + 1) * rows]),
+                np.asarray(ref), atol=1e-4, rtol=0)
