@@ -319,7 +319,8 @@ class FFmpegWriter:
     def __init__(self, path: str, width: int, height: int, fps: float,
                  pix_fmt: str = "yuv420p10le", codec: str = "h265",
                  bitrate_mbps: float = 0.0, audio_from: Optional[str] = None,
-                 use_gpu: bool = False, audio_codec: str = ""):
+                 use_gpu: bool = False, audio_codec: str = "",
+                 audio_offset_s: float = 0.0, audio_duration_s: float = 0.0):
         self.fmt = RAW_FORMATS[pix_fmt]
         self.width = width
         self.height = height
@@ -330,6 +331,13 @@ class FFmpegWriter:
                "-s", f"{width}x{height}", "-r", f"{fr.numerator}/{fr.denominator}",
                "-i", "pipe:0"]
         if audio_from:
+            # trimmed renders take only the rendered range of the source
+            # audio (input-side seek/duration on the audio input — the
+            # reference trims audio via proc.ranges_ms, rendering/mod.rs:279)
+            if audio_offset_s > 0.0:
+                cmd += ["-ss", f"{audio_offset_s:.6f}"]
+            if audio_duration_s > 0.0:
+                cmd += ["-t", f"{audio_duration_s:.6f}"]
             cmd += ["-i", audio_from, "-map", "0:v", "-map", "1:a?"]
             cmd += audio_args(path, audio_from, audio_codec)
         cmd += _encoder_args(codec, pix_fmt, bitrate_mbps, use_gpu=use_gpu)

@@ -45,8 +45,11 @@ class RenderOptions:
     audio: bool = False
     audio_codec: str = ""              # "" auto (copy/AAC fallback), "aac",
                                        # "pcm (s16le)" etc. (mod.rs:250-255)
-    trim_start: float = 0.0            # fraction 0..1
-    trim_end: float = 1.0
+    trim_start: float = 0.0            # fraction 0..1 (single-range shortcut;
+    trim_end: float = 1.0              # manager.params.trim_ranges wins)
+    pad_with_black: bool = False       # keep full timeline, fill outside the
+                                       # trim ranges with the background color
+                                       # (render_queue.rs:87, mod.rs:452-453)
     interpolation: int = 8
     safe_area: Optional[list] = None   # [x0, y0, x1, y1] output px → dim outside
     overlay: object = None             # core.drawing.DrawCanvas debug overlay
@@ -150,7 +153,8 @@ def open_reader(input_path: str):
 
 def open_writer(output_path: str, ow: int, oh: int, fps: float,
                 options: RenderOptions, reader, kind: str, input_path: str,
-                video_speed: float = 1.0):
+                video_speed: float = 1.0, audio_offset_s: float = 0.0,
+                audio_duration_s: float = 0.0, allow_audio: bool = True):
     """Pick the encode backend matching the reader/output container."""
     ext = os.path.splitext(output_path)[1].lower()
     if ext == ".y4m":
@@ -174,11 +178,12 @@ def open_writer(output_path: str, ow: int, oh: int, fps: float,
         pix = options.pix_fmt or getattr(reader, "pix_fmt", "") or "yuv420p"
         codec = options.codec if options.codec != "mp4v" else "h264"
         # the reference disables audio when changing speed (mod.rs:446)
-        want_audio = options.audio and video_speed == 1.0
+        want_audio = options.audio and video_speed == 1.0 and allow_audio
         return "planar", FFmpegWriter(
             output_path, ow, oh, fps, pix, codec, options.bitrate,
             audio_from=input_path if want_audio else None,
-            use_gpu=options.use_gpu, audio_codec=options.audio_codec)
+            use_gpu=options.use_gpu, audio_codec=options.audio_codec,
+            audio_offset_s=audio_offset_s, audio_duration_s=audio_duration_s)
     return "rgb", VideoWriter(output_path, ow, oh, fps, options.codec)
 
 
@@ -276,9 +281,39 @@ def render(mgr, input_path: str, output_path: str,
         # silently drop every mismatched frame (render_queue.rs output size)
         mgr.set_output_size(ow, oh)
         mgr.recompute_blocking()
+    n = reader.frame_count or 1
+    # trim ranges: manager.params.trim_ranges (fractions, possibly several —
+    # render_queue.rs:195 renders them concatenated) win over the single-range
+    # options shortcut; pad_with_black keeps the full timeline and fills
+    # out-of-range frames with the background color (mod.rs:452-453)
+    tr = sorted((float(a), float(b)) for a, b in (mgr.params.trim_ranges or []))
+    if not tr:
+        tr = [(options.trim_start, options.trim_end)]
+    ranges_f = [(int(a * n), int(b * n)) for a, b in tr]
+    pad_black = options.pad_with_black and tr != [(0.0, 1.0)]
+    first = 0 if pad_black else ranges_f[0][0]
+    last = n if pad_black else ranges_f[-1][1]
+    # audio follows the rendered range (rendering/mod.rs:278-279
+    # proc.ranges_ms); pad_with_black keeps the full-length audio; multiple
+    # concatenated ranges can't be expressed as one -ss/-t -> video-only
+    allow_audio = True
+    a_off = a_dur = 0.0
+    if pad_black:
+        pass
+    elif len(ranges_f) > 1:
+        allow_audio = False
+        if options.audio:
+            log.warning("audio dropped: multiple trim ranges render "
+                        "concatenated and can't stream-copy one audio span")
+    else:
+        a_off = first / reader.fps if (first > 0 and reader.fps) else 0.0
+        a_dur = ((min(last, n - 1) - first + 1) / reader.fps) \
+            if (tr[0][1] < 1.0 and reader.fps) else 0.0
     wkind, writer = open_writer(output_path, ow, oh, reader.fps, options,
                                 reader, kind, input_path,
-                                video_speed=mgr.params.video_speed)
+                                video_speed=mgr.params.video_speed,
+                                audio_offset_s=a_off, audio_duration_s=a_dur,
+                                allow_audio=allow_audio)
     if options.async_encode:
         writer = _AsyncWriter(writer)
     fmt: Optional[RawFormat] = getattr(reader, "fmt", None)
@@ -287,9 +322,6 @@ def render(mgr, input_path: str, output_path: str,
         raise IOError("planar input requires a planar-capable writer "
                       "(.y4m, .exr sequence, or an ffmpeg binary)")
 
-    n = reader.frame_count or 1
-    first = int(options.trim_start * n)
-    last = int(options.trim_end * n)
     if first > 0:
         reader.seek_frame(first)
 
@@ -336,6 +368,39 @@ def render(mgr, input_path: str, output_path: str,
         if kind == "planar" and fmt is not None else None
 
     win_buf = []   # pending (ts_us, groups, emit) awaiting a full window
+
+    _bg_cache: List = []
+
+    def _bg_payload():
+        """Constant background-color frame for pad_with_black gaps, in the
+        same (group-array) layout the device step produces."""
+        if _bg_cache:
+            return _bg_cache[0]
+        if kind != "planar":
+            rgb = np.asarray(mgr.params.background[:3], np.float32) * 255.0
+            payload = np.tile(np.clip(np.rint(rgb), 0, 255).astype(np.uint8),
+                              (oh, ow, 1))
+        else:
+            shapes = fmt.plane_shapes(ow, oh)
+            maxv = np.float32(fmt.max_value)
+            if fmt.is_yuv and len(shapes) >= 2:
+                ybg, uvbg = bgs[0].reshape(-1), bgs[1].reshape(-1)
+                y = np.full((shapes[0][0], shapes[0][1], 1), ybg[0] * maxv,
+                            np.float32)
+                uv = np.empty((shapes[1][0], shapes[1][1], 2), np.float32)
+                uv[..., 0] = uvbg[0] * maxv
+                uv[..., 1] = uvbg[1] * maxv
+                payload = [y, uv]
+            else:
+                bgv = bgs[0].reshape(-1)
+                nch = sum(c for _, _, c in shapes) if len(shapes) > 1 \
+                    else shapes[0][2]
+                g = np.empty((oh, ow, max(nch, 1)), np.float32)
+                for c in range(g.shape[-1]):
+                    g[..., c] = (bgv[c] if c < bgv.size else 0.0) * maxv
+                payload = [g]
+        _bg_cache.append(payload)
+        return payload
 
     def _flush_window():
         """Dispatch the buffered frames as one sharded window per plane
@@ -390,6 +455,15 @@ def render(mgr, input_path: str, output_path: str,
                 break
             if cancel_flag and cancel_flag[0]:
                 break
+            in_range = any(a <= idx <= b for a, b in ranges_f)
+            if not in_range and not pad_black:
+                # gap between trim ranges: decode-and-drop (ranges render
+                # concatenated, render_queue.rs:195)
+                frames_done += 1
+                if progress_cb:
+                    progress_cb(min(frames_done / max(last - first + 1, 1), 1.0))
+                _t0 = _time.time()
+                continue
             # video-speed rate control (rendering/mod.rs:460-479): drop or
             # duplicate frames so output duration scales by 1/speed
             emit = 1
@@ -397,7 +471,14 @@ def render(mgr, input_path: str, output_path: str,
                 speed_acc += 1.0 / video_speed
                 emit = int(speed_acc)
                 speed_acc -= emit
-            if emit > 0:
+            if emit > 0 and not in_range:
+                # pad_with_black: full timeline, background outside the ranges
+                if kind == "planar" and window > 1:
+                    _flush_window()     # keep output ordering ahead of the pad
+                inflight.append((_bg_payload(), emit))
+                while len(inflight) > options.pipeline_depth:
+                    _emit(*inflight.pop(0))
+            elif emit > 0:
                 drawing = None
                 if options.overlay is not None or options.safe_area is not None:
                     from ..core.drawing import DrawCanvas
@@ -448,7 +529,7 @@ def render(mgr, input_path: str, output_path: str,
 
     audio_copied = wkind == "planar" and options.audio and \
         getattr(writer, "proc", None) is not None
-    if options.audio and video_speed != 1.0:
+    if options.audio and (video_speed != 1.0 or not allow_audio):
         audio_copied = False        # reference: no audio when changing speed
     elif options.audio and not audio_copied \
             and output_path.lower().endswith((".mp4", ".mov")) \
@@ -457,7 +538,8 @@ def render(mgr, input_path: str, output_path: str,
         from ..utils.mp4mux import remux_with_audio
         tmp = output_path + ".remux.mp4"
         try:
-            if remux_with_audio(output_path, input_path, tmp):
+            if remux_with_audio(output_path, input_path, tmp,
+                                offset_s=a_off, duration_s=a_dur):
                 os.replace(tmp, output_path)
                 audio_copied = True
         except Exception as e:
@@ -465,6 +547,14 @@ def render(mgr, input_path: str, output_path: str,
         finally:
             if os.path.exists(tmp):
                 os.remove(tmp)
+
+    # carry the source's modification time onto the output, offset by the
+    # render start within the clip (util.rs:476-501 update_file_times)
+    try:
+        st = os.stat(input_path)
+        os.utime(output_path, (st.st_atime + a_off, st.st_mtime + a_off))
+    except OSError:
+        pass
 
     wall = _time.time() - t_start
     stats = {"frames": frames_done, "output": output_path, "audio": audio_copied,

@@ -170,8 +170,79 @@ def _rewrite_pcm_entry(trak: bytearray):
     return entry_off + esize, delta
 
 
-def remux_with_audio(video_path: str, audio_source_path: str, out_path: str) -> bool:
+def _movie_timescale(vbuf) -> int:
+    for p, b, e, _s in _spans(vbuf):
+        if p == ("moov", "mvhd"):
+            ver = vbuf[b]
+            return struct.unpack_from(">I", vbuf, b + (20 if ver == 1 else 12))[0]
+    return 0
+
+
+def _apply_audio_trim(trak: bytearray, movie_timescale: int,
+                      offset_s: float, duration_s: float):
+    """Present only [offset_s, offset_s + duration_s) of the audio media via
+    an edts/elst edit (ISO 14496-12 §8.6.5-8.6.6) — trimmed renders must not
+    carry the full-length source audio (the reference trims audio to the
+    render range: rendering/mod.rs:278-279 `proc.ranges_ms`).
+
+    Returns (insert_pos, size_delta) like _rewrite_pcm_entry, or None when
+    the trak's edit structure can't be composed safely (the caller then falls
+    back to video-only output). Only handles 32-bit box sizes."""
+    spans = []
+    _walk_spans(trak, 8, len(trak), ["trak"], spans)
+    mdhd = next(((b, e) for p, b, e, _s in spans if p[-1] == "mdhd"), None)
+    tkhd = next(((b, e) for p, b, e, _s in spans if p[-1] == "tkhd"), None)
+    if mdhd is None or tkhd is None or not movie_timescale:
+        return None
+    if any(p[-1] == "edts" for p, _b, _e, _s in spans):
+        # the source already carries an edit list (e.g. AAC priming encoded
+        # as an edit) — composing offsets with it is ambiguous, bail
+        return None
+    b = mdhd[0]
+    if trak[b] == 1:
+        mts = struct.unpack_from(">I", trak, b + 20)[0]
+        mdur = struct.unpack_from(">Q", trak, b + 24)[0]
+    else:
+        mts = struct.unpack_from(">I", trak, b + 12)[0]
+        mdur = struct.unpack_from(">I", trak, b + 16)[0]
+        if mdur == 0xFFFFFFFF:
+            mdur = 0                      # "unknown" sentinel
+    if not mts:
+        return None
+    media_time = int(round(offset_s * mts))
+    if mdur and media_time >= mdur:
+        return None                       # no audio overlaps the render range
+    if mdur:
+        remain_s = mdur / mts - offset_s
+        seg_s = min(duration_s, remain_s) if duration_s > 0 else remain_s
+    elif duration_s > 0:
+        seg_s = duration_s
+    else:
+        return None                       # unknown media duration, open-ended
+    if seg_s <= 0:
+        return None
+    seg_dur = max(int(round(seg_s * movie_timescale)), 1)
+    elst = struct.pack(">II", 0, 1) + struct.pack(
+        ">IiHH", min(seg_dur, 0xFFFFFFFF), media_time, 1, 0)
+    edts = _box(b"edts", _box(b"elst", elst))
+    pos = tkhd[1]                         # insert right after tkhd
+    trak[pos:pos] = edts
+    struct.pack_into(">I", trak, 0, len(trak))
+    # tkhd duration is in MOVIE timescale and reflects the presented span
+    tb = tkhd[0]
+    if trak[tb] == 1:
+        struct.pack_into(">Q", trak, tb + 28, seg_dur)
+    else:
+        struct.pack_into(">I", trak, tb + 20, min(seg_dur, 0xFFFFFFFF))
+    return pos, len(edts)
+
+
+def remux_with_audio(video_path: str, audio_source_path: str, out_path: str,
+                     offset_s: float = 0.0, duration_s: float = 0.0) -> bool:
     """Merge the stabilized video-only MP4 with the source's audio track.
+
+    offset_s/duration_s trim the audio presentation to the rendered range
+    (an edts/elst edit — see _apply_audio_trim); 0 means from-start/to-end.
 
     Returns False (and writes nothing) if either side lacks what's needed —
     callers fall back to the video-only file, mirroring the reference's
@@ -206,6 +277,13 @@ def remux_with_audio(video_path: str, audio_source_path: str, out_path: str) -> 
     if out_path.lower().endswith((".mp4", ".m4v")):
         ins = _rewrite_pcm_entry(audio_trak_bytes)
         if ins is not None and ins[0] <= a_tbl_rel:
+            a_tbl_rel += ins[1]
+    if offset_s > 0.0 or duration_s > 0.0:
+        ins = _apply_audio_trim(audio_trak_bytes, _movie_timescale(vbuf),
+                                offset_s, duration_s)
+        if ins is None:
+            return False
+        if ins[0] <= a_tbl_rel:
             a_tbl_rel += ins[1]
     v_tbl_rel = v_tbl - moov[0]               # within moov body
     moov_bytes_len = 8 + len(moov_body) + len(audio_trak_bytes)

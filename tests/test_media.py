@@ -125,6 +125,60 @@ class TestY4M10BitRender:
                                    direct.astype(np.int32), atol=1)
 
 
+class TestTrimRangesRender:
+    """Multiple trim ranges render concatenated (render_queue.rs:195); with
+    pad_with_black the full timeline keeps its length and out-of-range frames
+    fill with the background color (render_queue.rs:87, mod.rs:452-453)."""
+
+    def _frames(self, path):
+        r = Y4MReader(path)
+        frames = [planes for _ts, planes in r]
+        r.close()
+        return frames
+
+    def test_multi_range_concatenates(self, y4m10_path, gcsv_path, tmp_path):  # noqa: F811
+        mgr = make_manager(gcsv_path)
+        full_out = str(tmp_path / "full.y4m")
+        render(mgr, y4m10_path, full_out, RenderOptions(interpolation=2))
+        full = self._frames(full_out)
+
+        mgr.params.trim_ranges = [(0.0, 0.25), (0.5, 0.75)]
+        out = str(tmp_path / "ranges.y4m")
+        render(mgr, y4m10_path, out, RenderOptions(interpolation=2))
+        got = self._frames(out)
+        # ranges [(0,2)] + [(4,6)] inclusive -> frames 0,1,2,4,5,6
+        keep = [0, 1, 2, 4, 5, 6]
+        assert len(got) == len(keep)
+        for g, k in zip(got, keep):
+            np.testing.assert_array_equal(g[0], full[k][0])
+
+    def test_pad_with_black_keeps_timeline(self, y4m10_path, gcsv_path,
+                                           tmp_path):  # noqa: F811
+        mgr = make_manager(gcsv_path)
+        mgr.params.trim_ranges = [(0.0, 0.25), (0.5, 0.75)]
+        out = str(tmp_path / "padded.y4m")
+        stats = render(mgr, y4m10_path, out,
+                       RenderOptions(interpolation=2, pad_with_black=True))
+        got = self._frames(out)
+        assert len(got) == VFRAMES and stats["frames"] == VFRAMES
+        # out-of-range frames are constant background color
+        from gyroflow_tpu.render.renderer import _plane_backgrounds
+        from gyroflow_tpu.render.formats import RAW_FORMATS
+        bgs = _plane_backgrounds(RAW_FORMATS["yuv420p10le"],
+                                 mgr.params.background, True)
+        for k in (3, 7):
+            y = got[k][0]
+            assert np.ptp(y) == 0
+            assert abs(int(y.flat[0]) - float(bgs[0].reshape(-1)[0]) * 1023) <= 1
+        # in-range frames are real stabilized content (match a full render)
+        mgr.params.trim_ranges = []
+        full_out = str(tmp_path / "full2.y4m")
+        render(mgr, y4m10_path, full_out, RenderOptions(interpolation=2))
+        full = self._frames(full_out)
+        for k in (0, 2, 4, 6):
+            np.testing.assert_array_equal(got[k][0], full[k][0])
+
+
 class TestChromaPlaneRects:
     def test_uv_plane_matches_oracle_rects(self, gcsv_path):  # noqa: F811
         """Chroma processed with luma geometry + rects == oracle with the
@@ -599,6 +653,34 @@ class TestAudioTranscodeCommand:
         i = cmd.index("-c:a")
         assert cmd[i + 1] == "aac"
         assert "-af" in cmd and "aresample=async=1" in cmd
+
+    def test_trim_range_seeks_audio_input(self, stub_bins, tmp_path,
+                                          monkeypatch):
+        """Trimmed renders pass -ss/-t as INPUT options on the audio source
+        (rendering/mod.rs:279 proc.ranges_ms trims audio to the range)."""
+        monkeypatch.setattr(stub_bins, "probe_audio_codec", lambda p: "aac")
+        captured = {}
+        real_popen = stub_bins.subprocess.Popen
+
+        def spy(cmd, **kw):
+            captured["cmd"] = cmd
+            return real_popen(cmd, **kw)
+
+        monkeypatch.setattr(stub_bins.subprocess, "Popen", spy)
+        out = str(tmp_path / "enc3.mp4")
+        w = stub_bins.FFmpegWriter(out, 64, 48, 30.0, "yuv420p", "h264",
+                                   audio_from="src.mp4",
+                                   audio_offset_s=1.5, audio_duration_s=2.0)
+        w.write_planes([np.zeros((48, 64, 1), np.uint8),
+                        np.zeros((24, 32, 1), np.uint8),
+                        np.zeros((24, 32, 1), np.uint8)])
+        w.close()
+        cmd = captured["cmd"]
+        ai = cmd.index("src.mp4")
+        ss = cmd.index("-ss")
+        tt = cmd.index("-t")
+        assert ss < ai and tt < ai, cmd          # input-side options
+        assert cmd[ss + 1] == "1.500000" and cmd[tt + 1] == "2.000000"
 
     def test_compatible_source_copies(self, stub_bins, tmp_path, monkeypatch):
         monkeypatch.setattr(stub_bins, "probe_audio_codec", lambda p: "aac")

@@ -135,6 +135,91 @@ class TestRemux:
         assert {t.handler_type for t in tracks} >= {b"vide", b"soun"}
 
 
+class TestAudioTrim:
+    """Trimmed renders present only the rendered range of the source audio
+    via an edts/elst edit (rendering/mod.rs:278-279 proc.ranges_ms)."""
+
+    def _parse_elst(self, buf):
+        pos = buf.find(b"elst")
+        if pos == -1:
+            return None
+        count = struct.unpack_from(">I", buf, pos + 8)[0]
+        entries = [struct.unpack_from(">IiHH", buf, pos + 12 + 12 * i)
+                   for i in range(count)]
+        return entries
+
+    def test_offset_and_duration_write_elst(self, tmp_path):
+        vfile = tmp_path / "v.mp4"; afile = tmp_path / "a.mp4"
+        ofile = tmp_path / "o.mp4"
+        vfile.write_bytes(make_media_mp4(b"vide", b"V", b"mp4v",
+                                         [b"x" * 10] * 5))
+        # audio: timescale 48000, 8 samples x 1024 ticks = 8192 (~0.171 s);
+        # movie timescale (from the VIDEO file's mvhd) is 1000
+        afile.write_bytes(make_media_mp4(b"soun", b"S", b"mp4a",
+                                         [bytes([i]) * 37 for i in range(8)]))
+        assert remux_with_audio(str(vfile), str(afile), str(ofile),
+                                offset_s=0.05, duration_s=0.08)
+        buf = ofile.read_bytes()
+        entries = self._parse_elst(buf)
+        assert entries == [(80, 2400, 1, 0)], entries  # 0.08*1000, 0.05*48000
+        # sample data still relocates correctly with the edts inserted
+        tracks = parse_tracks(buf)
+        soun = next(t for t in tracks if t.handler_type == b"soun")
+        for (off, size, _t, _d), i in zip(soun.samples(), range(8)):
+            assert buf[off:off + size] == bytes([i]) * 37
+
+    def test_open_ended_duration_uses_media_remainder(self, tmp_path):
+        vfile = tmp_path / "v.mp4"; afile = tmp_path / "a.mp4"
+        ofile = tmp_path / "o.mp4"
+        vfile.write_bytes(make_media_mp4(b"vide", b"V", b"mp4v", [b"x" * 10]))
+        afile.write_bytes(make_media_mp4(b"soun", b"S", b"mp4a",
+                                         [b"y" * 10] * 8))
+        assert remux_with_audio(str(vfile), str(afile), str(ofile),
+                                offset_s=0.1)
+        entries = self._parse_elst(ofile.read_bytes())
+        # remainder = 8192/48000 - 0.1 ≈ 0.0707 s -> 71 movie ticks
+        assert entries == [(71, 4800, 1, 0)], entries
+
+    def test_offset_past_audio_end_returns_false(self, tmp_path):
+        vfile = tmp_path / "v.mp4"; afile = tmp_path / "a.mp4"
+        ofile = tmp_path / "o.mp4"
+        vfile.write_bytes(make_media_mp4(b"vide", b"V", b"mp4v", [b"x" * 10]))
+        afile.write_bytes(make_media_mp4(b"soun", b"S", b"mp4a", [b"y" * 10]))
+        assert not remux_with_audio(str(vfile), str(afile), str(ofile),
+                                    offset_s=60.0)
+        assert not ofile.exists()
+
+    def test_existing_edit_list_bails(self, tmp_path):
+        vfile = tmp_path / "v.mp4"; afile = tmp_path / "a.mp4"
+        ofile = tmp_path / "o.mp4"
+        vfile.write_bytes(make_media_mp4(b"vide", b"V", b"mp4v", [b"x" * 10]))
+        blob = make_media_mp4(b"soun", b"S", b"mp4a", [b"y" * 10] * 2)
+        # splice an edts (e.g. AAC priming) after the audio tkhd: composing
+        # offsets with an existing edit is ambiguous -> video-only fallback
+        elst = full(b"elst", struct.pack(">I", 1) +
+                    struct.pack(">IiHH", 100, 0, 1, 0))
+        edts = box(b"edts", elst)
+        tk = blob.find(b"tkhd")
+        tk_end = tk - 4 + struct.unpack_from(">I", blob, tk - 4)[0]
+        patched = bytearray(blob[:tk_end] + edts + blob[tk_end:])
+        # grow every ancestor box (trak/moov) that contained the splice point
+        for name in (b"trak", b"moov"):
+            p = patched.find(name)
+            struct.pack_into(">I", patched, p - 4,
+                             struct.unpack_from(">I", patched, p - 4)[0] + len(edts))
+        afile.write_bytes(bytes(patched))
+        assert not remux_with_audio(str(vfile), str(afile), str(ofile),
+                                    offset_s=0.01)
+
+    def test_untrimmed_remux_has_no_elst(self, tmp_path):
+        vfile = tmp_path / "v.mp4"; afile = tmp_path / "a.mp4"
+        ofile = tmp_path / "o.mp4"
+        vfile.write_bytes(make_media_mp4(b"vide", b"V", b"mp4v", [b"x" * 10]))
+        afile.write_bytes(make_media_mp4(b"soun", b"S", b"mp4a", [b"y" * 10]))
+        assert remux_with_audio(str(vfile), str(afile), str(ofile))
+        assert self._parse_elst(ofile.read_bytes()) is None
+
+
 class TestPcmRewrite:
     """QuickTime PCM ('sowt' etc.) -> ISO 23003-5 ipcm+pcmC when remuxing
     into .mp4 (VERDICT r2 #6); the ffmpeg path transcodes instead."""
