@@ -320,7 +320,8 @@ class FFmpegWriter:
                  pix_fmt: str = "yuv420p10le", codec: str = "h265",
                  bitrate_mbps: float = 0.0, audio_from: Optional[str] = None,
                  use_gpu: bool = False, audio_codec: str = "",
-                 audio_offset_s: float = 0.0, audio_duration_s: float = 0.0):
+                 audio_offset_s: float = 0.0, audio_duration_s: float = 0.0,
+                 preserve_other_tracks: bool = False):
         self.fmt = RAW_FORMATS[pix_fmt]
         self.width = width
         self.height = height
@@ -338,7 +339,14 @@ class FFmpegWriter:
                 cmd += ["-ss", f"{audio_offset_s:.6f}"]
             if audio_duration_s > 0.0:
                 cmd += ["-t", f"{audio_duration_s:.6f}"]
-            cmd += ["-i", audio_from, "-map", "0:v", "-map", "1:a?"]
+            if preserve_other_tracks:
+                # all non-video source streams ride along (the reference keeps
+                # Data streams too: ffmpeg_processor.rs:300-346)
+                cmd += ["-i", audio_from, "-map", "0:v", "-map", "1",
+                        "-map", "-1:v", "-c:s", "copy", "-c:d", "copy",
+                        "-copy_unknown"]
+            else:
+                cmd += ["-i", audio_from, "-map", "0:v", "-map", "1:a?"]
             cmd += audio_args(path, audio_from, audio_codec)
         cmd += _encoder_args(codec, pix_fmt, bitrate_mbps, use_gpu=use_gpu)
         cmd += [path]

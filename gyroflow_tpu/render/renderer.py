@@ -50,6 +50,11 @@ class RenderOptions:
     pad_with_black: bool = False       # keep full timeline, fill outside the
                                        # trim ranges with the background color
                                        # (render_queue.rs:87, mod.rs:452-453)
+    preserve_other_tracks: bool = False  # carry non-video source tracks
+                                       # (GPMF telemetry, timecode…) into the
+                                       # output; disables trimming like the
+                                       # reference (render_queue.rs:86,
+                                       # mod.rs:196-200)
     interpolation: int = 8
     safe_area: Optional[list] = None   # [x0, y0, x1, y1] output px → dim outside
     overlay: object = None             # core.drawing.DrawCanvas debug overlay
@@ -183,7 +188,8 @@ def open_writer(output_path: str, ow: int, oh: int, fps: float,
             output_path, ow, oh, fps, pix, codec, options.bitrate,
             audio_from=input_path if want_audio else None,
             use_gpu=options.use_gpu, audio_codec=options.audio_codec,
-            audio_offset_s=audio_offset_s, audio_duration_s=audio_duration_s)
+            audio_offset_s=audio_offset_s, audio_duration_s=audio_duration_s,
+            preserve_other_tracks=options.preserve_other_tracks)
     return "rgb", VideoWriter(output_path, ow, oh, fps, options.codec)
 
 
@@ -289,6 +295,8 @@ def render(mgr, input_path: str, output_path: str,
     tr = sorted((float(a), float(b)) for a, b in (mgr.params.trim_ranges or []))
     if not tr:
         tr = [(options.trim_start, options.trim_end)]
+    if options.preserve_other_tracks:
+        tr = [(0.0, 1.0)]   # preserve implies full length (mod.rs:196-200)
     ranges_f = [(int(a * n), int(b * n)) for a, b in tr]
     pad_black = options.pad_with_black and tr != [(0.0, 1.0)]
     first = 0 if pad_black else ranges_f[0][0]
@@ -539,7 +547,8 @@ def render(mgr, input_path: str, output_path: str,
         tmp = output_path + ".remux.mp4"
         try:
             if remux_with_audio(output_path, input_path, tmp,
-                                offset_s=a_off, duration_s=a_dur):
+                                offset_s=a_off, duration_s=a_dur,
+                                preserve_other_tracks=options.preserve_other_tracks):
                 os.replace(tmp, output_path)
                 audio_copied = True
         except Exception as e:

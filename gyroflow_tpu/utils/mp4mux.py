@@ -238,11 +238,15 @@ def _apply_audio_trim(trak: bytearray, movie_timescale: int,
 
 
 def remux_with_audio(video_path: str, audio_source_path: str, out_path: str,
-                     offset_s: float = 0.0, duration_s: float = 0.0) -> bool:
+                     offset_s: float = 0.0, duration_s: float = 0.0,
+                     preserve_other_tracks: bool = False) -> bool:
     """Merge the stabilized video-only MP4 with the source's audio track.
 
     offset_s/duration_s trim the audio presentation to the rendered range
     (an edts/elst edit — see _apply_audio_trim); 0 means from-start/to-end.
+    preserve_other_tracks also carries every non-video source trak (GPMF
+    telemetry, timecode, subtitles…) like the reference's option
+    (render_queue.rs:86, ffmpeg_processor.rs:300-346 keeps Data streams).
 
     Returns False (and writes nothing) if either side lacks what's needed —
     callers fall back to the video-only file, mirroring the reference's
@@ -254,51 +258,78 @@ def remux_with_audio(video_path: str, audio_source_path: str, out_path: str,
         abuf = f.read()
 
     v_trak = _find_trak(vbuf, b"vide")
-    a_trak = _find_trak(abuf, b"soun")
     v_spans = _spans(vbuf)
     ftyp = next(((b, e, s) for p, b, e, s in v_spans if p == ("ftyp",)), None)
     moov = next(((b, e, s) for p, b, e, s in v_spans if p == ("moov",)), None)
-    if v_trak is None or a_trak is None or moov is None:
+    if v_trak is None or moov is None:
+        return False
+
+    # source traks to carry over: the first audio trak, plus (with
+    # preserve_other_tracks) every other non-video trak
+    src_traks = []
+    have_soun = False
+    for p, b, e, _s in _spans(abuf):
+        if p != ("moov", "trak"):
+            continue
+        hdl = None
+        for p2, b2, e2, _s2 in _spans(abuf, b, e):
+            if p2[-1] == "hdlr":
+                hdl = abuf[b2 + 8:b2 + 12]
+                break
+        if hdl == b"soun" and not have_soun:
+            src_traks.append((hdl, b, e))
+            have_soun = True
+        elif preserve_other_tracks and hdl is not None and hdl != b"vide":
+            src_traks.append((hdl, b, e))
+    if not src_traks:
         return False
 
     try:
         v_chunks, v_tbl, v_64 = _track_chunks(vbuf, v_trak[0], v_trak[1])
-        a_chunks, a_tbl, a_64 = _track_chunks(abuf, a_trak[0], a_trak[1])
     except ValueError:
+        return False
+
+    carried = []    # [trak_bytes, tbl_rel, is64, chunks]
+    for hdl, b, e in src_traks:
+        try:
+            chunks, tbl, is64 = _track_chunks(abuf, b, e)
+        except ValueError:
+            if hdl == b"soun":
+                return False
+            continue                      # skip odd data traks, keep going
+        start = b - 8
+        tb = bytearray(abuf[start:e])
+        tbl_rel = tbl - start             # offset table pos within trak copy
+        if hdl == b"soun":
+            if out_path.lower().endswith((".mp4", ".m4v")):
+                ins = _rewrite_pcm_entry(tb)
+                if ins is not None and ins[0] <= tbl_rel:
+                    tbl_rel += ins[1]
+            if offset_s > 0.0 or duration_s > 0.0:
+                ins = _apply_audio_trim(tb, _movie_timescale(vbuf),
+                                        offset_s, duration_s)
+                if ins is None:
+                    return False
+                if ins[0] <= tbl_rel:
+                    tbl_rel += ins[1]
+        carried.append([tb, tbl_rel, is64, chunks])
+    if not carried:
         return False
 
     ftyp_bytes = vbuf[ftyp[2]:ftyp[1]] if ftyp else _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2mp41")
 
-    # assemble the new moov: original moov body + the audio trak appended
+    # assemble the new moov: original moov body + the carried traks appended
     moov_body = bytearray(vbuf[moov[0]:moov[1]])
-    a_trak_start = a_trak[0] - 8
-    audio_trak_bytes = bytearray(abuf[a_trak_start:a_trak[1]])
-    a_tbl_rel = a_tbl - a_trak_start          # offset table pos within trak copy
-    if out_path.lower().endswith((".mp4", ".m4v")):
-        ins = _rewrite_pcm_entry(audio_trak_bytes)
-        if ins is not None and ins[0] <= a_tbl_rel:
-            a_tbl_rel += ins[1]
-    if offset_s > 0.0 or duration_s > 0.0:
-        ins = _apply_audio_trim(audio_trak_bytes, _movie_timescale(vbuf),
-                                offset_s, duration_s)
-        if ins is None:
-            return False
-        if ins[0] <= a_tbl_rel:
-            a_tbl_rel += ins[1]
     v_tbl_rel = v_tbl - moov[0]               # within moov body
-    moov_bytes_len = 8 + len(moov_body) + len(audio_trak_bytes)
+    moov_bytes_len = 8 + len(moov_body) + sum(len(c[0]) for c in carried)
 
-    # mdat follows ftyp + moov; lay out video chunks then audio chunks
+    # mdat follows ftyp + moov; lay out video chunks then each trak's chunks
     mdat_start = len(ftyp_bytes) + moov_bytes_len + 8
     data = bytearray()
     new_v_offs = []
     for off, nbytes in v_chunks:
         new_v_offs.append(mdat_start + len(data))
         data += vbuf[off:off + nbytes]
-    new_a_offs = []
-    for off, nbytes in a_chunks:
-        new_a_offs.append(mdat_start + len(data))
-        data += abuf[off:off + nbytes]
 
     def patch(table: bytearray, pos: int, offs: List[int], is64: bool):
         w = 8 if is64 else 4
@@ -306,9 +337,14 @@ def remux_with_audio(video_path: str, audio_source_path: str, out_path: str,
             struct.pack_into(">Q" if is64 else ">I", table, pos + i * w, o)
 
     patch(moov_body, v_tbl_rel, new_v_offs, v_64)
-    patch(audio_trak_bytes, a_tbl_rel, new_a_offs, a_64)
+    for tb, tbl_rel, is64, chunks in carried:
+        offs = []
+        for off, nbytes in chunks:
+            offs.append(mdat_start + len(data))
+            data += abuf[off:off + nbytes]
+        patch(tb, tbl_rel, offs, is64)
 
-    # give the audio track a non-colliding id (tkhd) and bump mvhd next_track_id
+    # give carried tracks non-colliding ids (tkhd) and bump mvhd next_track_id
     def tkhd_id_pos(buf2, start, end, base):
         for p, b, e, _s in _spans(buf2, start, end):
             if p[-1] == "tkhd":
@@ -316,16 +352,21 @@ def remux_with_audio(video_path: str, audio_source_path: str, out_path: str,
         return None
 
     v_id_pos = tkhd_id_pos(vbuf, v_trak[0], v_trak[1], moov[0])
-    a_id_pos = tkhd_id_pos(abuf, a_trak[0], a_trak[1], a_trak_start)
-    if v_id_pos is not None and a_id_pos is not None:
+    if v_id_pos is not None:
         v_id = struct.unpack_from(">I", moov_body, v_id_pos)[0]
-        struct.pack_into(">I", audio_trak_bytes, a_id_pos, v_id + 1)
+        next_id = v_id + 1
+        for tb, _tbl, _is64, _chunks in carried:
+            pos = tkhd_id_pos(tb, 8, len(tb), 0)
+            if pos is not None:
+                struct.pack_into(">I", tb, pos, next_id)
+                next_id += 1
         for p, b, e, _s in v_spans:
             if p == ("moov", "mvhd"):
                 ntp = (e - 4) - moov[0]   # next_track_id is the last u32 of mvhd
-                struct.pack_into(">I", moov_body, ntp, v_id + 2)
+                struct.pack_into(">I", moov_body, ntp, next_id)
 
-    new_moov = struct.pack(">I4s", moov_bytes_len, b"moov") + bytes(moov_body) + bytes(audio_trak_bytes)
+    new_moov = struct.pack(">I4s", moov_bytes_len, b"moov") + bytes(moov_body) \
+        + b"".join(bytes(c[0]) for c in carried)
     with open(out_path, "wb") as f:
         f.write(ftyp_bytes)
         f.write(new_moov)

@@ -682,6 +682,33 @@ class TestAudioTranscodeCommand:
         assert ss < ai and tt < ai, cmd          # input-side options
         assert cmd[ss + 1] == "1.500000" and cmd[tt + 1] == "2.000000"
 
+    def test_preserve_other_tracks_maps_all_streams(self, stub_bins, tmp_path,
+                                                    monkeypatch):
+        """preserve_other_tracks maps every non-video source stream and
+        stream-copies data/subtitles (ffmpeg_processor.rs:300-346)."""
+        monkeypatch.setattr(stub_bins, "probe_audio_codec", lambda p: "aac")
+        captured = {}
+        real_popen = stub_bins.subprocess.Popen
+
+        def spy(cmd, **kw):
+            captured["cmd"] = cmd
+            return real_popen(cmd, **kw)
+
+        monkeypatch.setattr(stub_bins.subprocess, "Popen", spy)
+        out = str(tmp_path / "enc4.mp4")
+        w = stub_bins.FFmpegWriter(out, 64, 48, 30.0, "yuv420p", "h264",
+                                   audio_from="src.mp4",
+                                   preserve_other_tracks=True)
+        w.write_planes([np.zeros((48, 64, 1), np.uint8),
+                        np.zeros((24, 32, 1), np.uint8),
+                        np.zeros((24, 32, 1), np.uint8)])
+        w.close()
+        cmd = captured["cmd"]
+        maps = [cmd[i + 1] for i, a in enumerate(cmd) if a == "-map"]
+        assert maps == ["0:v", "1", "-1:v"], maps
+        assert "-copy_unknown" in cmd
+        assert cmd[cmd.index("-c:d") + 1] == "copy"
+
     def test_compatible_source_copies(self, stub_bins, tmp_path, monkeypatch):
         monkeypatch.setattr(stub_bins, "probe_audio_codec", lambda p: "aac")
         captured = {}

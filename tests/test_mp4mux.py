@@ -135,6 +135,107 @@ class TestRemux:
         assert {t.handler_type for t in tracks} >= {b"vide", b"soun"}
 
 
+def make_multitrack_mp4(specs, timescale=48000, sample_dur=1024):
+    """Multi-track MP4: specs = [(handler, name, fmt, payloads), ...]."""
+    traks = []
+    all_sizes = []
+    for ti, (handler, handler_name, fmt, payloads) in enumerate(specs):
+        sizes = [len(p) for p in payloads]
+        all_sizes.append(sizes)
+        stsd_entry = box(fmt, b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 20)
+        stsd = full(b"stsd", struct.pack(">I", 1) + stsd_entry)
+        stts = full(b"stts", struct.pack(">III", 1, len(payloads), sample_dur))
+        stsz = full(b"stsz", struct.pack(">II", 0, len(sizes)) +
+                    struct.pack(f">{len(sizes)}I", *sizes))
+        stsc = full(b"stsc", struct.pack(">I", 1) + struct.pack(">III", 1, 1, 1))
+        hdlr = full(b"hdlr", b"\x00" * 4 + handler + b"\x00" * 12 +
+                    handler_name + b"\x00")
+        mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, timescale,
+                                         sample_dur * len(payloads)) +
+                    struct.pack(">HH", 0x55C4, 0))
+        tkhd = full(b"tkhd", struct.pack(">III", 0, 0, ti + 1) + b"\x00" * 68,
+                    flags=7)
+        traks.append((tkhd, mdhd, hdlr, stsd, stts, stsc, stsz, sizes))
+
+    mvhd = full(b"mvhd", struct.pack(">IIII", 0, 0, 1000, 1000) + b"\x00" * 76 +
+                struct.pack(">I", len(specs) + 1))
+    data_start = 0
+    for _pass in range(2):
+        trak_boxes = []
+        off = data_start
+        for (tkhd, mdhd, hdlr, stsd, stts, stsc, stsz, sizes) in traks:
+            offs = []
+            for sz in sizes:
+                offs.append(off)
+                off += sz
+            stco = full(b"stco", struct.pack(">I", len(sizes)) +
+                        struct.pack(f">{len(sizes)}I", *offs))
+            stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+            trak_boxes.append(box(b"trak", tkhd + box(
+                b"mdia", mdhd + hdlr + box(b"minf", stbl))))
+        moov = box(b"moov", mvhd + b"".join(trak_boxes))
+        ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2mp41")
+        data_start = len(ftyp) + len(moov) + 8
+    payload = b"".join(p for spec in specs for p in spec[3])
+    return ftyp + moov + box(b"mdat", payload)
+
+
+class TestPreserveOtherTracks:
+    """preserve_other_tracks carries every non-video source trak (GPMF
+    telemetry, timecode...) — render_queue.rs:86, ffmpeg_processor.rs:300-346."""
+
+    def test_meta_trak_carried(self, tmp_path):
+        vfile = tmp_path / "v.mp4"; sfile = tmp_path / "src.mp4"
+        ofile = tmp_path / "o.mp4"
+        vfile.write_bytes(make_media_mp4(b"vide", b"V", b"mp4v",
+                                         [b"x" * 10] * 3))
+        ap = [bytes([0xA0 + i]) * 21 for i in range(4)]
+        gp = [b"GPMF%02d" % i for i in range(3)]
+        sfile.write_bytes(make_multitrack_mp4([
+            (b"soun", b"Sound", b"mp4a", ap),
+            (b"meta", b"GoPro MET", b"gpmd", gp)]))
+        assert remux_with_audio(str(vfile), str(sfile), str(ofile),
+                                preserve_other_tracks=True)
+        buf = ofile.read_bytes()
+        tracks = parse_tracks(buf)
+        by_type = {t.handler_type: t for t in tracks}
+        assert set(by_type) == {b"vide", b"soun", b"meta"}
+        for (off, size, _t, _d), orig in zip(by_type[b"soun"].samples(), ap):
+            assert buf[off:off + size] == orig
+        for (off, size, _t, _d), orig in zip(by_type[b"meta"].samples(), gp):
+            assert buf[off:off + size] == orig
+
+    def test_default_keeps_only_audio(self, tmp_path):
+        vfile = tmp_path / "v.mp4"; sfile = tmp_path / "src.mp4"
+        ofile = tmp_path / "o.mp4"
+        vfile.write_bytes(make_media_mp4(b"vide", b"V", b"mp4v", [b"x" * 10]))
+        sfile.write_bytes(make_multitrack_mp4([
+            (b"soun", b"Sound", b"mp4a", [b"a" * 9]),
+            (b"meta", b"GoPro MET", b"gpmd", [b"g" * 9])]))
+        assert remux_with_audio(str(vfile), str(sfile), str(ofile))
+        tracks = parse_tracks(ofile.read_bytes())
+        assert {t.handler_type for t in tracks} == {b"vide", b"soun"}
+
+    def test_track_ids_unique(self, tmp_path):
+        vfile = tmp_path / "v.mp4"; sfile = tmp_path / "src.mp4"
+        ofile = tmp_path / "o.mp4"
+        vfile.write_bytes(make_media_mp4(b"vide", b"V", b"mp4v", [b"x" * 10]))
+        sfile.write_bytes(make_multitrack_mp4([
+            (b"soun", b"S", b"mp4a", [b"a" * 9]),
+            (b"meta", b"M", b"gpmd", [b"g" * 9])]))
+        assert remux_with_audio(str(vfile), str(sfile), str(ofile),
+                                preserve_other_tracks=True)
+        buf = ofile.read_bytes()
+        ids = []
+        pos = buf.find(b"tkhd")
+        while pos != -1:
+            ver = buf[pos + 4]
+            ids.append(struct.unpack_from(">I", buf,
+                                          pos + (24 if ver == 1 else 16))[0])
+            pos = buf.find(b"tkhd", pos + 4)
+        assert len(ids) == 3 and len(set(ids)) == 3, ids
+
+
 class TestAudioTrim:
     """Trimmed renders present only the rendered range of the source audio
     via an edts/elst edit (rendering/mod.rs:278-279 proc.ranges_ms)."""
