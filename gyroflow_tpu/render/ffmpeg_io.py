@@ -284,6 +284,16 @@ def _encoder_pix_fmt(encoder: str, ten_bit: bool) -> str:
         else "yuv420p10le"
 
 
+def parse_encoder_options(s: str) -> List[str]:
+    """'-key value -key2 "v 2"' -> ffmpeg args (render_queue.rs
+    get_encoder_options_dict regex semantics)."""
+    import re
+    out: List[str] = []
+    for m in re.finditer(r'-([^\s"]+)\s+("[^"]+"|[^\s"]+)', s or ""):
+        out += [f"-{m.group(1)}", m.group(2).strip('"')]
+    return out
+
+
 # codec name -> (encoder args builder); mirrors get_possible_encoders
 # (rendering/mod.rs:81-185) with hardware variants chosen by discovery
 def _encoder_args(codec: str, pix_fmt: str, bitrate_mbps: float,
@@ -321,7 +331,9 @@ class FFmpegWriter:
                  bitrate_mbps: float = 0.0, audio_from: Optional[str] = None,
                  use_gpu: bool = False, audio_codec: str = "",
                  audio_offset_s: float = 0.0, audio_duration_s: float = 0.0,
-                 preserve_other_tracks: bool = False):
+                 preserve_other_tracks: bool = False,
+                 encoder_options: str = "", keyframe_distance: float = -1.0,
+                 metadata_comment: str = ""):
         self.fmt = RAW_FORMATS[pix_fmt]
         self.width = width
         self.height = height
@@ -349,6 +361,15 @@ class FFmpegWriter:
                 cmd += ["-i", audio_from, "-map", "0:v", "-map", "1:a?"]
             cmd += audio_args(path, audio_from, audio_codec)
         cmd += _encoder_args(codec, pix_fmt, bitrate_mbps, use_gpu=use_gpu)
+        if keyframe_distance > 0:
+            # keyframe interval in seconds -> GOP size (mod.rs:387
+            # keyframe_distance_s)
+            cmd += ["-g", str(max(int(round(fps * keyframe_distance)), 1))]
+        if metadata_comment:
+            cmd += ["-metadata", f"comment={metadata_comment}"]
+        # advanced free-form encoder options come last so they can override
+        # (render_queue.rs:104-119 get_encoder_options_dict)
+        cmd += parse_encoder_options(encoder_options)
         cmd += [path]
         # spooled-file stderr: a pipe would deadlock the encode once 64 KB
         # of warnings accumulate un-drained

@@ -55,6 +55,15 @@ class RenderOptions:
                                        # output; disables trimming like the
                                        # reference (render_queue.rs:86,
                                        # mod.rs:196-200)
+    export_trims_separately: bool = False  # one output file per trim range,
+                                       # "-001" suffix (render_queue.rs:1072,
+                                       # mod.rs:697-703)
+    encoder_options: str = ""          # advanced free-form ffmpeg options,
+                                       # e.g. '-preset slow -crf 18'
+                                       # (render_queue.rs:83)
+    keyframe_distance: float = -1.0    # seconds between keyframes (mod.rs:387)
+    metadata_comment: str = ""         # written as the output's "comment"
+                                       # metadata (render_queue.rs:120-123)
     interpolation: int = 8
     safe_area: Optional[list] = None   # [x0, y0, x1, y1] output px → dim outside
     overlay: object = None             # core.drawing.DrawCanvas debug overlay
@@ -184,12 +193,20 @@ def open_writer(output_path: str, ow: int, oh: int, fps: float,
         codec = options.codec if options.codec != "mp4v" else "h264"
         # the reference disables audio when changing speed (mod.rs:446)
         want_audio = options.audio and video_speed == 1.0 and allow_audio
+        comment = options.metadata_comment
+        if comment:
+            # the reference prefixes the original filename (render_queue.rs:121)
+            comment = (f"Original filename: {os.path.basename(input_path)}\n"
+                       f"{comment}").strip()
         return "planar", FFmpegWriter(
             output_path, ow, oh, fps, pix, codec, options.bitrate,
             audio_from=input_path if want_audio else None,
             use_gpu=options.use_gpu, audio_codec=options.audio_codec,
             audio_offset_s=audio_offset_s, audio_duration_s=audio_duration_s,
-            preserve_other_tracks=options.preserve_other_tracks)
+            preserve_other_tracks=options.preserve_other_tracks,
+            encoder_options=options.encoder_options,
+            keyframe_distance=options.keyframe_distance,
+            metadata_comment=comment)
     return "rgb", VideoWriter(output_path, ow, oh, fps, options.codec)
 
 
@@ -268,11 +285,33 @@ def _plane_backgrounds(fmt: RawFormat, bg_rgba01, limited: bool):
 def render(mgr, input_path: str, output_path: str,
            options: Optional[RenderOptions] = None,
            progress_cb: Optional[Callable[[float], None]] = None,
-           cancel_flag: Optional[list] = None) -> dict:
-    """Stabilize input video into output. Returns summary stats."""
+           cancel_flag: Optional[list] = None,
+           trim_range_ind: Optional[int] = None) -> dict:
+    """Stabilize input video into output. Returns summary stats.
+
+    trim_range_ind selects one of manager.params.trim_ranges (used by
+    export_trims_separately, which renders each range to its own
+    "-001"-suffixed file — render_queue.rs:1072, mod.rs:697-703)."""
     import jax
 
     options = options or RenderOptions()
+    n_ranges = len(mgr.params.trim_ranges or [])
+    if (options.export_trims_separately and trim_range_ind is None
+            and n_ranges > 1 and not options.preserve_other_tracks):
+        base, ext = os.path.splitext(output_path)
+        agg: dict = {"frames": 0, "outputs": [], "fps": 0.0}
+        for i in range(n_ranges):
+            if cancel_flag and cancel_flag[0]:
+                break
+            s = render(mgr, input_path, f"{base}-{i + 1:03d}{ext}", options,
+                       progress_cb, cancel_flag, trim_range_ind=i)
+            agg["frames"] += s["frames"]
+            agg["outputs"].append(s["output"])
+            agg.update({k: v for k, v in s.items()
+                        if k not in ("frames", "output", "fps")})
+        agg["output"] = agg["outputs"][-1] if agg["outputs"] else output_path
+        return agg
+
     kind, reader = open_reader(input_path)
     # image sequences carry no timebase: the project's image_sequence_fps
     # drives frame timestamps (lib.rs:1293, rendering/mod.rs:234-239)
@@ -297,6 +336,8 @@ def render(mgr, input_path: str, output_path: str,
         tr = [(options.trim_start, options.trim_end)]
     if options.preserve_other_tracks:
         tr = [(0.0, 1.0)]   # preserve implies full length (mod.rs:196-200)
+    if trim_range_ind is not None and trim_range_ind < len(tr):
+        tr = [tr[trim_range_ind]]   # export_trims_separately: one range/file
     ranges_f = [(int(a * n), int(b * n)) for a, b in tr]
     pad_black = options.pad_with_black and tr != [(0.0, 1.0)]
     first = 0 if pad_black else ranges_f[0][0]

@@ -178,6 +178,26 @@ class TestTrimRangesRender:
         for k in (0, 2, 4, 6):
             np.testing.assert_array_equal(got[k][0], full[k][0])
 
+    def test_export_trims_separately(self, y4m10_path, gcsv_path, tmp_path):  # noqa: F811
+        """Each trim range renders to its own -00N-suffixed file
+        (render_queue.rs:1072, mod.rs:697-703)."""
+        mgr = make_manager(gcsv_path)
+        mgr.params.trim_ranges = [(0.0, 0.25), (0.5, 0.75)]
+        out = str(tmp_path / "sep.y4m")
+        stats = render(mgr, y4m10_path, out,
+                       RenderOptions(interpolation=2,
+                                     export_trims_separately=True))
+        f1 = self._frames(str(tmp_path / "sep-001.y4m"))
+        f2 = self._frames(str(tmp_path / "sep-002.y4m"))
+        assert len(f1) == 3 and len(f2) == 3      # (0..2) and (4..6) inclusive
+        assert stats["frames"] == 6
+        assert not os.path.exists(out)            # only suffixed outputs
+        mgr.params.trim_ranges = []
+        full_out = str(tmp_path / "fullsep.y4m")
+        render(mgr, y4m10_path, full_out, RenderOptions(interpolation=2))
+        full = self._frames(full_out)
+        np.testing.assert_array_equal(f2[0][0], full[4][0])
+
 
 class TestChromaPlaneRects:
     def test_uv_plane_matches_oracle_rects(self, gcsv_path):  # noqa: F811
@@ -681,6 +701,32 @@ class TestAudioTranscodeCommand:
         tt = cmd.index("-t")
         assert ss < ai and tt < ai, cmd          # input-side options
         assert cmd[ss + 1] == "1.500000" and cmd[tt + 1] == "2.000000"
+
+    def test_advanced_encoder_options(self, stub_bins, tmp_path, monkeypatch):
+        """keyframe_distance -> -g, metadata comment, and free-form encoder
+        options (render_queue.rs:83,104-123; mod.rs:387)."""
+        captured = {}
+        real_popen = stub_bins.subprocess.Popen
+
+        def spy(cmd, **kw):
+            captured["cmd"] = cmd
+            return real_popen(cmd, **kw)
+
+        monkeypatch.setattr(stub_bins.subprocess, "Popen", spy)
+        out = str(tmp_path / "enc5.mp4")
+        w = stub_bins.FFmpegWriter(
+            out, 64, 48, 30.0, "yuv420p", "h264",
+            encoder_options='-preset slow -x264-params "keyint=60"',
+            keyframe_distance=2.0, metadata_comment="hello world")
+        w.write_planes([np.zeros((48, 64, 1), np.uint8),
+                        np.zeros((24, 32, 1), np.uint8),
+                        np.zeros((24, 32, 1), np.uint8)])
+        w.close()
+        cmd = captured["cmd"]
+        assert cmd[cmd.index("-g") + 1] == "60"           # 30 fps * 2 s
+        assert cmd[cmd.index("-metadata") + 1] == "comment=hello world"
+        assert cmd[cmd.index("-preset") + 1] == "slow"
+        assert cmd[cmd.index("-x264-params") + 1] == "keyint=60"
 
     def test_preserve_other_tracks_maps_all_streams(self, stub_bins, tmp_path,
                                                     monkeypatch):
