@@ -127,46 +127,52 @@ def main():
 
     fps = 1.0 / best
 
-    # secondary metric: 8K Y-plane single-frame time (BASELINE.json
-    # configs[4] geometry class; VERDICT r2 #8)
-    W8, H8 = 8192, 4320
-    f8 = (W8 * 0.62, W8 * 0.62)
-    cfg8 = KernelConfig(width=W8, height=H8, output_width=W8, output_height=H8,
-                        interpolation=8, distortion_model="opencv_fisheye",
-                        plane_index=0, flags=FIX_COLOR_RANGE)
-    dyn8 = KernelDynamics.make(f=f8, c=(W8 / 2, H8 / 2),
-                               k=[0.25, -0.07, 0.02, -0.003], fov=0.92,
-                               max_pixel_value=1023.0, pixel_value_limit=1023.0,
-                               background=(0, 0, 0, 1))
-    img8 = jnp.asarray(rng.uniform(0, 1023, (H8, W8, 1)).astype(np.float32))
-    mats8 = jnp.asarray(make_matrices(W8, H8, f8, 0.92, H8))
-    win8 = pick_window(cfg8, dyn8, img8, mats8)
-
-    def run8():
-        out, _ = remap.remap_plane_pallas(img8, mats8, cfg8, dyn8,
-                                          win_h=win8[0], win_w=win8[1],
-                                          win_k=win8[2], tile_w=win8[3],
-                                          tile_h=TILE_H, win_r=win8[4])
-        return jnp.sum(out)
-
-    run8_j = jax.jit(run8)
-    float(run8_j())
-    best8 = None
-    for _ in range(3):
-        t0 = time.time()
-        outs = [run8_j() for _ in range(6)]
-        float(outs[-1])
-        dt = (time.time() - t0) / 6
-        best8 = dt if best8 is None else min(best8, dt)
-
-    print(json.dumps({
+    result = {
         "metric": "4K60 10-bit YUV420 stabilized frames/sec/chip (lanczos4, per-row RS, fisheye)",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),
-        "secondary_8k_y_ms_per_frame": round(best8 * 1000.0, 2),
-        "secondary_8k_y_fps": round(1.0 / best8, 2),
-    }))
+    }
+
+    # secondary metric: 8K Y-plane single-frame time (BASELINE.json
+    # configs[4] geometry class; VERDICT r2 #8). Failure-tolerant: the
+    # primary number must land even if the 35 MP allocation hits a bad day.
+    try:
+        W8, H8 = 8192, 4320
+        f8 = (W8 * 0.62, W8 * 0.62)
+        cfg8 = KernelConfig(width=W8, height=H8, output_width=W8, output_height=H8,
+                            interpolation=8, distortion_model="opencv_fisheye",
+                            plane_index=0, flags=FIX_COLOR_RANGE)
+        dyn8 = KernelDynamics.make(f=f8, c=(W8 / 2, H8 / 2),
+                                   k=[0.25, -0.07, 0.02, -0.003], fov=0.92,
+                                   max_pixel_value=1023.0, pixel_value_limit=1023.0,
+                                   background=(0, 0, 0, 1))
+        img8 = jnp.asarray(rng.uniform(0, 1023, (H8, W8, 1)).astype(np.float32))
+        mats8 = jnp.asarray(make_matrices(W8, H8, f8, 0.92, H8))
+        win8 = pick_window(cfg8, dyn8, img8, mats8)
+
+        def run8():
+            out, _ = remap.remap_plane_pallas(img8, mats8, cfg8, dyn8,
+                                              win_h=win8[0], win_w=win8[1],
+                                              win_k=win8[2], tile_w=win8[3],
+                                              tile_h=TILE_H, win_r=win8[4])
+            return jnp.sum(out)
+
+        run8_j = jax.jit(run8)
+        float(run8_j())
+        best8 = None
+        for _ in range(3):
+            t0 = time.time()
+            outs = [run8_j() for _ in range(6)]
+            float(outs[-1])
+            dt = (time.time() - t0) / 6
+            best8 = dt if best8 is None else min(best8, dt)
+        result["secondary_8k_y_ms_per_frame"] = round(best8 * 1000.0, 2)
+        result["secondary_8k_y_fps"] = round(1.0 / best8, 2)
+    except Exception as e:  # noqa: BLE001 — secondary must not kill the bench
+        result["secondary_8k_error"] = str(e)[:200]
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
