@@ -125,10 +125,18 @@ class RenderQueue:
         # worker threads save on status changes: serialize writers and swap
         # atomically so a concurrent load never sees interleaved JSON
         with self._lock:
+            import dataclasses
+
+            def opts_json(o):
+                d = dataclasses.asdict(o)
+                d.pop("overlay", None)   # in-memory debug object, not state
+                return d
+
             state = [{
                 "job_id": j.job_id, "input_file": j.input_file,
                 "output_file": j.output_file, "project_data": j.project_data,
                 "status": j.status.value, "progress": j.progress, "error": j.error,
+                "options": opts_json(j.options),
             } for j in self.jobs.values()]
             tmp = self.state_path + ".tmp"
             with open(tmp, "w") as f:
@@ -144,6 +152,11 @@ class RenderQueue:
                     job = RenderJob(job_id=j["job_id"], input_file=j["input_file"],
                                     output_file=j["output_file"],
                                     project_data=j.get("project_data"))
+                    opts = RenderOptions()
+                    for k, v in (j.get("options") or {}).items():
+                        if hasattr(opts, k):
+                            setattr(opts, k, v)
+                    job.options = opts
                     job.status = JobStatus(j.get("status", "queued"))
                     if job.status == JobStatus.Rendering:
                         job.status = JobStatus.Queued  # resume interrupted

@@ -118,9 +118,11 @@ class TestRenderQueue:
             {j.job_id: (j.status, j.error) for j in q.jobs.values()}
         assert os.path.exists(str(tmp_path / "out1.mp4"))
 
-        # queue state persists and reloads
+        # queue state persists and reloads, INCLUDING render options
+        # (render_queue.rs:713-776 restores the full job config)
         q2 = RenderQueue.load_state(state)
         assert len(q2.jobs) == 2
+        assert all(j.options.interpolation == 2 for j in q2.jobs.values())
 
 
 class TestAutosync:
