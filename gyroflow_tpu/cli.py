@@ -279,6 +279,11 @@ def _run_single(args) -> int:
             return 2
         opts = RenderOptions()
         opts.trace = args.trace
+        # render settings embedded in an imported project (reference
+        # render_queue.rs:126-145); --out-params still overrides below
+        if getattr(mgr, "render_output_settings", None):
+            from .render.renderer import apply_output_settings
+            apply_output_settings(opts, mgr.render_output_settings)
         if args.out_params:
             for k, v in json.loads(args.out_params).items():
                 if hasattr(opts, k):

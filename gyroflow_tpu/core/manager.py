@@ -34,6 +34,8 @@ class StabilizationManager:
         self.input_file: Optional[str] = None
         self.image_sequence_start = 0     # lib.rs InputFile:61-62
         self.image_sequence_fps = 0.0
+        # "output" object of an imported project (render_queue.rs:126-145)
+        self.render_output_settings: Dict[str, object] = {}
         self._compute_params: Optional[ComputeParams] = None
         self._stab_cache: Dict[int, object] = {}     # ts_us -> FrameTransform
         self._win_cache: Dict[object, tuple] = {}    # cfg -> sampler window size
@@ -827,6 +829,7 @@ class StabilizationManager:
         m.input_file = self.input_file
         m.image_sequence_start = self.image_sequence_start
         m.image_sequence_fps = self.image_sequence_fps
+        m.render_output_settings = dict(self.render_output_settings)
         return m
 
     def offset_at_video_timestamp(self, timestamp_ms: float) -> float:

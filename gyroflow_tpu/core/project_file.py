@@ -416,13 +416,15 @@ def import_gyroflow_data(mgr, data: str, blocking: bool = True):
     mgr.image_sequence_start = int(obj.get("image_sequence_start", 0) or 0)
     mgr.image_sequence_fps = float(obj.get("image_sequence_fps", 0.0) or 0.0)
     # render-output settings object (written by the render queue / plugins;
-    # lib.rs:1745-1751 reads the output size back)
+    # lib.rs:1745-1751 reads the output size back, render_queue.rs:126-145
+    # restores the full render config — kept on the manager for the CLI)
     out = obj.get("output")
     if isinstance(out, dict):
         ow = int(out.get("output_width", 0) or 0)
         oh = int(out.get("output_height", 0) or 0)
         if ow > 0 and oh > 0:
             params.output_size = (ow, oh)
+        mgr.render_output_settings = dict(out)
     mgr.invalidate()
     if blocking and gyro.has_motion():
         mgr.recompute_blocking()

@@ -63,6 +63,15 @@ class RenderQueue:
             "pixel_format": opts.pix_fmt,
             "output_folder": os.path.dirname(os.path.abspath(output_file)),
             "output_filename": os.path.basename(output_file),
+            # advanced settings (render_queue.rs:82-90)
+            "encoder_options": opts.encoder_options,
+            "keyframe_distance": opts.keyframe_distance,
+            "preserve_other_tracks": opts.preserve_other_tracks,
+            "pad_with_black": opts.pad_with_black,
+            "export_trims_separately": opts.export_trims_separately,
+            "audio_codec": opts.audio_codec,
+            "interpolation": opts.interpolation,
+            "metadata": {"comment": opts.metadata_comment},
         }
         with self._lock:
             job_id = self._next_id

@@ -78,6 +78,44 @@ class RenderOptions:
                                        # device queue + decode overlap encode
 
 
+# reference names (stabilization/mod.rs:24-46, render_queue.rs settings)
+_INTERP_NAMES = {"bilinear": 2, "bicubic": 4, "lanczos4": 8,
+                 "ewa: robidouxsharp": 10, "ewa: robidoux": 11,
+                 "ewa: mitchell": 12, "ewa: catmull-rom": 13}
+_CODEC_NAMES = {"h.264/avc": "h264", "h.264": "h264", "h.265/hevc": "h265",
+                "h.265": "h265", "prores": "prores", "dnxhd": "dnxhd",
+                "exr sequence": "exr", "png sequence": "png"}
+
+
+def apply_output_settings(options: "RenderOptions", out: dict) -> "RenderOptions":
+    """Apply a project file's "output" settings object onto RenderOptions.
+
+    Accepts the reference's key names and value spellings
+    (render_queue.rs:126-145 update_from_json: codec "H.265/HEVC",
+    interpolation "Lanczos4", pixel_format, metadata.comment, …)."""
+    for k, v in (out or {}).items():
+        if v is None:
+            continue
+        if k == "pixel_format" and v:
+            options.pix_fmt = str(v)
+        elif k == "interpolation" and v:
+            if isinstance(v, str):
+                options.interpolation = _INTERP_NAMES.get(
+                    v.strip().lower(), options.interpolation)
+            else:
+                options.interpolation = int(v)
+        elif k == "codec" and v:
+            options.codec = _CODEC_NAMES.get(str(v).strip().lower(), str(v))
+        elif k == "metadata" and isinstance(v, dict):
+            options.metadata_comment = str(v.get("comment", "") or "")
+        elif k in ("output_folder", "output_filename", "input_filename",
+                   "input_url", "codec_options"):
+            continue            # path routing stays with the caller
+        elif hasattr(options, k):
+            setattr(options, k, v)
+    return options
+
+
 class _AsyncWriter:
     """Background-thread writer: write_* enqueue, a worker drains to the real
     writer. Errors surface on the next call or close()."""

@@ -164,6 +164,34 @@ class TestReferenceProjectImport:
         v = mgr.keyframes.value_at_video_timestamp(KeyframeType.Fov, 0.0)
         assert v == pytest.approx(1.0)
 
+    def test_output_settings_map_to_render_options(self, mgr):
+        """A project's "output" object (reference value spellings) seeds
+        RenderOptions (render_queue.rs:126-145 update_from_json)."""
+        proj = dict(REFERENCE_STYLE_PROJECT)
+        proj["output"] = {
+            "codec": "H.265/HEVC", "bitrate": 150.0, "use_gpu": False,
+            "audio": True, "pixel_format": "yuv420p10le",
+            "interpolation": "EWA: Catmull-Rom", "keyframe_distance": 1.5,
+            "preserve_other_tracks": True, "pad_with_black": True,
+            "export_trims_separately": True, "audio_codec": "aac",
+            "encoder_options": "-crf 20", "metadata": {"comment": "hi"},
+            "output_folder": "/x", "output_width": 1920, "output_height": 1080,
+        }
+        import_gyroflow_data(mgr, json.dumps(proj), blocking=False)
+        assert mgr.params.output_size == (1920, 1080)
+        from gyroflow_tpu.render.renderer import (RenderOptions,
+                                                  apply_output_settings)
+        o = apply_output_settings(RenderOptions(),
+                                  mgr.render_output_settings)
+        assert o.codec == "h265" and o.bitrate == 150.0 and o.audio
+        assert o.use_gpu is False
+        assert o.pix_fmt == "yuv420p10le" and o.interpolation == 13
+        assert o.keyframe_distance == 1.5 and o.preserve_other_tracks
+        assert o.pad_with_black and o.export_trims_separately
+        assert o.audio_codec == "aac" and o.encoder_options == "-crf 20"
+        assert o.metadata_comment == "hi"
+        assert (o.output_width, o.output_height) == (1920, 1080)
+
     def test_reexport_keeps_reference_fields(self, mgr):
         from gyroflow_tpu.core.project_file import export_gyroflow_data
         import_gyroflow_data(mgr, json.dumps(REFERENCE_STYLE_PROJECT),
