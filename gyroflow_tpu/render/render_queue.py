@@ -39,6 +39,7 @@ class RenderJob:
     progress: float = 0.0
     error: Optional[str] = None
     cancel_flag: list = field(default_factory=lambda: [False])
+    pause_flag: list = field(default_factory=lambda: [False])
 
 
 class RenderQueue:
@@ -91,6 +92,18 @@ class RenderQueue:
             job.cancel_flag[0] = True
             job.status = JobStatus.Cancelled
 
+    def pause(self):
+        """Suspend all running renders mid-frame-loop (render_queue.rs
+        pause_flag, :614-694); queued jobs also wait before starting."""
+        self.paused = True
+        for j in self.jobs.values():
+            j.pause_flag[0] = True
+
+    def resume(self):
+        self.paused = False
+        for j in self.jobs.values():
+            j.pause_flag[0] = False
+
     def run(self, overwrite: bool = False,
             progress_cb: Optional[Callable[[int, float], None]] = None):
         """Render all queued jobs, `parallel_renders` at a time."""
@@ -109,8 +122,12 @@ class RenderQueue:
                     job.progress = p
                     if progress_cb:
                         progress_cb(job.job_id, p)
+                import time as _t
+                while self.paused and not job.cancel_flag[0]:
+                    _t.sleep(0.1)        # queue paused before the job started
                 render(mgr, job.input_file, job.output_file, job.options,
-                       progress_cb=cb, cancel_flag=job.cancel_flag)
+                       progress_cb=cb, cancel_flag=job.cancel_flag,
+                       pause_flag=job.pause_flag)
                 if job.cancel_flag[0]:
                     job.status = JobStatus.Cancelled
                 else:

@@ -324,12 +324,15 @@ def render(mgr, input_path: str, output_path: str,
            options: Optional[RenderOptions] = None,
            progress_cb: Optional[Callable[[float], None]] = None,
            cancel_flag: Optional[list] = None,
-           trim_range_ind: Optional[int] = None) -> dict:
+           trim_range_ind: Optional[int] = None,
+           pause_flag: Optional[list] = None) -> dict:
     """Stabilize input video into output. Returns summary stats.
 
     trim_range_ind selects one of manager.params.trim_ranges (used by
     export_trims_separately, which renders each range to its own
-    "-001"-suffixed file — render_queue.rs:1072, mod.rs:697-703)."""
+    "-001"-suffixed file — render_queue.rs:1072, mod.rs:697-703).
+    pause_flag ([bool]) suspends the loop while True (render_queue.rs
+    pause/cancel flags, :614-694)."""
     import jax
 
     options = options or RenderOptions()
@@ -342,7 +345,8 @@ def render(mgr, input_path: str, output_path: str,
             if cancel_flag and cancel_flag[0]:
                 break
             s = render(mgr, input_path, f"{base}-{i + 1:03d}{ext}", options,
-                       progress_cb, cancel_flag, trim_range_ind=i)
+                       progress_cb, cancel_flag, trim_range_ind=i,
+                       pause_flag=pause_flag)
             agg["frames"] += s["frames"]
             agg["outputs"].append(s["output"])
             agg.update({k: v for k, v in s.items()
@@ -542,6 +546,9 @@ def render(mgr, input_path: str, output_path: str,
                 break
             if cancel_flag and cancel_flag[0]:
                 break
+            while pause_flag and pause_flag[0] \
+                    and not (cancel_flag and cancel_flag[0]):
+                _time.sleep(0.1)     # paused (render_queue.rs:614-694)
             in_range = any(a <= idx <= b for a, b in ranges_f)
             if not in_range and not pad_black:
                 # gap between trim ranges: decode-and-drop (ranges render

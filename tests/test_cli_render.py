@@ -124,6 +124,37 @@ class TestRenderQueue:
         assert len(q2.jobs) == 2
         assert all(j.options.interpolation == 2 for j in q2.jobs.values())
 
+    def test_pause_resume(self, video_path, gcsv_path, tmp_path):  # noqa: F811
+        """pause() suspends renders; resume() lets them finish
+        (render_queue.rs pause_flag, :614-694)."""
+        import threading
+        import time
+        from gyroflow_tpu.core.manager import StabilizationManager
+        from gyroflow_tpu.render.render_queue import JobStatus, RenderQueue
+        from gyroflow_tpu.render.renderer import RenderOptions
+        from gyroflow_tpu.render.video_io import probe_video
+
+        mgr = StabilizationManager()
+        info = probe_video(video_path)
+        mgr.init_from_video_data(info.duration_ms, info.fps, info.frame_count,
+                                 (info.width, info.height))
+        mgr.input_file = video_path
+        mgr.load_gyro_data(gcsv_path)
+        mgr.recompute_blocking()
+
+        q = RenderQueue(parallel_renders=1)
+        jid = q.add_job(mgr, video_path, str(tmp_path / "paused.mp4"),
+                        RenderOptions(interpolation=2))
+        q.pause()
+        t = threading.Thread(target=q.run, kwargs={"overwrite": True})
+        t.start()
+        time.sleep(0.6)
+        job = q.jobs[jid]
+        assert job.status != JobStatus.Finished and job.progress == 0.0
+        q.resume()
+        t.join(timeout=120)
+        assert job.status == JobStatus.Finished, (job.status, job.error)
+
 
 class TestAutosync:
     def test_autosync_smoke(self, video_path, gcsv_path):  # noqa: F811
