@@ -422,6 +422,195 @@ class StabilizationManager:
         self.keyframes.set(typ, timestamp_us, value)
         self.invalidate()
 
+    def remove_keyframe(self, typ: KeyframeType, timestamp_us: int):
+        self.keyframes.remove(typ, timestamp_us)
+        self.invalidate()
+
+    def is_keyframed(self, typ: KeyframeType) -> bool:
+        return self.keyframes.is_keyframed(typ)
+
+    def keyframe_value_at_video_timestamp(self, typ: KeyframeType, ts_ms: float):
+        return self.keyframes.value_at_video_timestamp(typ, ts_ms)
+
+    # ---- controller-parity thin setters (lib.rs:938-1214) ------------------
+    # The reference façade exposes one setter per parameter with targeted
+    # invalidation; the functional recompute here makes every setter a field
+    # write + generic invalidation (recompute_blocking rebuilds the chain).
+
+    def set_video_rotation(self, v: float):
+        self.params.video_rotation = float(v)
+        self.invalidate()
+
+    def set_stab_enabled(self, v: bool):
+        self.params.stab_enabled = bool(v)
+        self.invalidate()
+
+    def set_frame_readout_time(self, v: float):
+        self.params.frame_readout_time = float(v)
+        self.invalidate()
+
+    def set_frame_readout_direction(self, v):
+        from .params import ReadoutDirection
+        self.params.frame_readout_direction = \
+            v if isinstance(v, ReadoutDirection) else ReadoutDirection.from_any(v)
+        self.invalidate()
+
+    def set_adaptive_zoom(self, v: float):
+        self.params.adaptive_zoom_window = float(v)
+        self.invalidate()
+
+    def set_zooming_center_x(self, v: float):
+        c = self.params.adaptive_zoom_center_offset
+        self.params.adaptive_zoom_center_offset = (float(v), c[1])
+        self.invalidate()
+
+    def set_zooming_center_y(self, v: float):
+        c = self.params.adaptive_zoom_center_offset
+        self.params.adaptive_zoom_center_offset = (c[0], float(v))
+        self.invalidate()
+
+    def set_zooming_method(self, v: int):
+        self.params.adaptive_zoom_method = int(v)
+        self.invalidate()
+
+    def set_additional_rotation_x(self, v: float):
+        r = self.params.additional_rotation
+        self.params.additional_rotation = (float(v), r[1], r[2])
+        self.invalidate()
+
+    def set_additional_rotation_y(self, v: float):
+        r = self.params.additional_rotation
+        self.params.additional_rotation = (r[0], float(v), r[2])
+        self.invalidate()
+
+    def set_additional_rotation_z(self, v: float):
+        r = self.params.additional_rotation
+        self.params.additional_rotation = (r[0], r[1], float(v))
+        self.invalidate()
+
+    def set_additional_translation_x(self, v: float):
+        t = self.params.additional_translation
+        self.params.additional_translation = (float(v), t[1], t[2])
+        self.invalidate()
+
+    def set_additional_translation_y(self, v: float):
+        t = self.params.additional_translation
+        self.params.additional_translation = (t[0], float(v), t[2])
+        self.invalidate()
+
+    def set_additional_translation_z(self, v: float):
+        t = self.params.additional_translation
+        self.params.additional_translation = (t[0], t[1], float(v))
+        self.invalidate()
+
+    def set_fov(self, v: float):
+        self.params.fov = float(v)
+        self.invalidate()
+
+    def set_fov_overview(self, v: bool):
+        self.params.fov_overview = bool(v)
+        self.invalidate()
+
+    def set_show_safe_area(self, v: bool):
+        self.params.show_safe_area = bool(v)
+
+    def set_lens_correction_amount(self, v: float):
+        self.params.lens_correction_amount = float(v)
+        self.invalidate()
+
+    def set_frame_offset(self, v: int):
+        self.params.frame_offset = int(v)
+        self.invalidate()
+
+    def set_light_refraction_coefficient(self, v: float):
+        self.params.light_refraction_coefficient = float(v)
+        self.invalidate()
+
+    def set_background_mode(self, v: int):
+        from .params import BackgroundMode
+        self.params.background_mode = \
+            v if isinstance(v, BackgroundMode) else BackgroundMode(int(v))
+        self.invalidate()
+
+    def set_background_margin(self, v: float):
+        self.params.background_margin = float(v)
+        self.invalidate()
+
+    def set_background_margin_feather(self, v: float):
+        self.params.background_margin_feather = float(v)
+        self.invalidate()
+
+    def set_input_horizontal_stretch(self, v: float):
+        self.lens.input_horizontal_stretch = float(v)
+        self.invalidate()
+
+    def set_input_vertical_stretch(self, v: float):
+        self.lens.input_vertical_stretch = float(v)
+        self.invalidate()
+
+    def set_max_zoom(self, v: float, iterations: int = 5):
+        self.params.max_zoom = float(v)
+        self.params.max_zoom_iterations = int(iterations)
+        self.invalidate()
+
+    def set_video_speed(self, v: float, link_with_smoothing: bool = True,
+                        link_with_zooming: bool = True,
+                        link_with_zooming_limit: bool = True):
+        self.params.video_speed = float(v)
+        self.params.video_speed_affects_smoothing = bool(link_with_smoothing)
+        self.params.video_speed_affects_zooming = bool(link_with_zooming)
+        self.params.video_speed_affects_zooming_limit = bool(link_with_zooming_limit)
+        self.invalidate()
+
+    def set_digital_lens_name(self, name):
+        self.lens.digital_lens = name or None
+        self.invalidate()
+
+    def set_digital_lens_param(self, index: int, value: float):
+        p = list(self.lens.digital_lens_params or [])
+        while len(p) <= index:
+            p.append(0.0)
+        p[index] = float(value)
+        self.lens.digital_lens_params = p
+        self.invalidate()
+
+    def set_lens_is_asymmetrical(self, v: bool):
+        self.lens.asymmetrical = bool(v)
+        self.invalidate()
+
+    def set_use_gravity_vectors(self, v: bool):
+        self.gyro.use_gravity_vectors = bool(v)
+        self.gyro.integrate()
+        self.invalidate()
+
+    def set_horizon_lock_integration_method(self, v: int):
+        self.gyro.horizon_lock_integration_method = int(v)
+        self.gyro.integrate()
+        self.invalidate()
+
+    def remove_offset(self, timestamp_us: int):
+        self.gyro.remove_offset(timestamp_us)
+        self.invalidate()
+
+    def clear_offsets(self):
+        self.gyro.clear_offsets()
+        self.invalidate()
+
+    def override_video_fps(self, fps: float, recompute: bool = True):
+        """VFR override (lib.rs:1214-1231): scale all timing by fps_scale."""
+        self.params.fps_scale = (fps / self.params.fps) \
+            if (fps > 0 and self.params.fps > 0 and fps != self.params.fps) \
+            else None
+        self.invalidate()
+        if recompute:
+            self.recompute_blocking()
+
+    def recompute_gyro(self):
+        """Re-apply IMU transforms + reintegrate (lib.rs:1101-1104)."""
+        self.gyro.apply_transforms()
+        self.gyro.integrate()
+        self.invalidate()
+
     def invalidate(self):
         self._compute_params = None
         self._stab_cache.clear()

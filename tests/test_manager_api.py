@@ -152,3 +152,98 @@ class TestSmallInvokables:
         assert d["camera_brand"] == "B"
         back = LensProfile.from_dict(d)
         assert back.is_valid()
+
+
+class TestControllerParitySetters:
+    """Thin setters mirroring the reference facade (lib.rs:938-1214): each
+    writes its field and invalidates the compute chain."""
+
+    @pytest.fixture()
+    def mgr(self):
+        m = StabilizationManager()
+        m.init_from_video_data(duration_ms=1000.0, fps=30.0, frame_count=30,
+                               video_size=(640, 480))
+        return m
+
+    def test_field_routing(self, mgr):
+        from gyroflow_tpu.core.params import BackgroundMode, ReadoutDirection
+        cases = [
+            ("set_video_rotation", (12.5,), lambda m: m.params.video_rotation == 12.5),
+            ("set_stab_enabled", (False,), lambda m: m.params.stab_enabled is False),
+            ("set_frame_readout_time", (8.2,), lambda m: m.params.frame_readout_time == 8.2),
+            ("set_frame_readout_direction", ("BottomToTop",),
+             lambda m: m.params.frame_readout_direction == ReadoutDirection.BottomToTop),
+            ("set_adaptive_zoom", (2.5,), lambda m: m.params.adaptive_zoom_window == 2.5),
+            ("set_zooming_center_x", (0.1,), lambda m: m.params.adaptive_zoom_center_offset[0] == 0.1),
+            ("set_zooming_center_y", (-0.2,), lambda m: m.params.adaptive_zoom_center_offset[1] == -0.2),
+            ("set_zooming_method", (0,), lambda m: m.params.adaptive_zoom_method == 0),
+            ("set_additional_rotation_x", (1.0,), lambda m: m.params.additional_rotation[0] == 1.0),
+            ("set_additional_rotation_y", (2.0,), lambda m: m.params.additional_rotation[1] == 2.0),
+            ("set_additional_rotation_z", (3.0,), lambda m: m.params.additional_rotation[2] == 3.0),
+            ("set_additional_translation_x", (4.0,), lambda m: m.params.additional_translation[0] == 4.0),
+            ("set_additional_translation_y", (5.0,), lambda m: m.params.additional_translation[1] == 5.0),
+            ("set_additional_translation_z", (6.0,), lambda m: m.params.additional_translation[2] == 6.0),
+            ("set_fov", (1.3,), lambda m: m.params.fov == 1.3),
+            ("set_fov_overview", (True,), lambda m: m.params.fov_overview is True),
+            ("set_lens_correction_amount", (0.5,), lambda m: m.params.lens_correction_amount == 0.5),
+            ("set_frame_offset", (3,), lambda m: m.params.frame_offset == 3),
+            ("set_light_refraction_coefficient", (1.33,),
+             lambda m: m.params.light_refraction_coefficient == 1.33),
+            ("set_background_mode", (3,),
+             lambda m: m.params.background_mode == BackgroundMode(3)),
+            ("set_background_margin", (0.2,), lambda m: m.params.background_margin == 0.2),
+            ("set_background_margin_feather", (0.1,),
+             lambda m: m.params.background_margin_feather == 0.1),
+            ("set_input_horizontal_stretch", (1.33,),
+             lambda m: m.lens.input_horizontal_stretch == 1.33),
+            ("set_input_vertical_stretch", (1.5,),
+             lambda m: m.lens.input_vertical_stretch == 1.5),
+            ("set_max_zoom", (150.0, 4), lambda m: m.params.max_zoom == 150.0
+             and m.params.max_zoom_iterations == 4),
+            ("set_digital_lens_name", ("GoPro Superview",),
+             lambda m: m.lens.digital_lens == "GoPro Superview"),
+            ("set_digital_lens_param", (1, 0.7),
+             lambda m: m.lens.digital_lens_params[1] == 0.7),
+            ("set_lens_is_asymmetrical", (True,), lambda m: m.lens.asymmetrical),
+            ("set_use_gravity_vectors", (True,), lambda m: m.gyro.use_gravity_vectors),
+            ("set_horizon_lock_integration_method", (2,),
+             lambda m: m.gyro.horizon_lock_integration_method == 2),
+        ]
+        for name, args, check in cases:
+            before = mgr.current_compute_id
+            getattr(mgr, name)(*args)
+            assert check(mgr), name
+            assert mgr.current_compute_id > before, f"{name} must invalidate"
+
+    def test_video_speed_links(self, mgr):
+        mgr.set_video_speed(2.0, link_with_smoothing=False,
+                            link_with_zooming=True,
+                            link_with_zooming_limit=False)
+        assert mgr.params.video_speed == 2.0
+        assert mgr.params.video_speed_affects_smoothing is False
+        assert mgr.params.video_speed_affects_zooming is True
+        assert mgr.params.video_speed_affects_zooming_limit is False
+
+    def test_offsets_and_fps_override(self, mgr):
+        mgr.set_sync_offset(1_000_000, 12.5)
+        mgr.set_sync_offset(2_000_000, 13.0)
+        mgr.remove_offset(1_000_000)
+        assert 1_000_000 not in mgr.gyro.get_offsets()
+        assert mgr.gyro.get_offsets()[2_000_000] == 13.0
+        mgr.clear_offsets()
+        assert not mgr.gyro.get_offsets()
+        mgr.override_video_fps(60.0, recompute=False)
+        assert mgr.params.fps_scale == pytest.approx(2.0)
+        mgr.override_video_fps(30.0, recompute=False)
+        assert mgr.params.fps_scale is None
+
+    def test_keyframe_crud(self, mgr):
+        from gyroflow_tpu.core.keyframes import KeyframeType
+        mgr.set_keyframe(KeyframeType.Fov, 0, 1.0)
+        mgr.set_keyframe(KeyframeType.Fov, 500_000, 2.0)
+        assert mgr.is_keyframed(KeyframeType.Fov)
+        assert mgr.keyframe_value_at_video_timestamp(KeyframeType.Fov, 250.0) \
+            == pytest.approx(1.5)
+        mgr.remove_keyframe(KeyframeType.Fov, 500_000)
+        assert mgr.keyframe_value_at_video_timestamp(KeyframeType.Fov, 250.0) \
+            == pytest.approx(1.0)
