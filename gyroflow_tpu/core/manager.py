@@ -36,6 +36,7 @@ class StabilizationManager:
         self.image_sequence_fps = 0.0
         # "output" object of an imported project (render_queue.rs:126-145)
         self.render_output_settings: Dict[str, object] = {}
+        self.gpu_decoding = True          # lib.rs:134 "gpudecode" preference
         self._compute_params: Optional[ComputeParams] = None
         self._stab_cache: Dict[int, object] = {}     # ts_us -> FrameTransform
         self._win_cache: Dict[object, tuple] = {}    # cfg -> sampler window size
@@ -610,6 +611,80 @@ class StabilizationManager:
         self.gyro.apply_transforms()
         self.gyro.integrate()
         self.invalidate()
+
+    def get_smoothing_algs(self):
+        """Registry names [None, Default, Plain, Fixed] (lib.rs:1164-1166)."""
+        return self.smoothing.get_names()
+
+    def get_smoothing_status(self):
+        """Current smoothing algorithm + parameter values (lib.rs:1161)."""
+        cur = self.smoothing.current
+        return {"name": cur.get_name(), "params": dict(cur.params())}
+
+    def disable_lens_stretch(self, adjust_size: bool = False):
+        """Fold the lens input stretch into the frame size (lib.rs:994-1014)."""
+        xs = self.lens.input_horizontal_stretch
+        ys = self.lens.input_vertical_stretch
+        if (xs > 0.01 and xs != 1.0) or (ys > 0.01 and ys != 1.0):
+            if adjust_size:
+                w, h = self.params.size
+                self.params.size = (int(round(w * max(xs, 0.01))),
+                                    int(round(h * max(ys, 0.01))))
+            self.lens.input_horizontal_stretch = 1.0
+            self.lens.input_vertical_stretch = 1.0
+            self.invalidate()
+
+    def extract_focal_lengths(self):
+        """Per-frame focal lengths from telemetry lens params (lib.rs:416)."""
+        from .focal_length_smoothing import extract_focal_lengths
+        params = ComputeParams.from_manager(self)
+        return extract_focal_lengths(params)
+
+    def get_optimal_sync_points(self, target_sync_points: int,
+                                initial_offset_ms: float = 0.0):
+        """FFT-based sync-point picker over the trim ranges (lib.rs:2043)."""
+        from ..sync.optimsync import pick_sync_points_fft
+        dur_ms = self.params.get_scaled_duration_ms()
+        ranges = self.params.trim_ranges or None
+        raw = self.gyro.file_metadata.raw_imu if self.gyro.file_metadata else []
+        return pick_sync_points_fft(raw, dur_ms, target_sync_points, ranges)
+
+    @staticmethod
+    def project_has_motion_data(data) -> bool:
+        """Whether a .gyroflow blob embeds usable gyro (lib.rs:1873-1906)."""
+        import json as _json
+        from ..utils.compression import decompress_from_base91_cbor
+        try:
+            obj = _json.loads(data)
+        except (ValueError, TypeError):
+            return False
+        gs = obj.get("gyro_source")
+        if not isinstance(gs, dict):
+            return False
+        blob = gs.get("file_metadata")
+        if blob:
+            try:
+                fm = decompress_from_base91_cbor(blob)
+                if isinstance(fm, dict) and (fm.get("raw_imu")
+                                             or fm.get("quaternions")):
+                    return True
+            except Exception:  # noqa: BLE001 — malformed blob = no motion
+                pass
+        # compatibility with older formats (lib.rs:1881-1903)
+        return bool(gs.get("raw_imu") or gs.get("quaternions")
+                    or gs.get("integrated_quaternions"))
+
+    def set_gpu_decoding(self, v: bool):
+        """Hardware-offloaded decode preference (lib.rs:1131; consumed by
+        the ffmpeg reader's -hwaccel auto)."""
+        self.gpu_decoding = bool(v)
+
+    @staticmethod
+    def list_gpu_devices():
+        """Accelerator inventory (controller list_gpu_devices) — TPU/JAX
+        devices here instead of OpenCL/wgpu adapters."""
+        import jax
+        return [str(d) for d in jax.devices()]
 
     def invalidate(self):
         self._compute_params = None

@@ -247,3 +247,39 @@ class TestControllerParitySetters:
         mgr.remove_keyframe(KeyframeType.Fov, 500_000)
         assert mgr.keyframe_value_at_video_timestamp(KeyframeType.Fov, 250.0) \
             == pytest.approx(1.0)
+
+
+class TestFacadeQueries:
+    """Query-side facade methods (lib.rs:416, 994-1014, 1161-1166, 1873, 2043)."""
+
+    @pytest.fixture()
+    def mgr(self):
+        m = StabilizationManager()
+        m.init_from_video_data(duration_ms=1000.0, fps=30.0, frame_count=30,
+                               video_size=(640, 480))
+        return m
+
+    def test_smoothing_registry(self, mgr):
+        names = mgr.get_smoothing_algs()
+        assert [n.lower().split()[0] for n in names][:2] == ["no", "default"] \
+            or len(names) == 4
+        st = mgr.get_smoothing_status()
+        assert "smoothness" in st["params"]
+
+    def test_disable_lens_stretch(self, mgr):
+        mgr.lens.input_horizontal_stretch = 1.33
+        mgr.lens.input_vertical_stretch = 1.0
+        mgr.disable_lens_stretch(adjust_size=True)
+        assert mgr.lens.input_horizontal_stretch == 1.0
+        assert mgr.params.size[0] == round(640 * 1.33)
+
+    def test_project_has_motion_data(self, mgr):
+        import json as _json
+        assert not StabilizationManager.project_has_motion_data("{}")
+        assert StabilizationManager.project_has_motion_data(_json.dumps(
+            {"gyro_source": {"raw_imu": [[0, 0.1, 0.2, 0.3]]}}))
+        assert not StabilizationManager.project_has_motion_data(
+            _json.dumps({"gyro_source": {}}))
+
+    def test_list_devices_nonempty(self, mgr):
+        assert len(StabilizationManager.list_gpu_devices()) >= 1
