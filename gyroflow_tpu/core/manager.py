@@ -37,6 +37,7 @@ class StabilizationManager:
         # "output" object of an imported project (render_queue.rs:126-145)
         self.render_output_settings: Dict[str, object] = {}
         self.gpu_decoding = True          # lib.rs:134 "gpudecode" preference
+        self.pose_estimator = None        # retained by autosync for overlays
         self._compute_params: Optional[ComputeParams] = None
         self._stab_cache: Dict[int, object] = {}     # ts_us -> FrameTransform
         self._win_cache: Dict[object, tuple] = {}    # cfg -> sampler window size
@@ -611,6 +612,93 @@ class StabilizationManager:
         self.gyro.apply_transforms()
         self.gyro.integrate()
         self.invalidate()
+
+    def set_of_method(self, v):
+        """Optical-flow method for sync + debug overlays (lib.rs:950;
+        0 akaze, 1 pyrlk, 2 dis); clears retained pose results."""
+        names = {"akaze": 0, "pyrlk": 1, "dis": 2}
+        self.params.of_method = names.get(v, v) if isinstance(v, str) else int(v)
+        self.pose_estimator = None
+
+    def set_show_detected_features(self, v: bool):
+        self.params.show_detected_features = bool(v)
+
+    def set_show_optical_flow(self, v: bool):
+        self.params.show_optical_flow = bool(v)
+
+    def get_features_pixels(self, timestamp_us: int, size=None):
+        """Detected feature points at the closest synced frame, scaled to
+        `size` (lib.rs:793-810). Returns [(x, y)] or None."""
+        est = getattr(self, "pose_estimator", None)
+        if est is None or not est.results:
+            return None
+        keys = sorted(est.results)
+        import bisect
+        k = bisect.bisect_left(keys, timestamp_us)
+        cands = [i for i in (k - 1, k) if 0 <= i < len(keys)]
+        if not cands:
+            return None
+        i0 = min(cands, key=lambda i: abs(keys[i] - timestamp_us))
+        if abs(keys[i0] - timestamp_us) > 2000:     # closest within 2 ms
+            return None
+        r = est.results[keys[i0]]
+        if r.of_points is None:
+            return None
+        size = size or self.params.size
+        ratio = size[1] / max(est.size[1], 1)
+        return [(int(x * ratio), int(y * ratio)) for x, y in r.of_points[0]]
+
+    def get_opticalflow_pixels(self, timestamp_us: int, num_frames: int = 1,
+                               size=None):
+        """Optical-flow trail pixels over the next `num_frames` synced frame
+        pairs (lib.rs:812-832). Returns [(x, y, age)] or None."""
+        est = getattr(self, "pose_estimator", None)
+        if est is None or not est.results:
+            return None
+        keys = sorted(est.results)
+        import bisect
+        k = bisect.bisect_left(keys, timestamp_us)
+        cands = [i for i in (k - 1, k) if 0 <= i < len(keys)]
+        if not cands:
+            return None
+        i0 = min(cands, key=lambda i: abs(keys[i] - timestamp_us))
+        if abs(keys[i0] - timestamp_us) > 2000:
+            return None
+        size = size or self.params.size
+        ratio = size[1] / max(est.size[1], 1)
+        out = []
+        for i in range(num_frames):
+            if i0 + i >= len(keys):
+                break
+            r = est.results[keys[i0 + i]]
+            if r.of_points is None:
+                continue
+            for (x0, y0), (x1, y1) in zip(*r.of_points):
+                # Bresenham-style walk of the flow line (lib.rs:823-826)
+                n = max(int(max(abs(x1 - x0), abs(y1 - y0)) * ratio), 1)
+                for t in range(n + 1):
+                    f = t / n
+                    out.append((int((x0 + (x1 - x0) * f) * ratio),
+                                int((y0 + (y1 - y0) * f) * ratio), i))
+        return out or None
+
+    def draw_overlays(self, drawing, timestamp_us: int):
+        """Fill a DrawCanvas with the debug overlays for this frame
+        (lib.rs:835-876: yellow OF trails on input, green features)."""
+        from .drawing import COLOR_GREEN, COLOR_YELLOW, STAGE_ON_INPUT
+        drawing.clear()
+        p = self.params
+        y_inv = p.framebuffer_inverted
+        if p.show_optical_flow:
+            num_frames = 1 if p.of_method == 2 else 3
+            for (x, y, a) in self.get_opticalflow_pixels(
+                    timestamp_us, num_frames, p.size) or []:
+                drawing.put_pixel(x, y, COLOR_YELLOW, min(a, 3),
+                                  STAGE_ON_INPUT, y_inv, 1)
+        if p.show_detected_features:
+            for (x, y) in self.get_features_pixels(timestamp_us, p.size) or []:
+                drawing.put_pixel(x, y, COLOR_GREEN, 0, STAGE_ON_INPUT,
+                                  y_inv, 3)
 
     def get_smoothing_algs(self):
         """Registry names [None, Default, Plain, Fixed] (lib.rs:1164-1166)."""

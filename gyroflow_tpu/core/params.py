@@ -110,6 +110,11 @@ class StabilizationParams:
     framebuffer_inverted: bool = False
     is_calibrator: bool = False
     stab_enabled: bool = True
+    # sync debug visualization (stabilization_params.rs:115-117; 0 akaze,
+    # 1 pyrlk, 2 dis — optical_flow/mod.rs:28-34, default 2)
+    of_method: int = 2
+    show_detected_features: bool = False
+    show_optical_flow: bool = False
     frame_offset: int = 0
     focal_lengths: List[Optional[float]] = field(default_factory=list)
     smoothed_focal_lengths: List[Optional[float]] = field(default_factory=list)

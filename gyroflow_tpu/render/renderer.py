@@ -430,8 +430,10 @@ def render(mgr, input_path: str, output_path: str,
     # auto mode windows only with >1 device; an EXPLICIT frame_window also
     # batches on a single device (F frames per dispatch amortize the
     # per-call launch/dispatch overhead, ~1.2 ms/frame through the tunnel)
+    show_dbg = bool(getattr(mgr.params, "show_detected_features", False)
+                    or getattr(mgr.params, "show_optical_flow", False))
     if window > 1 and (n_dev > 1 or options.frame_window > 1) \
-            and kind == "planar" \
+            and kind == "planar" and not show_dbg \
             and options.overlay is None and options.safe_area is None:
         from ..parallel.pipeline import make_frame_mesh
         sp = min(max(options.shard_sp, 1), n_dev)
@@ -574,11 +576,15 @@ def render(mgr, input_path: str, output_path: str,
                     _emit(*inflight.pop(0))
             elif emit > 0:
                 drawing = None
-                if options.overlay is not None or options.safe_area is not None:
+                if options.overlay is not None or options.safe_area is not None \
+                        or show_dbg:
                     from ..core.drawing import DrawCanvas
                     fw = frame.shape[1] if kind == "rgb" else frame[0].shape[1]
                     fh = frame.shape[0] if kind == "rgb" else frame[0].shape[0]
                     canvas = options.overlay or DrawCanvas(fw, fh, fw, fh)
+                    if show_dbg:
+                        # per-frame sync debug overlays (lib.rs:835-876)
+                        mgr.draw_overlays(canvas, ts_us)
                     rect = tuple(float(v) for v in options.safe_area) \
                         if options.safe_area else None
                     drawing = canvas.state(safe_area_rect=rect)

@@ -137,7 +137,7 @@ def run_autosync(mgr, video_path: str, search_size: float = 3000.0,
                  initial_offset: float = 0.0, sync_points: int = 2,
                  processing_resolution: int = 720,
                  time_per_syncpoint: float = 1.5,
-                 of_method: str = "pyrlk",
+                 of_method: Optional[str] = None,
                  offset_method: str = "rs_sync",
                  pose_method=0,
                  calc_initial_fast: bool = True) -> List[Tuple[float, float]]:
@@ -149,7 +149,12 @@ def run_autosync(mgr, video_path: str, search_size: float = 3000.0,
 
     if offset_method not in OFFSET_METHODS:
         offset_method = "rs_sync"
+    if of_method is None:
+        # params.of_method ids: 0 akaze, 1 pyrlk, 2 dis (optical_flow/mod.rs)
+        of_method = {0: "akaze", 1: "pyrlk", 2: "dis"}.get(
+            getattr(mgr.params, "of_method", 1), "pyrlk")
     cp = mgr.get_compute_params()
+    all_results = {}
     points = pick_sync_points(mgr, sync_points)
     reader = VideoReader(video_path)
     fps = reader.fps
@@ -173,6 +178,7 @@ def run_autosync(mgr, video_path: str, search_size: float = 3000.0,
             if scale < 1.0:
                 gray = cv2.resize(gray, size)
             est.feed_frame(ts_us, gray, fps)
+        all_results.update(est.results)
 
         # fast essential-matrix estimate — the result for the essential
         # method, the initial guess for rs-sync (rs_sync.rs:26-45)
@@ -201,4 +207,9 @@ def run_autosync(mgr, video_path: str, search_size: float = 3000.0,
             mgr.set_sync_offset(int(ts_mid * 1000.0), offset_ms)
             applied.append((ts_mid, offset_ms))
     reader.close()
+    if all_results:
+        # retain the last estimator (with every sync point's results) for
+        # the debug overlays (lib.rs:793-832 read pose_estimator results)
+        est.results = all_results
+        mgr.pose_estimator = est
     return applied

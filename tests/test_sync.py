@@ -154,3 +154,64 @@ class TestOpticalFlowMethods:
         gz = np.array([abs(v.gyro[2]) for v in items])
         assert np.median(gz) == pytest.approx(36.0, rel=0.35), \
             f"{method}: {np.median(gz)}"
+
+
+class TestDebugOverlayPixels:
+    """get_features_pixels / get_opticalflow_pixels / draw_overlays
+    (lib.rs:793-876)."""
+
+    def _mgr_with_results(self):
+        import numpy as np
+        from gyroflow_tpu.core.manager import StabilizationManager
+        from gyroflow_tpu.sync.pose_estimator import FrameResult
+
+        class FakeEst:
+            size = (320, 240)
+            results = {}
+
+        mgr = StabilizationManager()
+        mgr.init_from_video_data(1000.0, 30.0, 30, (640, 480))
+        p0 = np.array([[10.0, 20.0], [30.0, 40.0]])
+        p1 = p0 + 4.0
+        est = FakeEst()
+        est.results = {
+            1_000_000: FrameResult(timestamp_us=1_000_000,
+                                   of_points=(p0, p1), next_ts=1_033_333),
+            1_033_333: FrameResult(timestamp_us=1_033_333,
+                                   of_points=(p0 + 1, p1 + 1),
+                                   next_ts=1_066_666),
+        }
+        mgr.pose_estimator = est
+        return mgr
+
+    def test_features_scaled(self):
+        mgr = self._mgr_with_results()
+        pts = mgr.get_features_pixels(1_000_500, (640, 480))  # within 2 ms
+        assert pts == [(20, 40), (60, 80)]                     # x2 ratio
+        assert mgr.get_features_pixels(1_500_000) is None      # too far
+
+    def test_opticalflow_lines(self):
+        mgr = self._mgr_with_results()
+        pxs = mgr.get_opticalflow_pixels(1_000_000, 2, (640, 480))
+        assert pxs
+        ages = {a for _x, _y, a in pxs}
+        assert ages == {0, 1}
+        # line endpoints present for the first pair
+        xs = [(x, y) for x, y, a in pxs if a == 0]
+        assert (20, 40) in xs and (28, 48) in xs
+
+    def test_draw_overlays_fills_canvas(self):
+        from gyroflow_tpu.core.drawing import DrawCanvas
+        mgr = self._mgr_with_results()
+        mgr.params.show_detected_features = True
+        mgr.params.show_optical_flow = True
+        canvas = DrawCanvas(640, 480, 640, 480)
+        mgr.draw_overlays(canvas, 1_000_000)
+        assert canvas.has_any_pixels
+        assert (canvas.buffer > 0).sum() >= 4
+
+    def test_set_of_method_clears(self):
+        mgr = self._mgr_with_results()
+        mgr.set_of_method("dis")
+        assert mgr.params.of_method == 2
+        assert mgr.pose_estimator is None
