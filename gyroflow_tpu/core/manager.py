@@ -613,6 +613,95 @@ class StabilizationManager:
         self.gyro.integrate()
         self.invalidate()
 
+    def set_acc_rotation(self, pitch_deg: float, roll_deg: float,
+                         yaw_deg: float):
+        """Accelerometer-only rotation (lib.rs:1092-1094)."""
+        self.gyro.imu_transforms.set_acc_rotation(pitch_deg, roll_deg, yaw_deg)
+        self.gyro.apply_transforms()
+        self.gyro.integrate()
+        self.invalidate()
+
+    def set_keyframe_easing(self, typ: KeyframeType, timestamp_us: int, easing):
+        from .keyframes import Easing
+        self.keyframes.set_easing(
+            typ, timestamp_us,
+            easing if isinstance(easing, Easing) else Easing(easing))
+        self.invalidate()
+
+    def set_keyframe_timestamp(self, typ: KeyframeType, old_timestamp_us: int,
+                               new_timestamp_us: int):
+        """Move a keyframe in time (lib.rs:1995-2004)."""
+        kfs = self.keyframes.keyframes.get(typ) or {}
+        kf = kfs.pop(old_timestamp_us, None)
+        if kf is not None:
+            kfs[new_timestamp_us] = kf
+            self.invalidate()
+
+    def keyframe_easing(self, typ: KeyframeType, timestamp_us: int):
+        kfs = self.keyframes.keyframes.get(typ) or {}
+        kf = kfs.get(timestamp_us)
+        return kf.easing if kf is not None else None
+
+    def clear_keyframes_type(self, typ: KeyframeType):
+        self.keyframes.clear_type(typ)
+        self.invalidate()
+
+    def clear(self):
+        """Reset to a fresh manager state (lib.rs clear)."""
+        from .gyro_source import GyroSource
+        self.gyro = GyroSource()
+        self.keyframes.clear()
+        self.params.trim_ranges = []
+        self.params.fovs = []
+        self.params.minimal_fovs = []
+        self.pose_estimator = None
+        self.invalidate()
+
+    def set_render_params(self, size, output_size):
+        """lib.rs:1190-1212."""
+        self.params.size = tuple(size)
+        self.set_output_size(*output_size)
+        self.invalidate()
+
+    def export_gyroflow_file(self, path: str, typ=None,
+                             additional_data: Optional[dict] = None):
+        """Write a .gyroflow project (lib.rs export_gyroflow_file)."""
+        from .project_file import GyroflowProjectType, export_gyroflow_data
+        typ = typ or GyroflowProjectType.WithGyroData
+        with open(path, "w") as fh:
+            fh.write(export_gyroflow_data(self, typ,
+                                          additional_data=additional_data))
+
+    def import_gyroflow_file(self, path: str, blocking: bool = True):
+        """Load a .gyroflow project (lib.rs import_gyroflow_file)."""
+        from .project_file import import_gyroflow_data
+        with open(path) as fh:
+            return import_gyroflow_data(self, fh.read(), blocking=blocking)
+
+    # granular invalidation aliases (lib.rs:1016-1028) — the functional
+    # recompute rebuilds the full chain, so these share one implementation
+    def invalidate_smoothing(self):
+        self.invalidate()
+
+    def invalidate_zooming(self):
+        self.invalidate()
+
+    def invalidate_blocking_smoothing(self):
+        self.invalidate()
+        self.recompute_blocking()
+
+    def invalidate_blocking_zooming(self):
+        self.invalidate()
+        self.recompute_adaptive_zoom()
+        self.recompute_undistortion()
+
+    def invalidate_blocking_undistortion(self):
+        self.invalidate()
+        self.recompute_undistortion()
+
+    def invalidate_ongoing_computations(self):
+        self.current_compute_id += 1
+
     def set_of_method(self, v):
         """Optical-flow method for sync + debug overlays (lib.rs:950;
         0 akaze, 1 pyrlk, 2 dis); clears retained pose results."""

@@ -283,3 +283,54 @@ class TestFacadeQueries:
 
     def test_list_devices_nonempty(self, mgr):
         assert len(StabilizationManager.list_gpu_devices()) >= 1
+
+
+class TestFacadeKeyframesAndFiles:
+    """Keyframe easing/move, clear, render params, project file helpers,
+    granular invalidation aliases (lib.rs:1016-1028, 1984-2004)."""
+
+    @pytest.fixture()
+    def mgr(self):
+        m = StabilizationManager()
+        m.init_from_video_data(duration_ms=1000.0, fps=30.0, frame_count=30,
+                               video_size=(640, 480))
+        return m
+
+    def test_keyframe_easing_and_move(self, mgr):
+        from gyroflow_tpu.core.keyframes import Easing, KeyframeType
+        mgr.set_keyframe(KeyframeType.Fov, 100, 1.0)
+        mgr.set_keyframe_easing(KeyframeType.Fov, 100, "EaseIn")
+        assert mgr.keyframe_easing(KeyframeType.Fov, 100) == Easing.EaseIn
+        mgr.set_keyframe_timestamp(KeyframeType.Fov, 100, 200)
+        assert mgr.keyframe_easing(KeyframeType.Fov, 100) is None
+        assert mgr.keyframe_easing(KeyframeType.Fov, 200) == Easing.EaseIn
+        mgr.clear_keyframes_type(KeyframeType.Fov)
+        assert not mgr.is_keyframed(KeyframeType.Fov)
+
+    def test_acc_rotation(self, mgr):
+        mgr.set_acc_rotation(1.0, 2.0, 3.0)
+        assert mgr.gyro.imu_transforms.acc_rotation_angles == [1.0, 2.0, 3.0]
+
+    def test_clear_and_render_params(self, mgr):
+        mgr.set_trim_ranges([(0.1, 0.5)])
+        mgr.clear()
+        assert mgr.params.trim_ranges == []
+        assert not mgr.gyro.has_motion()
+        mgr.set_render_params((1920, 1080), (1280, 720))
+        assert mgr.params.size == (1920, 1080)
+        assert mgr.params.output_size == (1280, 720)
+
+    def test_project_file_roundtrip(self, mgr, tmp_path):
+        p = str(tmp_path / "x.gyroflow")
+        mgr.params.fov = 1.25
+        mgr.export_gyroflow_file(p)
+        m2 = StabilizationManager()
+        m2.import_gyroflow_file(p, blocking=False)
+        assert m2.params.fov == 1.25
+
+    def test_invalidation_aliases(self, mgr):
+        before = mgr.current_compute_id
+        mgr.invalidate_smoothing()
+        mgr.invalidate_zooming()
+        mgr.invalidate_ongoing_computations()
+        assert mgr.current_compute_id == before + 3
