@@ -38,6 +38,8 @@ class StabilizationManager:
         self.render_output_settings: Dict[str, object] = {}
         self.gpu_decoding = True          # lib.rs:134 "gpudecode" preference
         self.pose_estimator = None        # retained by autosync for overlays
+        self.sync_lpf = 0.0               # lib.rs:1105 offset-search LPF
+        self.device = None                # lib.rs:1978 accelerator pick
         self._compute_params: Optional[ComputeParams] = None
         self._stab_cache: Dict[int, object] = {}     # ts_us -> FrameTransform
         self._win_cache: Dict[object, tuple] = {}    # cfg -> sampler window size
@@ -612,6 +614,63 @@ class StabilizationManager:
         self.gyro.apply_transforms()
         self.gyro.integrate()
         self.invalidate()
+
+    def load_video_file(self, path: str, load_telemetry: bool = True):
+        """Probe a video, init sizes, auto-load embedded telemetry + lens
+        (lib.rs:1909-1976 load_video_file)."""
+        from ..render.video_io import probe_video
+        info = probe_video(path)
+        self.init_from_video_data(info.duration_ms, info.fps,
+                                  info.frame_count, (info.width, info.height))
+        self.input_file = path
+        if load_telemetry and not self.gyro.has_motion():
+            try:
+                self.load_gyro_data(path)
+            except Exception as e:  # noqa: BLE001 — plain videos lack telemetry
+                log.debug("no embedded telemetry in %s: %s", path, e)
+        return info
+
+    def set_glitch_filter(self, enabled: bool, strength: float = 0.0):
+        """Gyro glitch-repair pre-filter (lib.rs:1084-1087)."""
+        self.gyro.imu_transforms.glitch_filter = bool(enabled)
+        self.gyro.imu_transforms.glitch_strength = float(strength)
+        self.gyro.apply_transforms()
+        self.gyro.integrate()
+        self.invalidate()
+
+    def set_sync_lpf(self, lpf: float):
+        """Low-pass cutoff applied to both streams during offset estimation
+        (lib.rs:1105-1108); consumed by autosync's cost functions."""
+        self.sync_lpf = float(lpf)
+
+    def set_offset(self, timestamp_us: int, offset_ms: float):
+        """Reference name for set_sync_offset (lib.rs:1064)."""
+        self.set_sync_offset(timestamp_us, offset_ms)
+
+    def keyframe_id(self, typ: KeyframeType, timestamp_us: int):
+        kfs = self.keyframes.keyframes.get(typ) or {}
+        kf = kfs.get(timestamp_us)
+        return kf.id if kf is not None else None
+
+    def recompute_adaptive_zoom_static(self):
+        """Reference name (lib.rs:515): one static zoom pass."""
+        self.recompute_adaptive_zoom()
+
+    def export_gyroflow_data(self, typ=None,
+                             additional_data: Optional[dict] = None) -> str:
+        from .project_file import GyroflowProjectType, export_gyroflow_data
+        return export_gyroflow_data(self, typ or GyroflowProjectType.WithGyroData,
+                                    additional_data=additional_data)
+
+    def import_gyroflow_data(self, data: str, blocking: bool = True):
+        from .project_file import import_gyroflow_data
+        return import_gyroflow_data(self, data, blocking=blocking)
+
+    def set_device(self, i: int):
+        """Pick the accelerator by index (lib.rs:1978; jax device here)."""
+        import jax
+        devs = jax.devices()
+        self.device = devs[i] if 0 <= i < len(devs) else None
 
     def set_acc_rotation(self, pitch_deg: float, roll_deg: float,
                          yaw_deg: float):

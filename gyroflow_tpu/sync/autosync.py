@@ -185,7 +185,8 @@ def run_autosync(mgr, video_path: str, search_size: float = 3000.0,
         ess = None
         if offset_method != "visual_features" and \
                 (offset_method == "essential_matrix" or calc_initial_fast):
-            of_items = est.recalculate_gyro_data(fps)
+            of_items = est.recalculate_gyro_data(
+                fps, lpf_hz=getattr(mgr, "sync_lpf", 0.0))
             ess = find_offset_for_range(mgr, of_items, initial_offset, search_size)
 
         if offset_method == "essential_matrix":

@@ -334,3 +334,52 @@ class TestFacadeKeyframesAndFiles:
         mgr.invalidate_zooming()
         mgr.invalidate_ongoing_computations()
         assert mgr.current_compute_id == before + 3
+
+
+class TestFacadeFinalBatch:
+    """load_video_file, glitch filter, offset alias, data import/export,
+    keyframe ids, device pick."""
+
+    @pytest.fixture()
+    def mgr(self):
+        m = StabilizationManager()
+        m.init_from_video_data(duration_ms=1000.0, fps=30.0, frame_count=30,
+                               video_size=(640, 480))
+        return m
+
+    def test_load_video_file(self, tmp_path):
+        import cv2
+        import numpy as np
+        p = str(tmp_path / "v.mp4")
+        vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 24.0, (64, 48))
+        for _ in range(6):
+            vw.write(np.zeros((48, 64, 3), np.uint8))
+        vw.release()
+        m = StabilizationManager()
+        info = m.load_video_file(p)
+        assert m.params.size == (64, 48) and m.params.fps == 24.0
+        assert m.input_file == p and info.frame_count == 6
+
+    def test_glitch_filter_and_offset_alias(self, mgr):
+        mgr.set_glitch_filter(True, 0.5)
+        assert mgr.gyro.imu_transforms.glitch_filter
+        assert mgr.gyro.imu_transforms.glitch_strength == 0.5
+        mgr.set_offset(1_000_000, 10.0)
+        assert mgr.gyro.get_offsets()[1_000_000] == 10.0
+        mgr.set_sync_lpf(25.0)
+        assert mgr.sync_lpf == 25.0
+
+    def test_data_roundtrip_and_keyframe_id(self, mgr):
+        from gyroflow_tpu.core.keyframes import KeyframeType
+        mgr.set_keyframe(KeyframeType.Fov, 100, 1.0)
+        assert mgr.keyframe_id(KeyframeType.Fov, 100) is not None
+        blob = mgr.export_gyroflow_data()
+        m2 = StabilizationManager()
+        m2.import_gyroflow_data(blob, blocking=False)
+        assert m2.is_keyframed(KeyframeType.Fov)
+
+    def test_set_device(self, mgr):
+        mgr.set_device(0)
+        assert mgr.device is not None
+        mgr.set_device(10_000)
+        assert mgr.device is None
