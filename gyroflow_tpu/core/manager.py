@@ -847,6 +847,18 @@ class StabilizationManager:
             for (x, y) in self.get_features_pixels(timestamp_us, p.size) or []:
                 drawing.put_pixel(x, y, COLOR_GREEN, 0, STAGE_ON_INPUT,
                                   y_inv, 3)
+        cal = getattr(self, "lens_calibrator", None)
+        if p.is_calibrator and cal is not None:
+            # chessboard corner overlay for the calibrator frame
+            # (lib.rs:860-867)
+            from math import floor
+            frame = int(floor(timestamp_us / 1e6 * p.get_scaled_fps() + 0.5))
+            det = cal.all_matches.get(frame)
+            if det is not None and det.points is not None:
+                from ..calibration.drawing import draw_chessboard_corners
+                draw_chessboard_corners(
+                    cal.width, cal.height, drawing,
+                    (cal.columns, cal.rows), det.points, True, y_inv)
 
     def get_smoothing_algs(self):
         """Registry names [None, Default, Plain, Fixed] (lib.rs:1164-1166)."""

@@ -215,3 +215,19 @@ class TestDebugOverlayPixels:
         mgr.set_of_method("dis")
         assert mgr.params.of_method == 2
         assert mgr.pose_estimator is None
+
+    def test_calibrator_overlay(self):
+        import numpy as np
+        from gyroflow_tpu.calibration.calibrator import DetectedPoints, LensCalibrator
+        from gyroflow_tpu.core.drawing import DrawCanvas
+        mgr = self._mgr_with_results()
+        mgr.params.is_calibrator = True
+        cal = LensCalibrator(columns=3, rows=2)
+        cal.width, cal.height = 640, 480
+        pts = np.array([[100.0 + 40 * i, 200.0] for i in range(6)])
+        cal.all_matches[30] = DetectedPoints(frame=30, timestamp_us=1_000_000,
+                                             points=pts)
+        mgr.lens_calibrator = cal
+        canvas = DrawCanvas(640, 480, 640, 480)
+        mgr.draw_overlays(canvas, 1_000_000)   # frame 30 at 30 fps
+        assert canvas.has_any_pixels
