@@ -847,6 +847,28 @@ class StabilizationManager:
             for (x, y) in self.get_features_pixels(timestamp_us, p.size) or []:
                 drawing.put_pixel(x, y, COLOR_GREEN, 0, STAGE_ON_INPUT,
                                   y_inv, 3)
+        if p.zooming_debug_points_map:
+            # adaptive-zoom polygon debug (lib.rs:869-887): normalized output
+            # points mapped through the frame's fov into output pixels
+            from .drawing import COLOR_RED, STAGE_ON_OUTPUT
+            keys = [k for k in sorted(p.zooming_debug_points_map)
+                    if k >= timestamp_us - 1000]
+            if keys:
+                frame = int(timestamp_us / 1e6 * p.get_scaled_fps() + 0.5)
+                fov = max((p.fov + (1.0 if p.fov_overview else 0.0)) *
+                          (p.fovs[frame] if frame < len(p.fovs) else 1.0),
+                          0.0001)
+                fov *= p.size[0] / max(p.output_size[0], 1)
+                wr = p.size[0] / max(p.output_size[0], 1)
+                hr = p.size[1] / max(p.output_size[1], 1)
+                for (px, py) in p.zooming_debug_points_map[keys[0]]:
+                    x = (px - 0.5) / fov * wr + 0.5
+                    y = (py - 0.5) / fov * hr + 0.5
+                    if x >= 0.0 and y >= 0.0:
+                        drawing.put_pixel(int(x * p.output_size[0]),
+                                          int(y * p.output_size[1]),
+                                          COLOR_RED, 0, STAGE_ON_OUTPUT,
+                                          y_inv, 4)
         cal = getattr(self, "lens_calibrator", None)
         if p.is_calibrator and cal is not None:
             # chessboard corner overlay for the calibrator frame
@@ -962,7 +984,9 @@ class StabilizationManager:
         self._apply_focal_length_smoothing(params)
 
         lens_fov_adjustment = self.lens.optimal_fov or 1.0
-        fovs, minimal_fovs, _dbg = self._zoom_static(params)
+        fovs, minimal_fovs, dbg = self._zoom_static(params)
+        if self.params.zooming_debug_points:
+            self.params.zooming_debug_points_map = dict(dbg)   # lib.rs:539
         params.fovs = fovs
         params.minimal_fovs = minimal_fovs
         self.params.set_fovs(list(fovs), lens_fov_adjustment)
@@ -1004,7 +1028,9 @@ class StabilizationManager:
                 self.gyro.smoothed_quaternions = quats
                 self.gyro.max_angles = max_angles
                 self._apply_focal_length_smoothing(params)
-                fovs, minimal_fovs, _dbg = self._zoom_static(params)
+                fovs, minimal_fovs, dbg = self._zoom_static(params)
+                if self.params.zooming_debug_points:
+                    self.params.zooming_debug_points_map = dict(dbg)
                 params.fovs = fovs
                 params.minimal_fovs = minimal_fovs
                 self.params.set_fovs(list(fovs), lens_fov_adjustment)

@@ -115,6 +115,10 @@ class StabilizationParams:
     of_method: int = 2
     show_detected_features: bool = False
     show_optical_flow: bool = False
+    # adaptive-zoom debug polygon (stabilization_params.rs:120; flag +
+    # per-timestamp normalized points filled by the zoom solver)
+    zooming_debug_points: bool = False
+    zooming_debug_points_map: Dict[int, list] = field(default_factory=dict)
     frame_offset: int = 0
     focal_lengths: List[Optional[float]] = field(default_factory=list)
     smoothed_focal_lengths: List[Optional[float]] = field(default_factory=list)
@@ -243,6 +247,7 @@ class ComputeParams:
             keyframes=mgr.keyframes.clone(),
             fovs=list(p.fovs), minimal_fovs=list(p.minimal_fovs),
             max_zoom=p.max_zoom, max_zoom_iterations=p.max_zoom_iterations,
+            zooming_debug_points=p.zooming_debug_points,
             frame_count=p.frame_count, fov_scale=p.fov,
             fov_overview=p.fov_overview, show_safe_area=p.show_safe_area,
             width=max(p.size[0], 1), height=max(p.size[1], 1),

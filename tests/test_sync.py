@@ -231,3 +231,14 @@ class TestDebugOverlayPixels:
         canvas = DrawCanvas(640, 480, 640, 480)
         mgr.draw_overlays(canvas, 1_000_000)   # frame 30 at 30 fps
         assert canvas.has_any_pixels
+
+    def test_zoom_debug_overlay(self):
+        from gyroflow_tpu.core.drawing import DrawCanvas
+        mgr = self._mgr_with_results()
+        mgr.params.output_size = (640, 480)
+        mgr.params.fovs = [1.0] * 40
+        mgr.params.zooming_debug_points_map = {
+            1_000_000: [(0.25, 0.25), (0.75, 0.75)]}
+        canvas = DrawCanvas(640, 480, 640, 480)
+        mgr.draw_overlays(canvas, 1_000_000)
+        assert canvas.has_any_pixels
