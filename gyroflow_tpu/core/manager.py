@@ -765,7 +765,9 @@ class StabilizationManager:
         """Optical-flow method for sync + debug overlays (lib.rs:950;
         0 akaze, 1 pyrlk, 2 dis); clears retained pose results."""
         names = {"akaze": 0, "pyrlk": 1, "dis": 2}
-        self.params.of_method = names.get(v, v) if isinstance(v, str) else int(v)
+        if isinstance(v, str):
+            v = names.get(v.lower(), 2)   # unknown -> reference default (dis)
+        self.params.of_method = int(v)
         self.pose_estimator = None
 
     def set_show_detected_features(self, v: bool):
