@@ -280,3 +280,50 @@ class TestWindowedPallasParity:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestShardedTrimRanges:
+    """Trim ranges + pad_with_black through the WINDOWED sharded path must
+    match the per-frame single-device render frame-for-frame."""
+
+    def test_multi_range_windowed_matches_serial(self, clip_path, gcsv_path,
+                                                 tmp_path):  # noqa: F811
+        from gyroflow_tpu.render.renderer import RenderOptions, render
+        mgr = make_mgr(gcsv_path)
+        mgr.params.trim_ranges = [(0.0, 0.3), (0.6, 0.9)]
+
+        serial = str(tmp_path / "serial.y4m")
+        render(mgr, clip_path, serial,
+               RenderOptions(interpolation=2, frame_window=1))
+        sharded = str(tmp_path / "sharded.y4m")
+        stats = render(mgr, clip_path, sharded,
+                       RenderOptions(interpolation=2, frame_window=4,
+                                     shard_sp=2))
+        assert "sharded" in stats["backend"], stats
+        a = read_y4m_planes(serial)
+        b = read_y4m_planes(sharded)
+        assert len(a) == len(b) and len(a) > 0
+        for fa, fb in zip(a, b):
+            for pa, pb in zip(fa, fb):
+                np.testing.assert_array_equal(pa, pb)
+
+    def test_pad_with_black_windowed_matches_serial(self, clip_path, gcsv_path,
+                                                    tmp_path):  # noqa: F811
+        from gyroflow_tpu.render.renderer import RenderOptions, render
+        mgr = make_mgr(gcsv_path)
+        mgr.params.trim_ranges = [(0.0, 0.3), (0.6, 0.9)]
+
+        serial = str(tmp_path / "pserial.y4m")
+        render(mgr, clip_path, serial,
+               RenderOptions(interpolation=2, frame_window=1,
+                             pad_with_black=True))
+        sharded = str(tmp_path / "psharded.y4m")
+        render(mgr, clip_path, sharded,
+               RenderOptions(interpolation=2, frame_window=4, shard_sp=2,
+                             pad_with_black=True))
+        a = read_y4m_planes(serial)
+        b = read_y4m_planes(sharded)
+        assert len(a) == len(b) == FRAMES
+        for fa, fb in zip(a, b):
+            for pa, pb in zip(fa, fb):
+                np.testing.assert_array_equal(pa, pb)
