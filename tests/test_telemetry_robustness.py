@@ -74,3 +74,51 @@ class TestTruncation:
         p = tmp_path / "x.gcsv"
         p.write_text('{"title": "Gyroflow data file"}')
         _expect_clean(str(p))
+
+
+class TestMutationFuzzKlvCtmd:
+    """Byte-mutation fuzz of the Sony KLV and Canon CTMD demuxers: a damaged
+    clip must raise TelemetryError (or parse) — struct/index internals must
+    never escape (SURVEY §5 failure detection)."""
+
+    def _sony_blob(self):
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_sony_canon import make_tagmap
+        from gyroflow_tpu.core.telemetry import sony
+        return sony.build_tagmap_mp4([make_tagmap(i) for i in range(4)], 30.0,
+                                     encoding="klv")
+
+    def _ctmd_blob(self):
+        from gyroflow_tpu.core.telemetry.canon_ctmd import (build_ctmd_mp4,
+                                                            build_ctmd_sample)
+        samples = [build_ctmd_sample(
+            {"lens": {"focal_length": 24.0}},
+            imu_samples=[[i * 4.0 + j, 0.1, 0.2, 0.3, 0.0, 0.0, 1.0]
+                         for j in range(4)],
+            sample_rate=1000.0, camera_model="EOS R5",
+            imu_orientation="xyz") for i in range(4)]
+        return build_ctmd_mp4(samples, 30.0)
+
+    @pytest.mark.parametrize("maker,ext", [("_sony_blob", ".mp4"),
+                                           ("_ctmd_blob", ".mp4")])
+    def test_mutations(self, tmp_path, maker, ext):
+        blob = bytearray(getattr(self, maker)())
+        rng = np.random.default_rng(42)
+        p = str(tmp_path / ("fuzz" + ext))
+        for trial in range(40):
+            mutated = bytearray(blob)
+            for _ in range(rng.integers(1, 6)):
+                mutated[rng.integers(0, len(mutated))] = rng.integers(0, 256)
+            with open(p, "wb") as fh:
+                fh.write(mutated)
+            _expect_clean(p)
+
+    @pytest.mark.parametrize("maker", ["_sony_blob", "_ctmd_blob"])
+    def test_truncations(self, tmp_path, maker):
+        blob = getattr(self, maker)()
+        p = str(tmp_path / "trunc.mp4")
+        for cut in (1, len(blob) // 4, len(blob) // 2, len(blob) - 3):
+            with open(p, "wb") as fh:
+                fh.write(blob[:cut])
+            _expect_clean(p)
