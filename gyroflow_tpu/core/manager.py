@@ -605,6 +605,9 @@ class StabilizationManager:
         self.params.fps_scale = (fps / self.params.fps) \
             if (fps > 0 and self.params.fps > 0 and fps != self.params.fps) \
             else None
+        # keyframes are stored at original video timestamps; lookups must
+        # scale with the override (lib.rs:1219 keyframes.timestamp_scale)
+        self.keyframes.timestamp_scale = self.params.fps_scale
         self.invalidate()
         if recompute:
             self.recompute_blocking()
@@ -648,8 +651,7 @@ class StabilizationManager:
         self.set_sync_offset(timestamp_us, offset_ms)
 
     def keyframe_id(self, typ: KeyframeType, timestamp_us: int):
-        kfs = self.keyframes.keyframes.get(typ) or {}
-        kf = kfs.get(timestamp_us)
+        kf = self._keyframe_at(typ, timestamp_us)
         return kf.id if kf is not None else None
 
     def recompute_adaptive_zoom_static(self):
@@ -687,18 +689,31 @@ class StabilizationManager:
             easing if isinstance(easing, Easing) else Easing(easing))
         self.invalidate()
 
-    def set_keyframe_timestamp(self, typ: KeyframeType, old_timestamp_us: int,
+    def set_keyframe_timestamp(self, typ: KeyframeType, keyframe_id: int,
                                new_timestamp_us: int):
-        """Move a keyframe in time (lib.rs:1995-2004)."""
+        """Move a keyframe in time, addressed by its id like the reference
+        (lib.rs:1995-2004); a timestamp is also accepted as a fallback."""
         kfs = self.keyframes.keyframes.get(typ) or {}
-        kf = kfs.pop(old_timestamp_us, None)
+        old_ts = next((ts for ts, kf in kfs.items() if kf.id == keyframe_id),
+                      None)
+        if old_ts is None and keyframe_id in kfs:
+            old_ts = keyframe_id              # timestamp-addressed fallback
+        kf = kfs.pop(old_ts, None) if old_ts is not None else None
         if kf is not None:
             kfs[new_timestamp_us] = kf
             self.invalidate()
 
-    def keyframe_easing(self, typ: KeyframeType, timestamp_us: int):
+    def _keyframe_at(self, typ: KeyframeType, timestamp_us: int):
+        """Closest-snapped keyframe lookup (keyframes.rs get_closest)."""
         kfs = self.keyframes.keyframes.get(typ) or {}
         kf = kfs.get(timestamp_us)
+        if kf is None and kfs:
+            ts = self.keyframes._closest_timestamp(typ, timestamp_us)
+            kf = kfs.get(ts)
+        return kf
+
+    def keyframe_easing(self, typ: KeyframeType, timestamp_us: int):
+        kf = self._keyframe_at(typ, timestamp_us)
         return kf.easing if kf is not None else None
 
     def clear_keyframes_type(self, typ: KeyframeType):
@@ -706,7 +721,8 @@ class StabilizationManager:
         self.invalidate()
 
     def clear(self):
-        """Reset to a fresh manager state (lib.rs clear)."""
+        """Reset to a fresh manager state (lib.rs clear + InputFile reset,
+        lib.rs:1205-1212)."""
         from .gyro_source import GyroSource
         self.gyro = GyroSource()
         self.keyframes.clear()
@@ -714,6 +730,10 @@ class StabilizationManager:
         self.params.fovs = []
         self.params.minimal_fovs = []
         self.pose_estimator = None
+        self.input_file = None
+        self.render_output_settings = {}
+        self.image_sequence_start = 0
+        self.image_sequence_fps = 0.0
         self.invalidate()
 
     def set_render_params(self, size, output_size):
@@ -832,11 +852,13 @@ class StabilizationManager:
                                 int((y0 + (y1 - y0) * f) * ratio), i))
         return out or None
 
-    def draw_overlays(self, drawing, timestamp_us: int):
+    def draw_overlays(self, drawing, timestamp_us: int, clear: bool = True):
         """Fill a DrawCanvas with the debug overlays for this frame
-        (lib.rs:835-876: yellow OF trails on input, green features)."""
+        (lib.rs:835-876: yellow OF trails on input, green features).
+        clear=False preserves caller-drawn pixels (user overlay canvases)."""
         from .drawing import COLOR_GREEN, COLOR_YELLOW, STAGE_ON_INPUT
-        drawing.clear()
+        if clear:
+            drawing.clear()
         p = self.params
         y_inv = p.framebuffer_inverted
         if p.show_optical_flow:

@@ -295,6 +295,8 @@ def import_gyroflow_data(mgr, data: str, blocking: bool = True):
     params.fps = float(vi.get("fps", params.fps))
     params.duration_ms = float(vi.get("duration_ms", params.duration_ms))
     params.fps_scale = vi.get("fps_scale")
+    # keyframe lookups scale with the VFR override (lib.rs:1219)
+    mgr.keyframes.timestamp_scale = params.fps_scale
 
     if "background_color" in obj:
         params.background = tuple(obj["background_color"])

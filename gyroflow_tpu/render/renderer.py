@@ -341,17 +341,24 @@ def render(mgr, input_path: str, output_path: str,
             and n_ranges > 1 and not options.preserve_other_tracks):
         base, ext = os.path.splitext(output_path)
         agg: dict = {"frames": 0, "outputs": [], "fps": 0.0}
+        total_t = 0.0
         for i in range(n_ranges):
             if cancel_flag and cancel_flag[0]:
                 break
+            sub_cb = (lambda p, _i=i: progress_cb((_i + p) / n_ranges)) \
+                if progress_cb else None
             s = render(mgr, input_path, f"{base}-{i + 1:03d}{ext}", options,
-                       progress_cb, cancel_flag, trim_range_ind=i,
+                       sub_cb, cancel_flag, trim_range_ind=i,
                        pause_flag=pause_flag)
             agg["frames"] += s["frames"]
             agg["outputs"].append(s["output"])
+            if s.get("fps"):
+                total_t += s["frames"] / s["fps"]
             agg.update({k: v for k, v in s.items()
                         if k not in ("frames", "output", "fps")})
         agg["output"] = agg["outputs"][-1] if agg["outputs"] else output_path
+        if total_t > 0:
+            agg["fps"] = round(agg["frames"] / total_t, 2)
         return agg
 
     kind, reader = open_reader(input_path)
@@ -449,7 +456,8 @@ def render(mgr, input_path: str, output_path: str,
     else:
         window = 1
 
-    frames_done = 0
+    frames_done = 0     # decoded frames (drives idx/progress)
+    rendered = 0        # frames queued for encode (drives stats)
     video_speed = mgr.params.video_speed
     speed_acc = 0.0
     import time as _time
@@ -572,9 +580,11 @@ def render(mgr, input_path: str, output_path: str,
                 if kind == "planar" and window > 1:
                     _flush_window()     # keep output ordering ahead of the pad
                 inflight.append((_bg_payload(), emit))
+                rendered += 1
                 while len(inflight) > options.pipeline_depth:
                     _emit(*inflight.pop(0))
             elif emit > 0:
+                rendered += 1
                 drawing = None
                 if options.overlay is not None or options.safe_area is not None \
                         or show_dbg:
@@ -583,8 +593,10 @@ def render(mgr, input_path: str, output_path: str,
                     fh = frame.shape[0] if kind == "rgb" else frame[0].shape[0]
                     canvas = options.overlay or DrawCanvas(fw, fh, fw, fh)
                     if show_dbg:
-                        # per-frame sync debug overlays (lib.rs:835-876)
-                        mgr.draw_overlays(canvas, ts_us)
+                        # per-frame sync debug overlays (lib.rs:835-876);
+                        # keep a user-supplied overlay's own pixels intact
+                        mgr.draw_overlays(canvas, ts_us,
+                                          clear=options.overlay is None)
                     rect = tuple(float(v) for v in options.safe_area) \
                         if options.safe_area else None
                     drawing = canvas.state(safe_area_rect=rect)
@@ -658,10 +670,10 @@ def render(mgr, input_path: str, output_path: str,
         pass
 
     wall = _time.time() - t_start
-    stats = {"frames": frames_done, "output": output_path, "audio": audio_copied,
+    stats = {"frames": rendered, "output": output_path, "audio": audio_copied,
              "backend": "pallas-tpu" if use_pallas else "xla",
              "pix_fmt": getattr(out_fmt, "name", "rgb24"),
-             "fps": round(frames_done / wall, 2) if wall > 0 else 0.0}
+             "fps": round(rendered / wall, 2) if wall > 0 else 0.0}
     if device_mesh is not None:
         stats["backend"] += "-sharded"
         stats["frame_window"] = window
@@ -684,6 +696,6 @@ def render(mgr, input_path: str, output_path: str,
                           "wall_s": round(wall, 3)}
         log.info("trace: %d frames in %.2fs (%.2f fps) | decode %.2fs, "
                  "stabilize %.2fs (%.1f ms/frame), encode %.2fs",
-                 frames_done, wall, stats["fps"], t_decode, t_stab,
-                 t_stab / max(frames_done, 1) * 1000.0, t_encode)
+                 rendered, wall, stats["fps"], t_decode, t_stab,
+                 t_stab / max(rendered, 1) * 1000.0, t_encode)
     return stats

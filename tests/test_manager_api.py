@@ -301,9 +301,14 @@ class TestFacadeKeyframesAndFiles:
         mgr.set_keyframe(KeyframeType.Fov, 100, 1.0)
         mgr.set_keyframe_easing(KeyframeType.Fov, 100, "EaseIn")
         assert mgr.keyframe_easing(KeyframeType.Fov, 100) == Easing.EaseIn
-        mgr.set_keyframe_timestamp(KeyframeType.Fov, 100, 200)
+        # id/easing lookups snap within 1 ms like set (keyframes.rs get_closest)
+        assert mgr.keyframe_easing(KeyframeType.Fov, 600) == Easing.EaseIn
+        # move addressed by keyframe id (lib.rs:1995-2004)
+        kid = mgr.keyframe_id(KeyframeType.Fov, 100)
+        mgr.set_keyframe_timestamp(KeyframeType.Fov, kid, 500_000)
         assert mgr.keyframe_easing(KeyframeType.Fov, 100) is None
-        assert mgr.keyframe_easing(KeyframeType.Fov, 200) == Easing.EaseIn
+        assert mgr.keyframe_easing(KeyframeType.Fov, 500_000) == Easing.EaseIn
+        assert mgr.keyframe_id(KeyframeType.Fov, 500_000) == kid
         mgr.clear_keyframes_type(KeyframeType.Fov)
         assert not mgr.is_keyframed(KeyframeType.Fov)
 
