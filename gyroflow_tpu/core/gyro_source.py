@@ -70,6 +70,24 @@ class GyroSource:
         self.smoothed_quaternions = TimeQuat()
         self.raw_imu = []
 
+        has_quats = (file_metadata.quaternions is not None
+                     and len(file_metadata.quaternions) > 0)
+        if has_quats:
+            # camera quaternions win when present (mod.rs:576-595): the
+            # integration method switches to 0 ("use provided quats") and the
+            # duration is re-derived from the quaternion timeline
+            self.integration_method = 0
+            ts = file_metadata.quaternions.timestamps_us
+            n = len(ts)
+            if n > 1:
+                imu_duration = (float(ts[-1]) - float(ts[0])) / 1000.0 \
+                    * ((n + 1.0) / n)
+                if abs(imu_duration - self.duration_ms) > 0.01 \
+                        and imu_duration > 0.0:
+                    log.warning("IMU duration %.1f differs from video "
+                                "duration %.1f", imu_duration, self.duration_ms)
+                    self.duration_ms = imu_duration
+
         if file_metadata.raw_imu:
             raw = file_metadata.raw_imu
             first_ts = raw[0].timestamp_ms
@@ -77,12 +95,13 @@ class GyroSource:
             n = len(raw)
             imu_duration = (last_ts - first_ts) * ((n + 1.0) / n)
             if abs(imu_duration - self.duration_ms) > 0.01 and imu_duration > 0.0:
-                log.warning("IMU duration %.1f differs from video duration %.1f",
-                            imu_duration, self.duration_ms)
-                self.duration_ms = imu_duration
+                if not has_quats:
+                    log.warning("IMU duration %.1f differs from video "
+                                "duration %.1f", imu_duration, self.duration_ms)
+                    self.duration_ms = imu_duration
             self.apply_transforms()
-        elif len(self.quaternions) == 0:
-            self.integrate()
+        else:
+            self.integrate()    # method 0 copies/converts the quaternions
 
     def apply_transforms(self):
         """gyro_source/mod.rs:822-855."""

@@ -403,6 +403,24 @@ def import_gyroflow_data(mgr, data: str, blocking: bool = True):
         if decoded is not None:
             gyro.duration_ms = params.get_scaled_duration_ms() or gyro.duration_ms
             gyro.load_from_telemetry(_file_metadata_from_cbor(decoded))
+    elif gs.get("raw_imu") or gs.get("quaternions") \
+            or gs.get("integrated_quaternions"):
+        # legacy uncompressed gyro blobs (lib.rs:1563-1580): plain JSON
+        # arrays/maps in the same serde shapes as the CBOR container.
+        # (The compressed LEGACY path — base91(zlib(bincode)) — needs the
+        # external crate's bincode layout and is not supported.)
+        legacy = dict(gs)
+        for k in ("quaternions", "image_orientations"):
+            v = legacy.get(k)
+            if isinstance(v, dict):
+                legacy[k] = {int(t): q for t, q in v.items()}
+        iq = legacy.get("integrated_quaternions")
+        if isinstance(iq, dict) and not legacy.get("quaternions"):
+            legacy["quaternions"] = {int(t): q for t, q in iq.items()}
+        fm_legacy = _file_metadata_from_cbor(legacy)
+        if fm_legacy.raw_imu or fm_legacy.quaternions is not None:
+            gyro.duration_ms = params.get_scaled_duration_ms() or gyro.duration_ms
+            gyro.load_from_telemetry(fm_legacy)
 
     # per-frame focal length arrays (lib.rs:1635-1641)
     for name, attr in (("focal_lengths", "focal_lengths"),

@@ -204,3 +204,46 @@ class TestReferenceProjectImport:
             assert key in out, key
         assert out["stabilization"]["turn_threshold"] == 6.0
         assert out["offsets"]["1000000"] == 12.5
+
+
+class TestLegacyUncompressedGyro:
+    """v1-3 projects embed raw_imu/quaternions as PLAIN JSON (serde shapes,
+    lib.rs:1563-1580 else-branch) rather than base91-CBOR blobs."""
+
+    def test_raw_imu_array_imports(self, mgr):
+        proj = {
+            "title": "Gyroflow data file", "version": 2,
+            "videofile": "/x.mp4",
+            "video_info": {"width": 640, "height": 480, "fps": 30.0,
+                           "duration_ms": 1000.0, "num_frames": 30},
+            "gyro_source": {
+                "raw_imu": [
+                    {"timestamp_ms": i * 2.0,
+                     "gyro": [10.0, 0.0, 0.0], "accl": [0.0, 0.0, 9.81],
+                     "magn": None}
+                    for i in range(500)
+                ],
+                "integration_method": 1,
+            },
+        }
+        import_gyroflow_data(mgr, json.dumps(proj), blocking=False)
+        assert mgr.gyro.has_motion()
+        fm = mgr.gyro.file_metadata
+        assert len(fm.raw_imu) == 500
+        assert fm.raw_imu[1].timestamp_ms == 2.0
+
+    def test_legacy_quaternion_map_imports(self, mgr):
+        proj = {
+            "title": "Gyroflow data file", "version": 3,
+            "videofile": "/x.mp4",
+            "video_info": {"width": 640, "height": 480, "fps": 30.0,
+                           "duration_ms": 1000.0, "num_frames": 30},
+            "gyro_source": {
+                # nalgebra serde order [x, y, z, w], string keys from JSON
+                "quaternions": {str(t * 1000): [0.0, 0.0, 0.0, 1.0]
+                                for t in range(100)},
+            },
+        }
+        import_gyroflow_data(mgr, json.dumps(proj), blocking=False)
+        assert mgr.gyro.quaternions is not None and \
+            len(mgr.gyro.quaternions) > 0
