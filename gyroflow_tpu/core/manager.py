@@ -1295,6 +1295,19 @@ class StabilizationManager:
         import jax.numpy as jnp
         from ..ops import remap
 
+        if self.device is not None:
+            # set_device routing (lib.rs:1978): run this plane on the
+            # chosen accelerator instead of jax's default
+            with jax.default_device(self.device):
+                d, self.device = self.device, None
+                try:
+                    return self.process_pixels(
+                        timestamp_us, frame_plane, interpolation, use_pallas,
+                        plane_index, max_pixel_value, drawing, plane_rects,
+                        background_override)
+                finally:
+                    self.device = d
+
         ts_ms = self._adjusted_ts_ms(timestamp_us)
 
         if not self.params.stab_enabled:

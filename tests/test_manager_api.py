@@ -388,3 +388,15 @@ class TestFacadeFinalBatch:
         assert mgr.device is not None
         mgr.set_device(10_000)
         assert mgr.device is None
+
+    def test_set_device_routes_processing(self):
+        import jax
+        import numpy as np
+        mgr = StabilizationManager()
+        mgr.init_from_video_data(1000.0, 30.0, 30, (64, 48))
+        mgr.set_device(len(jax.devices()) - 1)      # last virtual device
+        out, info = mgr.process_pixels(0, np.zeros((48, 64, 1), np.float32),
+                                       interpolation=2, use_pallas=False)
+        assert out.shape == (48, 64, 1)
+        devs = {d for d in getattr(out, "devices", lambda: set())()}
+        assert not devs or jax.devices()[-1] in devs
