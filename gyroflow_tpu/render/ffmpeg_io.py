@@ -294,10 +294,21 @@ def parse_encoder_options(s: str) -> List[str]:
     return out
 
 
+# ProRes profile names (rendering/mod.rs:283-284) -> prores_ks -profile:v
+_PRORES_PROFILES = {"proxy": "0", "lt": "1", "standard": "2", "hq": "3",
+                    "4444": "4", "4444xq": "5"}
+# DNxHR profile names -> ffmpeg dnxhd profiles (+ matching pix_fmt)
+_DNX_PROFILES = {"dnxhr lb": ("dnxhr_lb", "yuv422p"),
+                 "dnxhr sq": ("dnxhr_sq", "yuv422p"),
+                 "dnxhr hq": ("dnxhr_hq", "yuv422p"),
+                 "dnxhr hqx": ("dnxhr_hqx", "yuv422p10le"),
+                 "dnxhr 444": ("dnxhr_444", "yuv444p10le")}
+
+
 # codec name -> (encoder args builder); mirrors get_possible_encoders
 # (rendering/mod.rs:81-185) with hardware variants chosen by discovery
 def _encoder_args(codec: str, pix_fmt: str, bitrate_mbps: float,
-                  use_gpu: bool = False) -> List[str]:
+                  use_gpu: bool = False, codec_options: str = "") -> List[str]:
     c = codec.lower()
     ten_bit = any(t in pix_fmt for t in ("10", "12", "16"))
     args: List[str] = []
@@ -308,10 +319,14 @@ def _encoder_args(codec: str, pix_fmt: str, bitrate_mbps: float,
         enc = _pick_encoder("hevc", "libx265", use_gpu, ten_bit)
         args += ["-c:v", enc, "-pix_fmt", _encoder_pix_fmt(enc, ten_bit)]
     elif c in ("prores", "prores_ks"):
-        args += ["-c:v", "prores_ks", "-profile:v", "3", "-pix_fmt", "yuv422p10le"]
+        prof = _PRORES_PROFILES.get(codec_options.strip().lower(), "3")
+        args += ["-c:v", "prores_ks", "-profile:v", prof, "-pix_fmt",
+                 "yuva444p10le" if prof in ("4", "5") else "yuv422p10le"]
     elif c in ("dnxhd", "dnxhr"):
-        args += ["-c:v", "dnxhd", "-profile:v", "dnxhr_hqx",
-                 "-pix_fmt", "yuv422p10le" if ten_bit else "yuv422p"]
+        prof, pfmt = _DNX_PROFILES.get(
+            codec_options.strip().lower(),
+            ("dnxhr_hqx", "yuv422p10le") if ten_bit else ("dnxhr_hq", "yuv422p"))
+        args += ["-c:v", "dnxhd", "-profile:v", prof, "-pix_fmt", pfmt]
     elif c == "ffv1":
         args += ["-c:v", "ffv1", "-pix_fmt", pix_fmt]
     elif c == "rawvideo":
@@ -333,7 +348,7 @@ class FFmpegWriter:
                  audio_offset_s: float = 0.0, audio_duration_s: float = 0.0,
                  preserve_other_tracks: bool = False,
                  encoder_options: str = "", keyframe_distance: float = -1.0,
-                 metadata_comment: str = ""):
+                 metadata_comment: str = "", codec_options: str = ""):
         self.fmt = RAW_FORMATS[pix_fmt]
         self.width = width
         self.height = height
@@ -360,7 +375,8 @@ class FFmpegWriter:
             else:
                 cmd += ["-i", audio_from, "-map", "0:v", "-map", "1:a?"]
             cmd += audio_args(path, audio_from, audio_codec)
-        cmd += _encoder_args(codec, pix_fmt, bitrate_mbps, use_gpu=use_gpu)
+        cmd += _encoder_args(codec, pix_fmt, bitrate_mbps, use_gpu=use_gpu,
+                             codec_options=codec_options)
         if keyframe_distance > 0:
             # keyframe interval in seconds -> GOP size (mod.rs:387
             # keyframe_distance_s)

@@ -61,6 +61,8 @@ class RenderOptions:
     encoder_options: str = ""          # advanced free-form ffmpeg options,
                                        # e.g. '-preset slow -crf 18'
                                        # (render_queue.rs:83)
+    codec_options: str = ""            # codec profile, e.g. ProRes "HQ" /
+                                       # "DNxHR HQX" (render_queue.rs:70,95-99)
     keyframe_distance: float = -1.0    # seconds between keyframes (mod.rs:387)
     metadata_comment: str = ""         # written as the output's "comment"
                                        # metadata (render_queue.rs:120-123)
@@ -109,7 +111,7 @@ def apply_output_settings(options: "RenderOptions", out: dict) -> "RenderOptions
         elif k == "metadata" and isinstance(v, dict):
             options.metadata_comment = str(v.get("comment", "") or "")
         elif k in ("output_folder", "output_filename", "input_filename",
-                   "input_url", "codec_options"):
+                   "input_url"):
             continue            # path routing stays with the caller
         elif hasattr(options, k):
             setattr(options, k, v)
@@ -244,7 +246,7 @@ def open_writer(output_path: str, ow: int, oh: int, fps: float,
             preserve_other_tracks=options.preserve_other_tracks,
             encoder_options=options.encoder_options,
             keyframe_distance=options.keyframe_distance,
-            metadata_comment=comment)
+            metadata_comment=comment, codec_options=options.codec_options)
     return "rgb", VideoWriter(output_path, ow, oh, fps, options.codec)
 
 

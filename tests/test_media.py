@@ -820,3 +820,28 @@ class TestAsyncWriter:
         with pytest.raises(BrokenPipeError):
             w.close()
         assert inner.closed
+
+
+class TestCodecProfiles:
+    """ProRes/DNxHR profile selection via codec_options
+    (render_queue.rs:70,95-99; rendering/mod.rs:283-303)."""
+
+    def test_prores_and_dnx_profiles(self):
+        from gyroflow_tpu.render.ffmpeg_io import _encoder_args
+        a = _encoder_args("prores", "yuv422p10le", 0.0, codec_options="HQ")
+        assert a[a.index("-profile:v") + 1] == "3"
+        a = _encoder_args("prores", "yuv422p10le", 0.0, codec_options="4444XQ")
+        assert a[a.index("-profile:v") + 1] == "5"
+        assert "yuva444p10le" in a
+        a = _encoder_args("dnxhd", "yuv422p10le", 0.0,
+                          codec_options="DNxHR HQX")
+        assert a[a.index("-profile:v") + 1] == "dnxhr_hqx"
+        a = _encoder_args("dnxhd", "yuv420p", 0.0)
+        assert a[a.index("-profile:v") + 1] == "dnxhr_hq"
+
+    def test_output_settings_pass_codec_options(self):
+        from gyroflow_tpu.render.renderer import (RenderOptions,
+                                                  apply_output_settings)
+        o = apply_output_settings(RenderOptions(),
+                                  {"codec": "ProRes", "codec_options": "LT"})
+        assert o.codec == "prores" and o.codec_options == "LT"
