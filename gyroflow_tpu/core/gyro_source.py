@@ -232,6 +232,25 @@ class GyroSource:
         self.offsets.clear()
         self.offsets_adjusted.clear()
 
+    def remove_offsets_near(self, timestamp_us: int, range_ms: float):
+        """Drop offsets within ±range_ms of a timestamp (mod.rs:721-725)."""
+        r = int(round(range_ms * 1000.0))
+        self.offsets = {k: v for k, v in self.offsets.items()
+                        if not (timestamp_us - r <= k < timestamp_us + r)}
+        self.adjust_offsets()
+
+    def get_offsets_plus_linear(self) -> Dict[int, tuple]:
+        """{ts: (offset, linear-fit offset)} for charting (mod.rs:714-716)."""
+        return {k: (v, self.offsets_linear.get(k, v))
+                for k, v in self.offsets.items()}
+
+    def get_sample_rate(self) -> float:
+        """Raw-IMU sample rate in Hz (mod.rs get_sample_rate)."""
+        raw = self.file_metadata.raw_imu if self.file_metadata else []
+        if len(raw) < 2 or self.duration_ms <= 0.0:
+            return 0.0
+        return len(raw) / (self.duration_ms / 1000.0)
+
     def get_offsets(self) -> Dict[int, float]:
         return self.offsets
 

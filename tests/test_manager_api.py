@@ -400,3 +400,14 @@ class TestFacadeFinalBatch:
         assert out.shape == (48, 64, 1)
         devs = {d for d in getattr(out, "devices", lambda: set())()}
         assert not devs or jax.devices()[-1] in devs
+
+    def test_offsets_linear_and_near_removal(self):
+        mgr = StabilizationManager()
+        mgr.init_from_video_data(1000.0, 30.0, 30, (64, 48))
+        for ts, off in ((1_000_000, 10.0), (2_000_000, 11.0), (3_000_000, 12.0)):
+            mgr.set_sync_offset(ts, off)
+        plus = mgr.gyro.get_offsets_plus_linear()
+        assert set(plus) == {1_000_000, 2_000_000, 3_000_000}
+        assert all(len(v) == 2 for v in plus.values())
+        mgr.gyro.remove_offsets_near(2_000_000, 500.0)
+        assert set(mgr.gyro.get_offsets()) == {1_000_000, 3_000_000}
