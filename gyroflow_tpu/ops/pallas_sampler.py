@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -60,11 +61,15 @@ class SamplerSpec(NamedTuple):
                            # tile's exact row band to sublane 0 and mixes only
                            # win_r rows — the colmix matmul M-dim drops by the
                            # up-to-7-row alignment slack
+    band_mode: int = 1     # 8-tap band materialization: 1 = mod-8 single-
+                           # compare form (build_onehot8_mod; 13.1 -> 9.7
+                           # ms/frame 4K Y on v5e, bit-exact), 0 = blocked
+                           # two-select form (kept for A/B probes)
 
     @classmethod
     def create(cls, height, width, out_height, out_width, interpolation,
                tile_h=8, tile_w=128, win_h=64, win_w=512, source_rect=None,
-               win_k=0, exact8=False, win_r=0):
+               win_k=0, exact8=False, win_r=0, band_mode=None):
         # plane dims padded to the f32 tile grid so aligned window origins can
         # reach every edge; src_rect keeps the true extent (padding reads bg).
         # win_k < win_w enables the ROLLED mode: the DMA window stays
@@ -85,8 +90,11 @@ class SamplerSpec(NamedTuple):
             if win_r >= win_h:
                 win_r = 0
         rect = source_rect or (0, 0, width, height)
+        if band_mode is None:
+            band_mode = int(os.environ.get("GF_BAND_MODE", "1"))
         return cls(pheight, pwidth, out_height, out_width, interpolation,
-                   tile_h, tile_w, win_h, win_w, rect, win_k, exact8, win_r)
+                   tile_h, tile_w, win_h, win_w, rect, win_k, exact8, win_r,
+                   band_mode)
 
     @property
     def kw(self) -> int:
@@ -294,9 +302,8 @@ def _sampler_kernel(spec: SamplerSpec, G: int,
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (Kw, P), 0)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (Kh, P), 0)
 
-    def _tap_tree(T, ws):
-        """weight[T] via a log2(n)-deep bit-select tree, 0 outside [0, n)."""
-        n = len(ws)
+    def _tap_tree_nomask(T, ws):
+        """weight[T] via a log2(n)-deep bit-select tree (T assumed in [0, n))."""
         level = list(ws)         # (1, P) rows
         bit = 0
         while len(level) > 1:
@@ -304,7 +311,12 @@ def _sampler_kernel(spec: SamplerSpec, G: int,
             level = [jnp.where(b == 1, level[i + 1], level[i])
                      for i in range(0, len(level), 2)]
             bit += 1
-        return jnp.where((T >= 0) & (T < n), level[0], 0.0)
+        return level[0]
+
+    def _tap_tree(T, ws):
+        """weight[T] via a log2(n)-deep bit-select tree, 0 outside [0, n)."""
+        n = len(ws)
+        return jnp.where((T >= 0) & (T < n), _tap_tree_nomask(T, ws), 0.0)
 
     def build_onehot(ids, rel, ws):
         """Σ_t onehot(rel + t) · ws[t] as one banded select.
@@ -343,6 +355,28 @@ def _sampler_kernel(spec: SamplerSpec, G: int,
         Ve = jax.lax.broadcast_in_dim(V, (nb, 8, P), (1, 2)).reshape(S, P)
         return jnp.where(A0, Ue, jnp.where(A1, Ve, 0.0))
 
+    def build_onehot8_mod(S, rel, ws):
+        """8-tap banded matrix via the mod-8 identity: ONE (S, P) select.
+
+        Writing rel = 8*fH + s and row c = 8*cH + cL, the tap index
+        T = c - rel lies in [0, 8) iff cH == fH + (cL < s), and there
+        T == (cL - s) & 7. So the band is the (8, P) matrix
+        ws[(cL - s) & 7] tiled nb times down the rows, masked by a single
+        compare against the per-(cL, p) target block tH — the (S, P)-scale
+        work drops from the blocked form's 2 compares + 2 selects to
+        1 compare + 1 select (the r3 trace put the band builds at 5.1 of
+        14.4 ms/frame, vreg-write-bandwidth-bound)."""
+        nb = S // 8
+        fH = rel >> 3                   # (1, P); arithmetic shift floors
+        s = rel & 7
+        cL = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
+        Um = _tap_tree_nomask((cL - s) & 7, ws)              # (8, P)
+        tH = fH + (cL < s).astype(jnp.int32)                 # (8, P)
+        bH = jax.lax.broadcasted_iota(jnp.int32, (nb, 8, P), 0)
+        tH3 = jax.lax.broadcast_in_dim(tH, (nb, 8, P), (1, 2))
+        Um3 = jax.lax.broadcast_in_dim(Um, (nb, 8, P), (1, 2))
+        return jnp.where(bH == tH3, Um3, 0.0).reshape(S, P)
+
     sampled_rows = [[] for _ in range(nchan)]
     for j in range(G):
         tile = g * G + j
@@ -354,7 +388,10 @@ def _sampler_kernel(spec: SamplerSpec, G: int,
         fy_rel = fy[j:j + 1] - y0 - yoff
         wxm_j = [w[j:j + 1] for w in wxm]
         wym_j = [w[j:j + 1] for w in wym]
-        if taps == 8:
+        if taps == 8 and spec.band_mode == 1:
+            C = build_onehot8_mod(Kw, fx_rel, wxm_j)
+            R = build_onehot8_mod(Kh, fy_rel, wym_j)
+        elif taps == 8:
             C = build_onehot8_blocked(Kw, fx_rel, wxm_j)
             R = build_onehot8_blocked(Kh, fy_rel, wym_j)
         else:
