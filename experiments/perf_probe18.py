@@ -53,6 +53,7 @@ def main():
     cand = (40, 256, 128, 96, 16, 32)   # production 4K rung
     B = 16
     results = {}
+    full = {}
     for mode in (0, 1):
         os.environ["GF_BAND_MODE"] = str(mode)
 
@@ -66,6 +67,15 @@ def main():
         s, px, ov = run_j(img, mats, jnp.float32(0.0))
         results[mode] = (float(s), float(px))
         assert not bool(ov)
+
+        def run_full(y, m, _c=cand):
+            out, ov = remap.remap_plane_pallas(
+                y, m, cfg, dyn, win_h=_c[0], win_w=_c[1], win_k=_c[2],
+                tile_w=_c[3], tile_h=_c[4], win_r=_c[5])
+            return out, ov
+
+        out_full, _ = jax.jit(run_full)(img, mats)
+        full[mode] = np.asarray(out_full)
         salts = [jnp.float32(i * 1e-6) for i in range(B)]
         best = None
         for _ in range(3):
@@ -76,8 +86,10 @@ def main():
             best = dt if best is None else min(best, dt)
         print(f"band_mode={mode}: {best * 1000:.2f} ms/frame Y "
               f"({1.0 / best:.1f} fps)  sum={results[mode][0]:.1f}")
-    d = abs(results[0][0] - results[1][0])
-    print(f"sum diff mode0 vs mode1: {d} (expect 0.0: bit-exact)")
+    assert np.array_equal(full[0], full[1]), (
+        "band_mode 0 vs 1 full-frame mismatch: max abs diff "
+        f"{np.max(np.abs(full[0] - full[1]))}")
+    print("full-frame bit-exact: mode0 == mode1 (np.array_equal)")
 
 
 if __name__ == "__main__":

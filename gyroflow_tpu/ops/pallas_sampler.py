@@ -91,7 +91,16 @@ class SamplerSpec(NamedTuple):
                 win_r = 0
         rect = source_rect or (0, 0, width, height)
         if band_mode is None:
-            band_mode = int(os.environ.get("GF_BAND_MODE", "1"))
+            # default to the mod-8 single-compare form; the env var is an
+            # experiment override only (parsed defensively: jit traces cache
+            # the spec, so flipping it after tracing has no effect — pass
+            # band_mode= explicitly from probe scripts for A/B runs)
+            try:
+                band_mode = int(os.environ.get("GF_BAND_MODE", "1"))
+            except ValueError:
+                band_mode = 1
+            if band_mode not in (0, 1):
+                band_mode = 1
         return cls(pheight, pwidth, out_height, out_width, interpolation,
                    tile_h, tile_w, win_h, win_w, rect, win_k, exact8, win_r,
                    band_mode)
