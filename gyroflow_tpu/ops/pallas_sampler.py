@@ -235,6 +235,90 @@ def _dot2_exact_a(a, b):
 
 
 # ---------------------------------------------------------------------------
+# Banded one-hot builds (shared by the separable and fused kernels)
+# ---------------------------------------------------------------------------
+
+def _tap_tree_nomask(T, ws):
+    """weight[T] via a log2(n)-deep bit-select tree (T assumed in [0, n))."""
+    level = list(ws)         # (1, P) rows
+    bit = 0
+    while len(level) > 1:
+        b = (T >> bit) & 1
+        level = [jnp.where(b == 1, level[i + 1], level[i])
+                 for i in range(0, len(level), 2)]
+        bit += 1
+    return level[0]
+
+
+def _tap_tree(T, ws):
+    """weight[T] via a log2(n)-deep bit-select tree, 0 outside [0, n)."""
+    n = len(ws)
+    return jnp.where((T >= 0) & (T < n), _tap_tree_nomask(T, ws), 0.0)
+
+
+def build_onehot(ids, rel, ws):
+    """Σ_t onehot(rel + t) · ws[t] as one banded select.
+
+    For power-of-two tap counts, T = ids - rel indexes the tap directly,
+    so the weight is picked by a bit-select tree instead of `taps` full
+    compare+select+add passes — the dominant VPU cost of the kernel."""
+    n = len(ws)
+    if n & (n - 1):          # non-power-of-two: plain per-tap one-hots
+        acc = jnp.zeros(ids.shape, jnp.float32)
+        for t in range(n):
+            acc = acc + jnp.where(ids == rel + t, ws[t], 0.0)
+        return acc
+    T = ids - rel            # (S, P); tap index per source line
+    return _tap_tree(T, ws)
+
+
+def build_onehot8_blocked(S, rel, ws, P):
+    """8-tap banded matrix built on SMALL shapes, combined in 2 selects.
+
+    Writing rel = 8*fH + s, row c = 8*cH + cL of the band is
+      ws[cL - s]      when cH == fH      (cL >= s)
+      ws[cL + 8 - s]  when cH == fH + 1  (cL <  s)
+    so the weight-by-tap tree runs on (8, P) instead of (S, P) and the
+    (S, P)-scale work drops from ~17 ops to 2 compares + 2 selects —
+    a ~3x cut of the kernel's dominant VPU cost (measured on v5e)."""
+    nb = S // 8
+    fH = rel >> 3
+    s = rel & 7
+    cL = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
+    U = _tap_tree(cL - s, ws)          # (8, P): cH == fH block
+    V = _tap_tree(cL + (8 - s), ws)    # (8, P): cH == fH+1 block
+    bH = jax.lax.broadcasted_iota(jnp.int32, (nb, P), 0)
+    A0 = jax.lax.broadcast_in_dim(bH == fH, (nb, 8, P), (0, 2)).reshape(S, P)
+    A1 = jax.lax.broadcast_in_dim(bH == fH + 1, (nb, 8, P), (0, 2)).reshape(S, P)
+    Ue = jax.lax.broadcast_in_dim(U, (nb, 8, P), (1, 2)).reshape(S, P)
+    Ve = jax.lax.broadcast_in_dim(V, (nb, 8, P), (1, 2)).reshape(S, P)
+    return jnp.where(A0, Ue, jnp.where(A1, Ve, 0.0))
+
+
+def build_onehot8_mod(S, rel, ws, P):
+    """8-tap banded matrix via the mod-8 identity: ONE (S, P) select.
+
+    Writing rel = 8*fH + s and row c = 8*cH + cL, the tap index
+    T = c - rel lies in [0, 8) iff cH == fH + (cL < s), and there
+    T == (cL - s) & 7. So the band is the (8, P) matrix
+    ws[(cL - s) & 7] tiled nb times down the rows, masked by a single
+    compare against the per-(cL, p) target block tH — the (S, P)-scale
+    work drops from the blocked form's 2 compares + 2 selects to
+    1 compare + 1 select (the r3 trace put the band builds at 5.1 of
+    14.4 ms/frame, vreg-write-bandwidth-bound)."""
+    nb = S // 8
+    fH = rel >> 3                   # (1, P); arithmetic shift floors
+    s = rel & 7
+    cL = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
+    Um = _tap_tree_nomask((cL - s) & 7, ws)              # (8, P)
+    tH = fH + (cL < s).astype(jnp.int32)                 # (8, P)
+    bH = jax.lax.broadcasted_iota(jnp.int32, (nb, 8, P), 0)
+    tH3 = jax.lax.broadcast_in_dim(tH, (nb, 8, P), (1, 2))
+    Um3 = jax.lax.broadcast_in_dim(Um, (nb, 8, P), (1, 2))
+    return jnp.where(bH == tH3, Um3, 0.0).reshape(S, P)
+
+
+# ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
 
@@ -248,6 +332,78 @@ def _group_size(spec: SamplerSpec, nchan: int) -> int:
     return max(1, min(GROUP, budget // max(per, 1)))
 
 
+def prep_taps(spec: SamplerSpec, u, v):
+    """Per-pixel tap setup shared by the separable kernels.
+
+    u, v: (G, P) source coordinates. Returns (fx, fy, wxm, wym, bg_weight):
+    absolute tap-0 col/row, per-tap weights with the source-rect mask folded
+    in, and the separable background weight."""
+    taps = spec.taps
+    srx, sry, srw, srh = spec.src_rect
+    u = u - spec.offset
+    v = v - spec.offset
+    sx0 = jnp.rint(u * INTER_TAB_SIZE).astype(jnp.int32)
+    sy0 = jnp.rint(v * INTER_TAB_SIZE).astype(jnp.int32)
+    fx = (sx0 >> INTER_BITS)
+    fy = (sy0 >> INTER_BITS)
+    phx = sx0 & (INTER_TAB_SIZE - 1)
+    phy = sy0 & (INTER_TAB_SIZE - 1)
+    wx = _WEIGHT_FNS[spec.interpolation](phx)
+    wy = _WEIGHT_FNS[spec.interpolation](phy)
+    wxm = []
+    csum = jnp.zeros_like(u)
+    for t in range(taps):
+        ok = ((fx + t >= srx) & (fx + t < srx + srw)).astype(jnp.float32)
+        w = wx[t] * ok
+        wxm.append(w)
+        csum = csum + w
+    wym = []
+    rsum = jnp.zeros_like(v)
+    for t in range(taps):
+        ok = ((fy + t >= sry) & (fy + t < sry + srh)).astype(jnp.float32)
+        w = wy[t] * ok
+        wym.append(w)
+        rsum = rsum + w
+    return fx, fy, wxm, wym, 1.0 - rsum * csum
+
+
+def tile_sample(spec: SamplerSpec, win_j, fx_rel, fy_rel, wxm_j, wym_j,
+                xoff, yoff):
+    """Band build + colmix + rowmix for ONE tile.
+
+    win_j: (C, Sr, Sc) VMEM window view (DMA already waited); fx_rel/fy_rel:
+    (1, P) tap-0 col/row relative to the rolled band origin; wxm_j/wym_j:
+    per-tap (1, P) masked weights. Returns nchan rows of (1, P) sampled
+    values (background not yet blended)."""
+    Sr, Sc = spec.win_h, spec.win_w
+    Kw, Kh = spec.kw, spec.kh
+    nchan = win_j.shape[0]
+    taps = spec.taps
+    P = fx_rel.shape[-1]
+    if taps == 8 and spec.band_mode == 1:
+        C = build_onehot8_mod(Kw, fx_rel, wxm_j, P)
+        R = build_onehot8_mod(Kh, fy_rel, wym_j, P)
+    elif taps == 8:
+        C = build_onehot8_blocked(Kw, fx_rel, wxm_j, P)
+        R = build_onehot8_blocked(Kh, fy_rel, wym_j, P)
+    else:
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (Kw, P), 0)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (Kh, P), 0)
+        C = build_onehot(col_ids, fx_rel, wxm_j)
+        R = build_onehot(row_ids, fy_rel, wym_j)
+    if Kh < Sr:
+        w3 = pltpu.roll(win_j, (Sr - yoff) % Sr, 1)
+        win_all = w3[:, :Kh, :].reshape(nchan * Kh, Sc)
+    else:
+        win_all = win_j.reshape(nchan * Sr, Sc)
+    if Kw < Sc:
+        win_all = pltpu.roll(win_all, (Sc - xoff) % Sc, 1)[:, :Kw]
+    colmix = (_dot2_exact_a(win_all, C) if spec.exact8
+              else _dot3(win_all, C))                # (C*Kh, P)
+    return [jnp.sum(R * colmix[ch * Kh:(ch + 1) * Kh], axis=0, keepdims=True)
+            for ch in range(nchan)]
+
+
 def _sampler_kernel(spec: SamplerSpec, G: int,
                     y0_ref, x0_ref, xoff_ref,  # scalar prefetch (ntiles,)
                     yoff_ref,                  # scalar prefetch (ntiles,)
@@ -257,11 +413,7 @@ def _sampler_kernel(spec: SamplerSpec, G: int,
                     out_ref,                   # VMEM (C, 1, G, P)
                     win_ref, sems):            # scratch: (G, C, Sr, Sc) + G sems
     Sr, Sc = spec.win_h, spec.win_w
-    Kw = spec.kw                     # rolled compute width (== Sc if no roll)
     nchan = win_ref.shape[1]
-    taps = spec.taps
-    P = spec.tile_h * spec.tile_w
-    srx, sry, srw, srh = spec.src_rect
 
     g = pl.program_id(0)
 
@@ -278,114 +430,15 @@ def _sampler_kernel(spec: SamplerSpec, G: int,
 
     # Per-pixel math runs ONCE on the whole (G, P) block — natural (8, 128)
     # tiling; the per-tile one-hot builds below slice (1, P) rows out of it.
-    u = u_ref[0] - spec.offset        # (G, P)
-    v = v_ref[0] - spec.offset
+    fx, fy, wxm, wym, bg_weight = prep_taps(spec, u_ref[0], v_ref[0])
 
-    sx0 = jnp.rint(u * INTER_TAB_SIZE).astype(jnp.int32)
-    sy0 = jnp.rint(v * INTER_TAB_SIZE).astype(jnp.int32)
-    fx = (sx0 >> INTER_BITS)          # absolute source col of tap 0, (G, P)
-    fy = (sy0 >> INTER_BITS)
-    phx = sx0 & (INTER_TAB_SIZE - 1)
-    phy = sy0 & (INTER_TAB_SIZE - 1)
-
-    wx = _WEIGHT_FNS[spec.interpolation](phx)  # taps x (G, P)
-    wy = _WEIGHT_FNS[spec.interpolation](phy)
-
-    wxm = []   # x weights with source-rect mask folded in, (G, P) each
-    csum = jnp.zeros_like(u)
-    for t in range(taps):
-        ok = ((fx + t >= srx) & (fx + t < srx + srw)).astype(jnp.float32)
-        w = wx[t] * ok
-        wxm.append(w)
-        csum = csum + w
-    wym = []
-    rsum = jnp.zeros_like(v)
-    for t in range(taps):
-        ok = ((fy + t >= sry) & (fy + t < sry + srh)).astype(jnp.float32)
-        w = wy[t] * ok
-        wym.append(w)
-        rsum = rsum + w
-    bg_weight = 1.0 - rsum * csum     # (G, P)
-
-    Kh = spec.kh                     # rolled compute height (== Sr if no roll)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (Kw, P), 0)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (Kh, P), 0)
-
-    def _tap_tree_nomask(T, ws):
-        """weight[T] via a log2(n)-deep bit-select tree (T assumed in [0, n))."""
-        level = list(ws)         # (1, P) rows
-        bit = 0
-        while len(level) > 1:
-            b = (T >> bit) & 1
-            level = [jnp.where(b == 1, level[i + 1], level[i])
-                     for i in range(0, len(level), 2)]
-            bit += 1
-        return level[0]
-
-    def _tap_tree(T, ws):
-        """weight[T] via a log2(n)-deep bit-select tree, 0 outside [0, n)."""
-        n = len(ws)
-        return jnp.where((T >= 0) & (T < n), _tap_tree_nomask(T, ws), 0.0)
-
-    def build_onehot(ids, rel, ws):
-        """Σ_t onehot(rel + t) · ws[t] as one banded select.
-
-        For power-of-two tap counts, T = ids - rel indexes the tap directly,
-        so the weight is picked by a bit-select tree instead of `taps` full
-        compare+select+add passes — the dominant VPU cost of the kernel."""
-        n = len(ws)
-        if n & (n - 1):          # non-power-of-two: plain per-tap one-hots
-            acc = jnp.zeros(ids.shape, jnp.float32)
-            for t in range(n):
-                acc = acc + jnp.where(ids == rel + t, ws[t], 0.0)
-            return acc
-        T = ids - rel            # (S, P); tap index per source line
-        return _tap_tree(T, ws)
-
-    def build_onehot8_blocked(S, rel, ws):
-        """8-tap banded matrix built on SMALL shapes, combined in 2 selects.
-
-        Writing rel = 8*fH + s, row c = 8*cH + cL of the band is
-          ws[cL - s]      when cH == fH      (cL >= s)
-          ws[cL + 8 - s]  when cH == fH + 1  (cL <  s)
-        so the weight-by-tap tree runs on (8, P) instead of (S, P) and the
-        (S, P)-scale work drops from ~17 ops to 2 compares + 2 selects —
-        a ~3x cut of the kernel's dominant VPU cost (measured on v5e)."""
-        nb = S // 8
-        fH = rel >> 3
-        s = rel & 7
-        cL = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
-        U = _tap_tree(cL - s, ws)          # (8, P): cH == fH block
-        V = _tap_tree(cL + (8 - s), ws)    # (8, P): cH == fH+1 block
-        bH = jax.lax.broadcasted_iota(jnp.int32, (nb, P), 0)
-        A0 = jax.lax.broadcast_in_dim(bH == fH, (nb, 8, P), (0, 2)).reshape(S, P)
-        A1 = jax.lax.broadcast_in_dim(bH == fH + 1, (nb, 8, P), (0, 2)).reshape(S, P)
-        Ue = jax.lax.broadcast_in_dim(U, (nb, 8, P), (1, 2)).reshape(S, P)
-        Ve = jax.lax.broadcast_in_dim(V, (nb, 8, P), (1, 2)).reshape(S, P)
-        return jnp.where(A0, Ue, jnp.where(A1, Ve, 0.0))
-
-    def build_onehot8_mod(S, rel, ws):
-        """8-tap banded matrix via the mod-8 identity: ONE (S, P) select.
-
-        Writing rel = 8*fH + s and row c = 8*cH + cL, the tap index
-        T = c - rel lies in [0, 8) iff cH == fH + (cL < s), and there
-        T == (cL - s) & 7. So the band is the (8, P) matrix
-        ws[(cL - s) & 7] tiled nb times down the rows, masked by a single
-        compare against the per-(cL, p) target block tH — the (S, P)-scale
-        work drops from the blocked form's 2 compares + 2 selects to
-        1 compare + 1 select (the r3 trace put the band builds at 5.1 of
-        14.4 ms/frame, vreg-write-bandwidth-bound)."""
-        nb = S // 8
-        fH = rel >> 3                   # (1, P); arithmetic shift floors
-        s = rel & 7
-        cL = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0)
-        Um = _tap_tree_nomask((cL - s) & 7, ws)              # (8, P)
-        tH = fH + (cL < s).astype(jnp.int32)                 # (8, P)
-        bH = jax.lax.broadcasted_iota(jnp.int32, (nb, 8, P), 0)
-        tH3 = jax.lax.broadcast_in_dim(tH, (nb, 8, P), (1, 2))
-        Um3 = jax.lax.broadcast_in_dim(Um, (nb, 8, P), (1, 2))
-        return jnp.where(bH == tH3, Um3, 0.0).reshape(S, P)
-
+    # NOTE (r3 negative result, don't retry): materializing the C band
+    # as bf16 hi/lo (either pre-split tap weights or one explicit cast)
+    # is SLOWER than _dot3 on f32 — bf16 VPU values live in (16, 128)
+    # vregs, so every select/cast pays a sublane repack, while the dot's
+    # internal f32->bf16 operand conversion is fused into the MXU feed
+    # (measured 9.81 vs 8.65 ms 4K Y; pre-split trips a Mosaic i1
+    # relayout error outright).
     sampled_rows = [[] for _ in range(nchan)]
     for j in range(G):
         tile = g * G + j
@@ -397,46 +450,17 @@ def _sampler_kernel(spec: SamplerSpec, G: int,
         fy_rel = fy[j:j + 1] - y0 - yoff
         wxm_j = [w[j:j + 1] for w in wxm]
         wym_j = [w[j:j + 1] for w in wym]
-        if taps == 8 and spec.band_mode == 1:
-            C = build_onehot8_mod(Kw, fx_rel, wxm_j)
-            R = build_onehot8_mod(Kh, fy_rel, wym_j)
-        elif taps == 8:
-            C = build_onehot8_blocked(Kw, fx_rel, wxm_j)
-            R = build_onehot8_blocked(Kh, fy_rel, wym_j)
-        else:
-            C = build_onehot(col_ids, fx_rel, wxm_j)
-            R = build_onehot(row_ids, fy_rel, wym_j)
-        # NOTE (r3 negative result, don't retry): materializing the C band
-        # as bf16 hi/lo (either pre-split tap weights or one explicit cast)
-        # is SLOWER than _dot3 on f32 — bf16 VPU values live in (16, 128)
-        # vregs, so every select/cast pays a sublane repack, while the dot's
-        # internal f32->bf16 operand conversion is fused into the MXU feed
-        # (measured 9.81 vs 8.65 ms 4K Y; pre-split trips a Mosaic i1
-        # relayout error outright).
-
         win_dma(j).wait()
-
         # All channels share the C/R builds AND one stacked colmix matmul:
         # win (C, Sr, Sc) viewed as (C*Sr, Sc) puts channels on the M axis,
         # which is free on the MXU up to 128 rows. The matmul itself runs as
         # 3 bf16 passes (_dot3) for f32-accurate pixels — the MXU's 1-pass
         # default rounds operands to bf16 (~5/1023 pixel error, fails parity)
         # — or 2 passes when the content is uint8 codes (exactly bf16).
-        if Kh < Sr:
-            # roll the tile's exact row band to sublane 0, mix Kh rows only
-            w3 = pltpu.roll(win_ref[j], (Sr - yoff) % Sr, 1)
-            win_all = w3[:, :Kh, :].reshape(nchan * Kh, Sc)
-        else:
-            win_all = win_ref[j].reshape(nchan * Sr, Sc)
-        if Kw < Sc:
-            # roll the tile's source band to lane 0, compute on Kw lanes only
-            win_all = pltpu.roll(win_all, (Sc - xoff) % Sc, 1)[:, :Kw]
-        colmix = (_dot2_exact_a(win_all, C) if spec.exact8
-                  else _dot3(win_all, C))                # (C*Kh, P)
+        rows = tile_sample(spec, win_ref[j], fx_rel, fy_rel, wxm_j, wym_j,
+                           xoff, yoff)
         for ch in range(nchan):
-            sampled_rows[ch].append(
-                jnp.sum(R * colmix[ch * Kh:(ch + 1) * Kh], axis=0,
-                        keepdims=True))                  # (1, P)
+            sampled_rows[ch].append(rows[ch])            # (1, P)
 
     # background blend + output write once per group on (G, P) blocks
     for ch in range(nchan):

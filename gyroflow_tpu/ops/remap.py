@@ -633,7 +633,7 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
                        mesh=None, win_h: int = 64, win_w: int = 512,
                        drawing=None, out_rows: int = None, oy0=0,
                        tile_h: int = 8, tile_w: int = 128, win_k: int = 0,
-                       win_r: int = 0):
+                       win_r: int = 0, fused: bool = True):
     """Drop-in replacement for remap_plane using the Pallas sampling kernels.
 
     Returns (output, overflow) — overflow True means some tile's source bbox
@@ -681,6 +681,32 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     factor = jnp.maximum(1.0 - dyn.lens_correction_amount, 0.001)
     out_c = (float(cfg.output_width) / 2.0, float(cfg.output_height) / 2.0)
     out_f = (dyn.f[0] / dyn.fov / factor, dyn.f[1] / dyn.fov / factor)
+
+    use_fused = (fused and matrices.shape[0] > 1 and not has_mesh
+                 and not is_ewa and cfg.background_mode != 3
+                 and not (drawing is not None and cfg.has(DRAWING_ENABLED))
+                 and cfg.interpolation in (2, 4, 8))
+    if use_fused:
+        # Fused projection+sampling kernel (round 4): removes the coords
+        # kernel's per-grid-step pipeline latency (~2.4 ms/frame Y+UV, 4K)
+        # and the u/v HBM round trip. Exact in-kernel overflow feeds the
+        # same ladder. See ops/pallas_fused.py.
+        from . import pallas_fused as pf
+        x, y, idx, probe = coords_pre(out_pos, matrices, cfg, dyn, out_c, out_f)
+        imgs = jnp.moveaxis(img, -1, 0)
+        pixel, overflow = pf.remap_fused(
+            spec, cfg, dyn, imgs, matrices, x, y, idx, probe, pad_ok, bg,
+            win_m=64 if win_k else 256)
+        orx, ory, orw, orh = cfg.out_rect
+        lx = map_coord(ox, float(orx), float(orx + orw), 0.0, float(cfg.output_width))
+        ly = map_coord(oy, float(ory), float(ory + orh), 0.0, float(cfg.output_height))
+        in_bounds = (lx >= 0.0) & (ly >= 0.0) & (lx < cfg.output_width) & (ly < cfg.output_height)
+        pixel = jnp.where(in_bounds[None], pixel, bg.reshape(C, 1, 1))
+        if cfg.has(FIX_COLOR_RANGE):
+            pixel = _remap_colorrange_t(pixel, cfg.plane_index == 0,
+                                        dyn.max_pixel_value)
+        out = jnp.moveaxis(ps.out_untileize_c(spec, pixel), 0, -1)
+        return out, overflow
 
     coords_overflow = jnp.asarray(False)
     if matrices.shape[0] > 1 and not has_mesh and not is_ewa:
@@ -851,13 +877,13 @@ def _remap_colorrange_t(px, is_y: bool, max_pixel_value):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "win_h", "win_w", "out_rows",
                                              "tile_h", "tile_w", "win_k",
-                                             "win_r"))
+                                             "win_r", "fused"))
 def remap_plane_pallas_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
                            mesh=None, win_h: int = 64, win_w: int = 512,
                            drawing=None, out_rows: int = None, oy0=0,
                            tile_h: int = 8, tile_w: int = 128, win_k: int = 0,
-                           win_r: int = 0):
+                           win_r: int = 0, fused: bool = True):
     return remap_plane_pallas(img, matrices, cfg, dyn, mesh, win_h, win_w,
                               drawing=drawing, out_rows=out_rows, oy0=oy0,
                               tile_h=tile_h, tile_w=tile_w, win_k=win_k,
-                              win_r=win_r)
+                              win_r=win_r, fused=fused)
