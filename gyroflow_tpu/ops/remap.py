@@ -633,7 +633,7 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
                        mesh=None, win_h: int = 64, win_w: int = 512,
                        drawing=None, out_rows: int = None, oy0=0,
                        tile_h: int = 8, tile_w: int = 128, win_k: int = 0,
-                       win_r: int = 0, fused: bool = True):
+                       win_r: int = 0, fused: bool = False):
     """Drop-in replacement for remap_plane using the Pallas sampling kernels.
 
     Returns (output, overflow) — overflow True means some tile's source bbox
@@ -882,7 +882,7 @@ def remap_plane_pallas_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics
                            mesh=None, win_h: int = 64, win_w: int = 512,
                            drawing=None, out_rows: int = None, oy0=0,
                            tile_h: int = 8, tile_w: int = 128, win_k: int = 0,
-                           win_r: int = 0, fused: bool = True):
+                           win_r: int = 0, fused: bool = False):
     return remap_plane_pallas(img, matrices, cfg, dyn, mesh, win_h, win_w,
                               drawing=drawing, out_rows=out_rows, oy0=oy0,
                               tile_h=tile_h, tile_w=tile_w, win_k=win_k,
