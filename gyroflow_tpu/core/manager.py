@@ -45,6 +45,14 @@ class StabilizationManager:
         self._win_cache: Dict[object, tuple] = {}    # cfg -> sampler window size
         self.current_compute_id = 0
         self._recompute_thread = None
+        # invalidation contract (lib.rs:94-99, 904-915): lazy flags consumed
+        # by process_pixels, and last-computed state checksums gating the
+        # expensive stages in recompute_blocking/recompute_threaded
+        self._smoothing_invalidated = False
+        self._zooming_invalidated = False
+        self._undistortion_invalidated = False
+        self._smoothing_checksum = None
+        self._zooming_checksum = None
         # production-surface counters (VERDICT r1 weak #7): a render that
         # trips the ~40x-slower XLA fallback must show it in stats, not just
         # in a log line
@@ -416,19 +424,47 @@ class StabilizationManager:
     def set_sync_offset(self, timestamp_us: int, offset_ms: float):
         self.gyro.set_offset(timestamp_us, offset_ms)
         self.keyframes.update_gyro(self.gyro)
-        self.invalidate()
+        self.invalidate_zooming()   # lib.rs routing
 
     def set_trim_ranges(self, ranges):
         self.params.trim_ranges = list(ranges)
         self.invalidate()
 
+    # keyframe invalidation routing (lib.rs:2016-2041 keyframes_updated)
+    _ZOOM_KEYFRAMES = frozenset((
+        KeyframeType.VideoRotation, KeyframeType.ZoomingSpeed,
+        KeyframeType.AdditionalTranslationX, KeyframeType.AdditionalTranslationY,
+        KeyframeType.AdditionalTranslationZ, KeyframeType.ZoomingCenterX,
+        KeyframeType.ZoomingCenterY))
+    _SMOOTHING_KEYFRAMES = frozenset((
+        KeyframeType.LockHorizonAmount, KeyframeType.LockHorizonRoll,
+        KeyframeType.LockHorizonPitchEnabled, KeyframeType.LockHorizonPitch,
+        KeyframeType.AdditionalRotationX, KeyframeType.AdditionalRotationY,
+        KeyframeType.AdditionalRotationZ,
+        KeyframeType.SmoothingParamTimeConstant,
+        KeyframeType.SmoothingParamTimeConstant2,
+        KeyframeType.SmoothingParamSmoothness, KeyframeType.SmoothingParamPitch,
+        KeyframeType.SmoothingParamRoll, KeyframeType.SmoothingParamYaw))
+
+    def _keyframes_updated(self, typ: KeyframeType):
+        """lib.rs:2016-2041: route a keyframe change to the cheapest stage
+        that consumes it; unknown types fall back to the blanket
+        invalidation (the reference's `_ => {}` relies on its checksums —
+        keyframes aren't hashed here, so the safe superset is correct)."""
+        if typ in self._ZOOM_KEYFRAMES:
+            self.invalidate_zooming()
+        elif typ in self._SMOOTHING_KEYFRAMES:
+            self.invalidate_smoothing()
+        else:
+            self.invalidate()
+
     def set_keyframe(self, typ: KeyframeType, timestamp_us: int, value: float):
         self.keyframes.set(typ, timestamp_us, value)
-        self.invalidate()
+        self._keyframes_updated(typ)
 
     def remove_keyframe(self, typ: KeyframeType, timestamp_us: int):
         self.keyframes.remove(typ, timestamp_us)
-        self.invalidate()
+        self._keyframes_updated(typ)
 
     def is_keyframed(self, typ: KeyframeType) -> bool:
         return self.keyframes.is_keyframed(typ)
@@ -461,21 +497,21 @@ class StabilizationManager:
 
     def set_adaptive_zoom(self, v: float):
         self.params.adaptive_zoom_window = float(v)
-        self.invalidate()
+        self.invalidate_zooming()   # lib.rs routing
 
     def set_zooming_center_x(self, v: float):
         c = self.params.adaptive_zoom_center_offset
         self.params.adaptive_zoom_center_offset = (float(v), c[1])
-        self.invalidate()
+        self.invalidate_zooming()   # lib.rs routing
 
     def set_zooming_center_y(self, v: float):
         c = self.params.adaptive_zoom_center_offset
         self.params.adaptive_zoom_center_offset = (c[0], float(v))
-        self.invalidate()
+        self.invalidate_zooming()   # lib.rs routing
 
     def set_zooming_method(self, v: int):
         self.params.adaptive_zoom_method = int(v)
-        self.invalidate()
+        self.invalidate_zooming()   # lib.rs routing
 
     def set_additional_rotation_x(self, v: float):
         r = self.params.additional_rotation
@@ -495,17 +531,17 @@ class StabilizationManager:
     def set_additional_translation_x(self, v: float):
         t = self.params.additional_translation
         self.params.additional_translation = (float(v), t[1], t[2])
-        self.invalidate()
+        self.invalidate_zooming()   # lib.rs routing
 
     def set_additional_translation_y(self, v: float):
         t = self.params.additional_translation
         self.params.additional_translation = (t[0], float(v), t[2])
-        self.invalidate()
+        self.invalidate_zooming()   # lib.rs routing
 
     def set_additional_translation_z(self, v: float):
         t = self.params.additional_translation
         self.params.additional_translation = (t[0], t[1], float(v))
-        self.invalidate()
+        self.invalidate_zooming()   # lib.rs routing
 
     def set_fov(self, v: float):
         self.params.fov = float(v)
@@ -520,7 +556,7 @@ class StabilizationManager:
 
     def set_lens_correction_amount(self, v: float):
         self.params.lens_correction_amount = float(v)
-        self.invalidate()
+        self.invalidate_zooming()   # lib.rs routing
 
     def set_frame_offset(self, v: int):
         self.params.frame_offset = int(v)
@@ -528,7 +564,7 @@ class StabilizationManager:
 
     def set_light_refraction_coefficient(self, v: float):
         self.params.light_refraction_coefficient = float(v)
-        self.invalidate()
+        self.invalidate_zooming()   # lib.rs routing
 
     def set_background_mode(self, v: int):
         from .params import BackgroundMode
@@ -546,11 +582,11 @@ class StabilizationManager:
 
     def set_input_horizontal_stretch(self, v: float):
         self.lens.input_horizontal_stretch = float(v)
-        self.invalidate()
+        self.invalidate_zooming()   # lib.rs routing
 
     def set_input_vertical_stretch(self, v: float):
         self.lens.input_vertical_stretch = float(v)
-        self.invalidate()
+        self.invalidate_zooming()   # lib.rs routing
 
     def set_max_zoom(self, v: float, iterations: int = 5):
         self.params.max_zoom = float(v)
@@ -568,7 +604,7 @@ class StabilizationManager:
 
     def set_digital_lens_name(self, name):
         self.lens.digital_lens = name or None
-        self.invalidate()
+        self.invalidate_zooming()   # lib.rs routing
 
     def set_digital_lens_param(self, index: int, value: float):
         p = list(self.lens.digital_lens_params or [])
@@ -576,11 +612,11 @@ class StabilizationManager:
             p.append(0.0)
         p[index] = float(value)
         self.lens.digital_lens_params = p
-        self.invalidate()
+        self.invalidate_zooming()   # lib.rs routing
 
     def set_lens_is_asymmetrical(self, v: bool):
         self.lens.asymmetrical = bool(v)
-        self.invalidate()
+        self.invalidate_zooming()   # lib.rs routing
 
     def set_use_gravity_vectors(self, v: bool):
         self.gyro.use_gravity_vectors = bool(v)
@@ -594,11 +630,11 @@ class StabilizationManager:
 
     def remove_offset(self, timestamp_us: int):
         self.gyro.remove_offset(timestamp_us)
-        self.invalidate()
+        self.invalidate_zooming()   # lib.rs routing
 
     def clear_offsets(self):
         self.gyro.clear_offsets()
-        self.invalidate()
+        self.invalidate_zooming()   # lib.rs routing
 
     def override_video_fps(self, fps: float, recompute: bool = True):
         """VFR override (lib.rs:1214-1231): scale all timing by fps_scale."""
@@ -687,7 +723,7 @@ class StabilizationManager:
         self.keyframes.set_easing(
             typ, timestamp_us,
             easing if isinstance(easing, Easing) else Easing(easing))
-        self.invalidate()
+        self._keyframes_updated(typ)
 
     def set_keyframe_timestamp(self, typ: KeyframeType, keyframe_id: int,
                                new_timestamp_us: int):
@@ -701,7 +737,7 @@ class StabilizationManager:
         kf = kfs.pop(old_ts, None) if old_ts is not None else None
         if kf is not None:
             kfs[new_timestamp_us] = kf
-            self.invalidate()
+            self._keyframes_updated(typ)
 
     def _keyframe_at(self, typ: KeyframeType, timestamp_us: int):
         """Closest-snapped keyframe lookup (keyframes.rs get_closest)."""
@@ -718,7 +754,7 @@ class StabilizationManager:
 
     def clear_keyframes_type(self, typ: KeyframeType):
         self.keyframes.clear_type(typ)
-        self.invalidate()
+        self._keyframes_updated(typ)
 
     def clear(self):
         """Reset to a fresh manager state (lib.rs clear + InputFile reset,
@@ -757,26 +793,39 @@ class StabilizationManager:
         with open(path) as fh:
             return import_gyroflow_data(self, fh.read(), blocking=blocking)
 
-    # granular invalidation aliases (lib.rs:1016-1028) — the functional
-    # recompute rebuilds the full chain, so these share one implementation
+    # granular invalidation (lib.rs:1016-1028): each level zeroes its state
+    # checksum (so the next recompute re-runs that stage) and marks the lazy
+    # flag consumed by process_pixels (lib.rs:904-915)
     def invalidate_smoothing(self):
-        self.invalidate()
+        """lib.rs:1016-1020: smoothing dirty → zooming dirty too (the FOV
+        solve consumes the smoothed quats)."""
+        self._smoothing_checksum = None
+        self._smoothing_invalidated = True
+        self.invalidate_zooming()
 
     def invalidate_zooming(self):
-        self.invalidate()
+        """lib.rs:1021-1024 (+ undistortion here: the ComputeParams snapshot
+        carries the fovs, so it must be rebuilt after a zoom change)."""
+        self._zooming_checksum = None
+        self._zooming_invalidated = True
+        self.invalidate_undistortion()
+
+    def invalidate_undistortion(self):
+        self._undistortion_invalidated = True
+        self._compute_params = None
+        self._stab_cache.clear()
+        self.current_compute_id += 1
 
     def invalidate_blocking_smoothing(self):
-        self.invalidate()
-        self.recompute_blocking()
+        """lib.rs:1026: mark for the lazy blocking recompute that the next
+        process_pixels performs (lib.rs:904-915)."""
+        self.invalidate_smoothing()
 
     def invalidate_blocking_zooming(self):
-        self.invalidate()
-        self.recompute_adaptive_zoom()
-        self.recompute_undistortion()
+        self.invalidate_zooming()
 
     def invalidate_blocking_undistortion(self):
-        self.invalidate()
-        self.recompute_undistortion()
+        self.invalidate_undistortion()
 
     def invalidate_ongoing_computations(self):
         self.current_compute_id += 1
@@ -981,11 +1030,75 @@ class StabilizationManager:
         return [str(d) for d in jax.devices()]
 
     def invalidate(self):
-        self._compute_params = None
-        self._stab_cache.clear()
-        self.current_compute_id += 1
+        """Blanket invalidation = the safe superset (smoothing + zooming +
+        undistortion). Setters with a 1:1 reference routing call
+        invalidate_zooming()/invalidate_undistortion() directly; the
+        checksum gates make a spurious blanket call cheap anyway."""
+        self.invalidate_smoothing()
 
     # ---- recompute (lib.rs:515-640) ----------------------------------------
+
+    def _smoothing_state_checksum(self, gyro_checksum: Optional[int] = None) -> int:
+        """smoothing/mod.rs:107-115 via lib.rs:663."""
+        if gyro_checksum is None:
+            gyro_checksum = self.gyro.get_checksum()
+        return self.smoothing.get_state_checksum(gyro_checksum)
+
+    def _zooming_state_checksum(self) -> int:
+        """zooming/mod.rs get_checksum over the compute-params fields the FOV
+        solve reads (lens coeffs, sizes, fps, max zoom, trims, rotation,
+        window, FL smoothing). Zoom params NOT in this hash (method, center
+        offsets, …) zero the stored checksum via invalidate_zooming instead —
+        same split as the reference."""
+        p = self.params
+        coeffs = np.asarray(self.lens.get_distortion_coeffs(),
+                            np.float64).ravel().tolist()
+        return hash((
+            tuple(coeffs), tuple(p.size), tuple(p.output_size),
+            p.get_scaled_fps(), p.max_zoom or 0.0, p.max_zoom_iterations,
+            tuple(tuple(r) for r in p.trim_ranges), p.video_rotation,
+            p.adaptive_zoom_window, p.focal_length_smoothing_enabled,
+            p.focal_length_smoothing_strength,
+        ))
+
+    def _recompute_gated(self, cancelled=None) -> bool:
+        """Checksum-gated recompute chain (lib.rs:660-712): re-run smoothing
+        only when its state checksum moved, the FOV solve only when smoothing
+        changed or the zoom checksum moved. Returns False if cancelled."""
+        def _c():
+            return cancelled is not None and cancelled()
+
+        smoothing_changed = False
+        sc = self._smoothing_state_checksum()
+        if sc != self._smoothing_checksum:
+            self.recompute_smoothness()
+            if _c():
+                return False
+            smoothing_changed = True
+            self._smoothing_checksum = self._smoothing_state_checksum()
+        if _c():
+            return False
+        zc = self._zooming_state_checksum()
+        if smoothing_changed or zc != self._zooming_checksum:
+            self.recompute_adaptive_zoom()
+            if _c():
+                return False
+            self._zooming_checksum = zc
+        self.recompute_undistortion()
+        self._smoothing_invalidated = False
+        self._zooming_invalidated = False
+        self._undistortion_invalidated = False
+        return True
+
+    def _lazy_recompute_if_invalidated(self):
+        """lib.rs:904-915: a render call after setter-based invalidation does
+        a blocking recompute instead of serving stale smoothed quats/fovs.
+        Steady-state cost is one bool check; after a spurious blanket
+        invalidation it costs two checksum evaluations + a ComputeParams
+        rebuild (the expensive scans are checksum-gated)."""
+        if (self._smoothing_invalidated or self._zooming_invalidated
+                or self._undistortion_invalidated):
+            self._recompute_gated()
 
     def recompute_smoothness(self):
         params = ComputeParams.from_manager(self)
@@ -1071,10 +1184,10 @@ class StabilizationManager:
         self._stab_cache.clear()
 
     def recompute_blocking(self):
-        """lib.rs:625-629."""
-        self.recompute_smoothness()
-        self.recompute_adaptive_zoom()
-        self.recompute_undistortion()
+        """lib.rs:625-629, checksum-gated like recompute_threaded: a
+        zoom-only change skips the 6-pass smoothing scan; a pixel-only
+        change skips the FOV solve too."""
+        self._recompute_gated()
 
     def recompute_threaded(self, cb=None) -> int:
         """lib.rs:636-791: background recompute with compute-id cancellation.
@@ -1098,13 +1211,8 @@ class StabilizationManager:
             try:
                 if _cancelled():
                     return
-                self.recompute_smoothness()
-                if _cancelled():
+                if not self._recompute_gated(cancelled=_cancelled):
                     return
-                self.recompute_adaptive_zoom()
-                if _cancelled():
-                    return
-                self.recompute_undistortion()
                 if _cancelled():
                     return
                 if cb is not None:
@@ -1209,6 +1317,7 @@ class StabilizationManager:
         if not self.params.stab_enabled:
             return jnp.asarray(frames), {"fov": 1.0, "backend": "none"}
 
+        self._lazy_recompute_if_invalidated()
         fts = [self.frame_transform_at(self._adjusted_ts_ms(ts))
                for ts in timestamps_us]
         cfg = None
@@ -1313,6 +1422,7 @@ class StabilizationManager:
         if not self.params.stab_enabled:
             return frame_plane, {"fov": 1.0, "backend": "none"}
 
+        self._lazy_recompute_if_invalidated()
         ft = self.frame_transform_at(ts_ms)
         cfg, dyn = self._plane_cfg_dyn(
             ft, frame_plane.shape, interpolation, plane_index, max_pixel_value,
