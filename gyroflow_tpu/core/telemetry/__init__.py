@@ -99,12 +99,21 @@ def _parse_telemetry_file(path, options, size, fps, progress_cb) -> FileMetadata
             return parse_r3d(path, fps=fps, progress_cb=progress_cb)
         except ValueError as e:
             raise TelemetryError(str(e))
+    if ext in (".gfpb", ".pb"):
+        from .protobuf import parse_gyroflow_proto
+        try:
+            return parse_gyroflow_proto(path, progress_cb=progress_cb)
+        except ValueError as e:
+            raise TelemetryError(str(e))
     if ext in (".mp4", ".mov", ".360", ".insv", ".insp"):
         from .blackmagic import has_braw, parse_braw
         from .camm import parse_camm_mp4
         from .gpmf import has_gpmf, parse_gpmf_mp4
         from .insta360 import has_insv_trailer, parse_insv
+        from .protobuf import has_gyroflow_proto, parse_gyroflow_proto
         from .sony import has_sony_rtmd, parse_sony_mp4
+        if has_gyroflow_proto(path):
+            return parse_gyroflow_proto(path, progress_cb=progress_cb)
         if has_insv_trailer(path):
             return parse_insv(path, fps=fps, progress_cb=progress_cb)
         if has_gpmf(path):
