@@ -78,6 +78,9 @@ class RenderOptions:
     shard_sp: int = 1                  # output-row shards per frame ("sp" axis)
     async_encode: bool = True          # encode on a writer thread so the
                                        # device queue + decode overlap encode
+    decode_ahead: int = 4              # decode-ahead thread queue depth
+                                       # (ffmpeg_processor.rs:602 pipeline);
+                                       # 0 = decode inline in the main loop
 
 
 # reference names (stabilization/mod.rs:24-46, render_queue.rs settings)
@@ -169,6 +172,62 @@ class _AsyncWriter:
             self._t.join()
         self._w.close()
         self._check()
+
+
+class _AsyncReader:
+    """Decode-ahead thread (the ffmpeg_processor.rs:602 decode→callback
+    pipeline shape): a reader thread keeps the decoder busy while the main
+    loop dispatches to the device and encodes. The bounded queue applies
+    backpressure so memory stays O(depth) frames. Wrap AFTER any
+    seek_frame() — iteration starts immediately."""
+
+    def __init__(self, reader, depth: int = 4):
+        import queue
+        import threading
+        self._r = reader
+        self._q = queue.Queue(maxsize=max(depth, 1))
+        self._stop = False
+        self._exc = None
+        self._t = threading.Thread(target=self._run, daemon=True,
+                                   name="decode-ahead")
+        self._t.start()
+
+    def _put(self, item) -> bool:
+        import queue
+        while not self._stop:
+            try:
+                self._q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _run(self):
+        try:
+            for item in self._r:
+                if not self._put(item):
+                    return
+        except Exception as e:  # noqa: BLE001 — re-raised on the main thread
+            self._exc = e
+        finally:
+            self._put(None)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                if self._exc is not None:
+                    raise self._exc
+                return
+            yield item
+
+    def __getattr__(self, name):
+        return getattr(self._r, name)
+
+    def close(self):
+        self._stop = True
+        self._t.join(timeout=10)
+        self._r.close()
 
 
 def open_reader(input_path: str):
@@ -424,6 +483,8 @@ def render(mgr, input_path: str, output_path: str,
 
     if first > 0:
         reader.seek_frame(first)
+    if options.decode_ahead > 0:
+        reader = _AsyncReader(reader, depth=options.decode_ahead)
 
     use_pallas = jax.default_backend() not in ("cpu",)
 
