@@ -737,6 +737,13 @@ def render(mgr, input_path: str, output_path: str,
              "backend": "pallas-tpu" if use_pallas else "xla",
              "pix_fmt": getattr(out_fmt, "name", "rgb24"),
              "fps": round(rendered / wall, 2) if wall > 0 else 0.0}
+    if rendered:
+        # per-stage wall shares (decode includes reader wait; stab includes
+        # device dispatch + result transfer; encode includes writer marshal)
+        stats["stage_ms_per_frame"] = {
+            "decode": round(t_decode / rendered * 1000.0, 2),
+            "stab": round(t_stab / rendered * 1000.0, 2),
+            "encode": round(t_encode / rendered * 1000.0, 2)}
     if device_mesh is not None:
         stats["backend"] += "-sharded"
         stats["frame_window"] = window
