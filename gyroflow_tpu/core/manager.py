@@ -1432,12 +1432,21 @@ class StabilizationManager:
             use_pallas = jax.default_backend() not in ("cpu",)
         # ship integer frames in their native dtype (4x / 2x less
         # host<->device traffic for uint8 / uint16 10-bit planes); the f32
-        # conversion happens in-graph (remap casts on entry)
-        src = np.asarray(frame_plane)
-        to_u8 = src.dtype == np.uint8 and max_pixel_value == 255.0
-        ship_native = src.dtype in (np.uint8, np.uint16)
-        img = jnp.asarray(src if ship_native
-                          else src.astype(np.float32, copy=False))
+        # conversion happens in-graph (remap casts on entry). Planes that are
+        # ALREADY jax device arrays pass through zero-copy (callers that
+        # pre-stage frames on the device, e.g. bench.py's production-path
+        # metric, must not bounce them through host memory).
+        if isinstance(frame_plane, jax.Array):
+            src = frame_plane
+            to_u8 = src.dtype == jnp.uint8 and max_pixel_value == 255.0
+            ship_native = src.dtype in (jnp.uint8, jnp.uint16)
+            img = src if ship_native else src.astype(jnp.float32)
+        else:
+            src = np.asarray(frame_plane)
+            to_u8 = src.dtype == np.uint8 and max_pixel_value == 255.0
+            ship_native = src.dtype in (np.uint8, np.uint16)
+            img = jnp.asarray(src if ship_native
+                              else src.astype(np.float32, copy=False))
         mats = jnp.asarray(ft.matrices)
         mesh = jnp.asarray(ft.mesh_data) if ft.mesh_data is not None else None
         if use_pallas:

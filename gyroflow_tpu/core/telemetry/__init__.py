@@ -125,13 +125,16 @@ def _parse_telemetry_file(path, options, size, fps, progress_cb) -> FileMetadata
         if has_canon_ctmd(path):
             return parse_ctmd_mp4(path, fps=fps, size=size,
                                   progress_cb=progress_cb)
+        from .dji import has_dji_meta, parse_dji_mp4
+        if has_dji_meta(path):
+            return parse_dji_mp4(path, fps=fps, progress_cb=progress_cb)
         if has_braw(path):
             return parse_braw(path, fps=fps, progress_cb=progress_cb)
         try:
             return parse_camm_mp4(path, progress_cb=progress_cb)
         except TelemetryError:
             raise TelemetryError(
-                f"no telemetry track (GPMF/CAMM/RTMD/CTMD/insv) in "
+                f"no telemetry track (GPMF/CAMM/RTMD/CTMD/djmd/insv) in "
                 f"{os.path.basename(path)}")
     raise TelemetryError(f"Unsupported telemetry format: {ext} "
                          f"(supported: .gcsv, .csv, blackbox, ArduPilot "

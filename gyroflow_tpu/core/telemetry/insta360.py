@@ -86,6 +86,9 @@ def parse_insv(path: str, fps: float = 0.0,
     md.detected_source = "Insta360"
     # telemetry-parser reports Insta360 IMU axes remapped as (x, z, y)
     md.imu_orientation = "xzy"
+    # fixed wide lenses on the GO/X/Ace consumer line — gives the camera
+    # identifier its lens_info segment so profile autoload can match
+    md.additional_data["lens_info"] = "wide"
 
     gyro = acc = ts = None
     exposures = []          # (t_s, exposure_s)
@@ -108,6 +111,24 @@ def parse_insv(path: str, fps: float = 0.0,
                 txt = data.split(b"\x00")[0].decode("utf-8", "replace").strip()
                 if txt:
                     md.additional_data["camera_info"] = txt
+                    # surface the camera model for lens autoload
+                    # (camera_identifier.rs builds ids from brand+model):
+                    # the info string carries "Insta360 <model>" or a bare
+                    # model name like "GO 3" / "X3" / "Ace Pro"
+                    model = txt
+                    if model.lower().startswith("insta360"):
+                        model = model[len("insta360"):].strip(" _-")
+                    keep = []
+                    for tok in model.split():
+                        tl = tok.lower()
+                        # stop at firmware-version-ish tokens ("v1.0", "2.1")
+                        if (tl[:1] == "v" and tl[1:2].isdigit()) or \
+                                (tl[:1].isdigit() and "." in tl):
+                            break
+                        keep.append(tok)
+                    model = " ".join(keep)
+                    if model:
+                        md.detected_source = f"Insta360 {model}"
             except Exception:
                 pass
 

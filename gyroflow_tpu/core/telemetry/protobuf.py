@@ -155,13 +155,19 @@ REGISTRY: Dict[str, Dict[int, Tuple[str, str]]] = {
 _REPEATED = {"Gyroscope", "Accelerometer"}
 
 
-def decode_message(buf, schema_name: str, stats: Optional[dict] = None) -> dict:
+def decode_message(buf, schema_name: str, stats: Optional[dict] = None,
+                   registry: Optional[dict] = None,
+                   repeated: Optional[set] = None) -> dict:
     """Decode one message through the registry into a tag-map dict.
 
     Fields absent from the registry are COUNTED in stats["unknown_fields"]
     and skipped — the wire layer still frames them exactly, so one unknown
-    field never desynchronizes the rest of the message."""
-    schema = REGISTRY[schema_name]
+    field never desynchronizes the rest of the message. `registry`/`repeated`
+    default to the GyroflowProtobuf tables; other registry-driven formats
+    (e.g. telemetry.dji) pass their own."""
+    registry = REGISTRY if registry is None else registry
+    repeated = _REPEATED if repeated is None else repeated
+    schema = registry[schema_name]
     out: dict = {}
     for field_no, wt, val in iter_fields(buf):
         ent = schema.get(field_no)
@@ -187,8 +193,9 @@ def decode_message(buf, schema_name: str, stats: Optional[dict] = None) -> dict:
         elif kind.startswith("message:"):
             if wt != 2:
                 raise ValueError(f"{schema_name}.{name}: submessage with wire type {wt}")
-            sub = decode_message(val, kind.split(":", 1)[1], stats)
-            if kind.split(":", 1)[1] in _REPEATED:
+            sub = decode_message(val, kind.split(":", 1)[1], stats,
+                                 registry, repeated)
+            if kind.split(":", 1)[1] in repeated:
                 out.setdefault(name, []).append(sub)
             else:
                 out[name] = sub
@@ -197,9 +204,11 @@ def decode_message(buf, schema_name: str, stats: Optional[dict] = None) -> dict:
     return out
 
 
-def encode_message(tag_map: dict, schema_name: str) -> bytes:
+def encode_message(tag_map: dict, schema_name: str,
+                   registry: Optional[dict] = None) -> bytes:
     """Inverse of decode_message (fixture builder + gyro export carrier)."""
-    schema = REGISTRY[schema_name]
+    registry = REGISTRY if registry is None else registry
+    schema = registry[schema_name]
     by_name = {name: (no, kind) for no, (name, kind) in schema.items()}
     out = bytearray()
 
@@ -234,7 +243,7 @@ def encode_message(tag_map: dict, schema_name: str) -> bytes:
             sub_name = kind.split(":", 1)[1]
             vals = val if isinstance(val, list) else [val]
             for v in vals:
-                enc = encode_message(v, sub_name)
+                enc = encode_message(v, sub_name, registry)
                 emit(no, 2, varint(len(enc)) + enc)
     return bytes(out)
 

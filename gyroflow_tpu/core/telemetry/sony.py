@@ -521,6 +521,13 @@ def parse_sony_mp4(path: str, fps: float = 0.0, size=(0, 0),
                                     if tag_maps else "")
     camera_model = (tag_maps[0][1].get("camera_model", "") if tag_maps else "")
     first = tag_maps[0][1] if tag_maps else {}
+    # surface lens identity for profile autoload (the camera identifier
+    # needs a lens_info segment; bodies report the mounted lens name in the
+    # RTMD lens set — fall back to "stock" so IBIS bodies still match the
+    # bundled starter presets when the clip omits it)
+    if first.get("lens_model"):
+        md.additional_data["lens_model"] = str(first["lens_model"])
+    md.additional_data.setdefault("lens_info", "stock")
     frame_rate = fps or first.get("frame_rate", 30.0)
     md.frame_rate = frame_rate
     md.frame_readout_time = first.get("frame_readout_time")

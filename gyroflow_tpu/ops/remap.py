@@ -709,7 +709,24 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         return out, overflow
 
     coords_overflow = jnp.asarray(False)
-    if matrices.shape[0] > 1 and not has_mesh and not is_ewa:
+    use_coords_kernel = matrices.shape[0] > 1 and not has_mesh
+
+    def _kernel_coords(pos_offset=None):
+        """coords_pre (XLA) + per-row matrix projection (Pallas kernel) +
+        coords_post; the gather-free RS coords path, also used for the EWA
+        finite-difference evals (the XLA per-pixel matrix gather costs ~26
+        ms/frame/eval at 4K — r4: 125 -> ~55 ms/frame 4K RS EWA)."""
+        from . import pallas_coords as pc
+        op = out_pos if pos_offset is None else out_pos + pos_offset
+        x, y, idx, _probe = coords_pre(op, matrices, cfg, dyn, out_c, out_f)
+        # matrix window scales with the sampler ladder: small for the rolled
+        # fast path, generous for the full-width fallback configs
+        u_, v_, valid_t, ov = pc.project_tiles(
+            cfg, dyn, matrices, x, y, idx, win_m=64 if win_k else 256)
+        u_, v_ = coords_post_uv(u_, v_, cfg)
+        return u_, v_, valid_t > 0.5, ov
+
+    if use_coords_kernel:
         # RS path: XLA coords_pre + projection kernel + sampler kernel.
         # Negative results (measured on v5e, don't retry): (a) a fully fused
         # projection+sampling mega-kernel is 2.4x SLOWER; (b) moving the RS
@@ -718,14 +735,7 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         # coords_post + sampler window planning into the projection kernel
         # drops 45.7 -> 42.8 fps (in-kernel cross-lane reductions + the meta
         # output hurt Mosaic's pipelining more than the saved XLA passes).
-        from . import pallas_coords as pc
-        x, y, idx, _probe = coords_pre(out_pos, matrices, cfg, dyn, out_c, out_f)
-        # matrix window scales with the sampler ladder: small for the rolled
-        # fast path, generous for the full-width fallback configs
-        u, v, valid_t, coords_overflow = pc.project_tiles(
-            cfg, dyn, matrices, x, y, idx, win_m=64 if win_k else 256)
-        valid = valid_t > 0.5
-        u, v = coords_post_uv(u, v, cfg)
+        u, v, valid, coords_overflow = _kernel_coords()
     else:
         # single-matrix, or mesh/FPD (XLA coords incl. one-hot mesh eval +
         # per-pixel RS matrix gather)
@@ -736,13 +746,22 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
 
     jac = None
     if is_ewa:
-        # finite-difference Jacobian, eps=0.01 (cpu_undistort.rs:566-571)
+        # finite-difference Jacobian, eps=0.01 (cpu_undistort.rs:566-571);
+        # each eval re-runs the full chain incl. its own RS row select,
+        # matching the reference's undistort_point(pos +- eps)
         eps = 0.01
         uv = jnp.stack([u, v], axis=-1)
-        uv_x, _vx = undistort_coord(out_pos + jnp.asarray([eps, 0.0], jnp.float32),
-                                    matrices, cfg, dyn, out_c, out_f, mesh=mesh)
-        uv_y, _vy = undistort_coord(out_pos + jnp.asarray([0.0, eps], jnp.float32),
-                                    matrices, cfg, dyn, out_c, out_f, mesh=mesh)
+        if use_coords_kernel:
+            xu, xv, _vx, ovx = _kernel_coords(jnp.asarray([eps, 0.0], jnp.float32))
+            yu, yv, _vy, ovy = _kernel_coords(jnp.asarray([0.0, eps], jnp.float32))
+            uv_x = jnp.stack([xu, xv], axis=-1)
+            uv_y = jnp.stack([yu, yv], axis=-1)
+            coords_overflow = coords_overflow | ovx | ovy
+        else:
+            uv_x, _vx = undistort_coord(out_pos + jnp.asarray([eps, 0.0], jnp.float32),
+                                        matrices, cfg, dyn, out_c, out_f, mesh=mesh)
+            uv_y, _vy = undistort_coord(out_pos + jnp.asarray([0.0, eps], jnp.float32),
+                                        matrices, cfg, dyn, out_c, out_f, mesh=mesh)
         dx = jnp.where(_vx[..., None], uv_x, 0.0) - uv
         dy = jnp.where(_vy[..., None], uv_y, 0.0) - uv
         jac = jnp.stack([dx[..., 0] / eps, dy[..., 0] / eps,

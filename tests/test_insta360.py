@@ -67,7 +67,10 @@ class TestInsvTrailer:
         # accel g -> m/s^2
         assert abs(md.raw_imu[0].accl[2] - 9.80665) < 1e-9
         assert md.imu_orientation == "xzy"
-        assert md.detected_source == "Insta360"
+        # the 0x101 info record surfaces the model (firmware token stripped)
+        # for lens autoload (camera_identifier.rs brand+model ids)
+        assert md.detected_source == "Insta360 X3"
+        assert md.additional_data["lens_info"] == "wide"
         assert "Insta360 X3" in md.additional_data["camera_info"]
 
     def test_per_frame_time_offsets(self, tmp_path):
