@@ -1272,13 +1272,13 @@ class StabilizationManager:
             from ..ops.kernel_params import DRAWING_ENABLED
             cfg = cfg._replace(flags=cfg.flags | DRAWING_ENABLED)
         dyn = ft.kernel_dyn._replace(
-            max_pixel_value=jnp.float32(max_pixel_value),
-            pixel_value_limit=jnp.float32(max_pixel_value))
+            max_pixel_value=np.float32(max_pixel_value),
+            pixel_value_limit=np.float32(max_pixel_value))
         if background_override is not None:
             bgv = np.zeros(4, np.float32)
             bgo = np.asarray(background_override, np.float32).reshape(-1)
             bgv[:bgo.shape[0]] = bgo
-            dyn = dyn._replace(background=jnp.asarray(bgv))
+            dyn = dyn._replace(background=bgv)
         return cfg, dyn
 
     def _adjusted_ts_ms(self, timestamp_us: int) -> float:

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 # KernelParamsFlags (stabilization/mod.rs:84-99)
 FIX_COLOR_RANGE = 1
@@ -76,7 +77,16 @@ class KernelConfig(NamedTuple):
 
 
 class KernelDynamics(NamedTuple):
-    """Per-call f32 operands (a pytree; jit-traced, never retraces)."""
+    """Per-call f32 operands (a pytree; jit-traced, never retraces).
+
+    Leaves are HOST numpy arrays by construction (`make`): building ~19
+    eager jnp scalars per frame costs one device RPC each (measured ~55
+    ms/frame of pure dispatch through the axon tunnel on the production
+    path); numpy leaves transfer at jit dispatch instead, alongside the
+    frame operands — the TPU analogue of the reference packing its
+    per-frame uniforms into ONE buffer upload (stabilization/mod.rs:103-150
+    KernelParams POD). Traced/jnp leaves still work (window-batched paths
+    stack these into device arrays)."""
     f: jnp.ndarray                        # (2,) focal length px
     c: jnp.ndarray                        # (2,) lens center px
     k: jnp.ndarray                        # (12,) distortion coefficients
@@ -106,13 +116,14 @@ class KernelDynamics(NamedTuple):
              digital_lens_params=None, light_refraction_coefficient=1.0,
              max_pixel_value=255.0, pixel_value_limit=255.0,
              ewa_coeffs_p=(0.0,) * 4, ewa_coeffs_q=(0.0,) * 4) -> "KernelDynamics":
-        a = lambda v, n=None: jnp.asarray(v, jnp.float32)
+        a = lambda v, n=None: np.asarray(v, np.float32)
 
         def vec(v, n):
-            arr = jnp.zeros(n, jnp.float32) if v is None else jnp.asarray(v, jnp.float32)
+            arr = np.zeros(n, np.float32) if v is None else \
+                np.asarray(v, np.float32).reshape(-1)
             if arr.shape[0] < n:
-                arr = jnp.concatenate([arr, jnp.zeros(n - arr.shape[0], jnp.float32)])
-            return arr[:n]
+                arr = np.concatenate([arr, np.zeros(n - arr.shape[0], np.float32)])
+            return np.ascontiguousarray(arr[:n])
 
         return cls(
             f=vec(f, 2), c=vec(c, 2), k=vec(k, 12), fov=a(fov), r_limit=a(r_limit),

@@ -712,17 +712,29 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     use_coords_kernel = matrices.shape[0] > 1 and not has_mesh
 
     def _kernel_coords(pos_offset=None):
-        """coords_pre (XLA) + per-row matrix projection (Pallas kernel) +
+        """coords_pre + per-row matrix projection (Pallas kernel) +
         coords_post; the gather-free RS coords path, also used for the EWA
         finite-difference evals (the XLA per-pixel matrix gather costs ~26
-        ms/frame/eval at 4K — r4: 125 -> ~55 ms/frame 4K RS EWA)."""
+        ms/frame/eval at 4K — r4: 125 -> ~55 ms/frame 4K RS EWA).
+
+        NEGATIVE RESULT (r4, perf_probe25, don't retry): the SELF-CONTAINED
+        kernel variant (pallas_coords.project_tiles_gen — in-kernel ox/oy +
+        RS probe + exact window check, coarse 6-point matrix plan) measured
+        +0.06 ms/frame at the bench geometry: the saved XLA fusions
+        (coords_pre 0.22 + matrix plan 0.245 + io ~0.12 ms trace) are fully
+        offset by the probe's second projection chain inside the kernel —
+        the chain is latency-hidden only while the kernel runs ONE of them.
+        It also flips ~0.4% of pixels by one tap phase (XLA-vs-Mosaic f32
+        contraction order in the probe). The classic split stays."""
         from . import pallas_coords as pc
-        op = out_pos if pos_offset is None else out_pos + pos_offset
+        wm = 64 if win_k else 256
+        op = out_pos if pos_offset is None else \
+            out_pos + jnp.asarray(pos_offset, jnp.float32)
         x, y, idx, _probe = coords_pre(op, matrices, cfg, dyn, out_c, out_f)
-        # matrix window scales with the sampler ladder: small for the rolled
-        # fast path, generous for the full-width fallback configs
+        # matrix window scales with the sampler ladder: small for the
+        # rolled fast path, generous for full-width fallback configs
         u_, v_, valid_t, ov = pc.project_tiles(
-            cfg, dyn, matrices, x, y, idx, win_m=64 if win_k else 256)
+            cfg, dyn, matrices, x, y, idx, win_m=wm)
         u_, v_ = coords_post_uv(u_, v_, cfg)
         return u_, v_, valid_t > 0.5, ov
 
@@ -752,8 +764,8 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         eps = 0.01
         uv = jnp.stack([u, v], axis=-1)
         if use_coords_kernel:
-            xu, xv, _vx, ovx = _kernel_coords(jnp.asarray([eps, 0.0], jnp.float32))
-            yu, yv, _vy, ovy = _kernel_coords(jnp.asarray([0.0, eps], jnp.float32))
+            xu, xv, _vx, ovx = _kernel_coords((eps, 0.0))
+            yu, yv, _vy, ovy = _kernel_coords((0.0, eps))
             uv_x = jnp.stack([xu, xv], axis=-1)
             uv_y = jnp.stack([yu, yv], axis=-1)
             coords_overflow = coords_overflow | ovx | ovy

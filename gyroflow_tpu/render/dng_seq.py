@@ -215,8 +215,16 @@ class DNGSequenceReader:
         with open(path, "rb") as fh:
             buf = fh.read()
         t, endian = self._raw_ifd(buf)
-        w = t[T_WIDTH][0]
-        h = t[T_LENGTH][0]
+
+        def req(tag, name):
+            # a damaged IFD must surface as a clean IOError, not a KeyError
+            # (r4 mutation fuzz finding)
+            if tag not in t or not t[tag]:
+                raise IOError(f"DNG IFD missing required {name} tag")
+            return t[tag]
+
+        w = req(T_WIDTH, "ImageWidth")[0]
+        h = req(T_LENGTH, "ImageLength")[0]
         bits = t.get(T_BITS, (16,))[0]
         comp = t.get(T_COMPRESSION, (1,))[0]
         photo = t.get(T_PHOTOMETRIC, (PHOTO_CFA,))[0]
@@ -245,10 +253,10 @@ class DNGSequenceReader:
         if T_TILE_OFFSETS in t:
             # tiled layout (Adobe-written DNGs): place each tile into the
             # padded mosaic, then crop to the image size
-            tw_ = t[T_TILE_WIDTH][0]
-            th_ = t[T_TILE_LENGTH][0]
-            offs = t[T_TILE_OFFSETS]
-            cnts = t[T_TILE_COUNTS]
+            tw_ = req(T_TILE_WIDTH, "TileWidth")[0]
+            th_ = req(T_TILE_LENGTH, "TileLength")[0]
+            offs = req(T_TILE_OFFSETS, "TileOffsets")
+            cnts = req(T_TILE_COUNTS, "TileByteCounts")
             tiles_x = -(-w // tw_)
             canvas = np.zeros((-(-h // th_) * th_, tiles_x * tw_ * spp),
                               np.uint16)
@@ -260,7 +268,7 @@ class DNGSequenceReader:
                     vals.reshape(th_, tw_ * spp)
             raw = canvas[:h, :w * spp].reshape(-1)
         else:
-            offsets = t[T_STRIP_OFFSETS]
+            offsets = req(T_STRIP_OFFSETS, "StripOffsets")
             counts = t.get(T_STRIP_COUNTS, (len(buf) - offsets[0],))
             if comp == 7:
                 parts = [unpack_raw(buf[o:o + c], 0)[:, :w * spp]
