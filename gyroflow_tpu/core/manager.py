@@ -42,6 +42,7 @@ class StabilizationManager:
         self.device = None                # lib.rs:1978 accelerator pick
         self._compute_params: Optional[ComputeParams] = None
         self._stab_cache: Dict[int, object] = {}     # ts_us -> FrameTransform
+        self._mats_dev: Dict[int, object] = {}       # ts_us -> device (mats, mesh)
         self._win_cache: Dict[object, tuple] = {}    # cfg -> sampler window size
         self.current_compute_id = 0
         self._recompute_thread = None
@@ -814,6 +815,7 @@ class StabilizationManager:
         self._undistortion_invalidated = True
         self._compute_params = None
         self._stab_cache.clear()
+        self._mats_dev.clear()
         self.current_compute_id += 1
 
     def invalidate_blocking_smoothing(self):
@@ -1182,6 +1184,7 @@ class StabilizationManager:
     def recompute_undistortion(self):
         self._compute_params = ComputeParams.from_manager(self)
         self._stab_cache.clear()
+        self._mats_dev.clear()
 
     def recompute_blocking(self):
         """lib.rs:625-629, checksum-gated like recompute_threaded: a
@@ -1241,8 +1244,30 @@ class StabilizationManager:
             frame = frame_at_timestamp(timestamp_ms, cp.scaled_fps)
         key = int(round(timestamp_ms * 1000.0))
         if key not in self._stab_cache:
+            # bounded: a long render walks monotonically increasing ts, so
+            # insertion order IS recency; unbounded growth would leak ~120 KB
+            # of matrices per 4K frame (4+ GB over a 10-minute clip)
+            while len(self._stab_cache) >= 256:
+                self._stab_cache.pop(next(iter(self._stab_cache)))
             self._stab_cache[key] = frame_transform_at(cp, timestamp_ms, frame)
         return self._stab_cache[key]
+
+    def _mats_on_device(self, timestamp_ms: float, ft):
+        """Device copies of ft.matrices / ft.mesh_data, cached per timestamp:
+        the Y and UV planes of one frame share the same (rows, 14) matrix
+        stack (geometry lives in luma coordinates — HAS_SOURCE_RECT maps the
+        chroma buffer), so uploading it once per frame instead of once per
+        plane halves the per-frame host->device matrix traffic."""
+        import jax.numpy as jnp
+        key = int(round(timestamp_ms * 1000.0))
+        hit = self._mats_dev.get(key)
+        if hit is None:
+            while len(self._mats_dev) >= 64:
+                self._mats_dev.pop(next(iter(self._mats_dev)))
+            mesh = jnp.asarray(ft.mesh_data) if ft.mesh_data is not None else None
+            hit = (jnp.asarray(ft.matrices), mesh)
+            self._mats_dev[key] = hit
+        return hit
 
     def _plane_cfg_dyn(self, ft, frame_shape, interpolation, plane_index,
                        max_pixel_value, plane_rects, background_override,
@@ -1388,7 +1413,7 @@ class StabilizationManager:
                        interpolation: int = 8, use_pallas: Optional[bool] = None,
                        plane_index: int = 0, max_pixel_value: float = 255.0,
                        drawing=None, plane_rects: bool = False,
-                       background_override=None):
+                       background_override=None, defer_overflow: bool = False):
         """Stabilize one plane (H, W, C) f32 at the given video timestamp.
 
         Returns (output plane, info dict) like ProcessedInfo
@@ -1413,7 +1438,7 @@ class StabilizationManager:
                     return self.process_pixels(
                         timestamp_us, frame_plane, interpolation, use_pallas,
                         plane_index, max_pixel_value, drawing, plane_rects,
-                        background_override)
+                        background_override, defer_overflow)
                 finally:
                     self.device = d
 
@@ -1447,8 +1472,15 @@ class StabilizationManager:
             ship_native = src.dtype in (np.uint8, np.uint16)
             img = jnp.asarray(src if ship_native
                               else src.astype(np.float32, copy=False))
-        mats = jnp.asarray(ft.matrices)
-        mesh = jnp.asarray(ft.mesh_data) if ft.mesh_data is not None else None
+        # output cast is fused INTO the remap program (one dispatch per plane,
+        # 2-4x smaller downloads) instead of a second to_uint{8,16} call
+        if to_u8:
+            out_dtype = "uint8"
+        elif src.dtype in (np.uint16, jnp.uint16):
+            out_dtype = "uint16"
+        else:
+            out_dtype = "f32"
+        mats, mesh = self._mats_on_device(ts_ms, ft)
         if use_pallas:
             # auto window sizing: probe small->large once per config, cache.
             # Rolled (win_h, win_w, win_k, tile_w) configs first — win_k=128
@@ -1467,12 +1499,22 @@ class StabilizationManager:
             # the colmix matmul skips the up-to-7-row origin-alignment slack
             # (r3: -0.36 ms/frame 4K Y).
             from ..parallel.pipeline import ladder_for
+            ov_flag = None
             if win is not None:
                 out, ov = remap.remap_plane_pallas_jit(
                     img, mats, cfg, dyn, mesh, win_h=win[0], win_w=win[1],
                     win_k=win[2], tile_w=win[3], tile_h=win[4],
-                    drawing=drawing, win_r=win[5])
-                if bool(ov):
+                    drawing=drawing, win_r=win[5], out_dtype=out_dtype)
+                if defer_overflow:
+                    # pipelined contract (renderer/bench): NO device sync
+                    # here — the caller checks info["overflow"] when the
+                    # frame is consumed (the output is materialized there
+                    # anyway) and replays the frame with defer_overflow=False
+                    # on the rare cache-gone-stale hit. A blocking bool(ov)
+                    # per plane serializes dispatch with execution: measured
+                    # 61 of 68 ms/frame of the r4 production-path probe.
+                    ov_flag = ov
+                elif bool(ov):
                     # geometry changed since the probe (zoom/fov keyframes):
                     # the cached window no longer covers some tile — re-probe
                     # rather than ship silently-corrupt tiles
@@ -1486,7 +1528,7 @@ class StabilizationManager:
                     out, ov = remap.remap_plane_pallas_jit(
                         img, mats, cfg, dyn, mesh, win_h=cand[0], win_w=cand[1],
                         win_k=cand[2], tile_w=cand[3], tile_h=cand[4],
-                        drawing=drawing, win_r=cand[5])
+                        drawing=drawing, win_r=cand[5], out_dtype=out_dtype)
                     if not bool(ov):
                         self._win_cache[wkey] = cand
                         break
@@ -1495,18 +1537,18 @@ class StabilizationManager:
                     self.stats["xla_fallbacks"] += 1
                     backend = "xla-fallback"
                     out = remap.remap_plane_jit(img, mats, cfg, dyn, mesh,
-                                                drawing=drawing)
+                                                drawing=drawing,
+                                                out_dtype=out_dtype)
         else:
-            out = remap.remap_plane_jit(img, mats, cfg, dyn, mesh, drawing=drawing)
+            out = remap.remap_plane_jit(img, mats, cfg, dyn, mesh, drawing=drawing,
+                                        out_dtype=out_dtype)
             backend = "xla"
-        if to_u8:
-            out = remap.to_uint8_jit(out)
-        elif src.dtype == np.uint16:
-            out = remap.to_uint16_jit(out, np.float32(max_pixel_value))
         info = {"fov": ft.fov, "minimal_fov": ft.minimal_fov,
                 "focal_length": ft.focal_length, "backend": backend,
                 "xla_fallbacks": self.stats["xla_fallbacks"],
                 "window_reprobes": self.stats["window_reprobes"]}
+        if use_pallas and defer_overflow:
+            info["overflow"] = ov_flag     # None when the ladder walk ran
         return out, info
 
     # ---- misc --------------------------------------------------------------

@@ -604,10 +604,22 @@ def remap_plane(img, matrices, cfg: KernelConfig, dyn: KernelDynamics, mesh=None
     return pixel
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+def _cast_out(out, out_dtype: str, dyn: KernelDynamics):
+    """In-graph output cast (fused into the remap program so integer planes
+    download 2-4x smaller WITHOUT a second dispatch — every extra dispatch
+    costs ~1-2.5 ms of host RPC through a remote-device tunnel)."""
+    if out_dtype == "uint8":
+        return jnp.clip(out, 0, 255).astype(jnp.uint8)
+    if out_dtype == "uint16":
+        return jnp.clip(jnp.rint(out), 0, dyn.max_pixel_value).astype(jnp.uint16)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "out_dtype"))
 def remap_plane_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics, mesh=None,
-                    drawing=None):
-    return remap_plane(img, matrices, cfg, dyn, mesh=mesh, drawing=drawing)
+                    drawing=None, out_dtype: str = "f32"):
+    return _cast_out(remap_plane(img, matrices, cfg, dyn, mesh=mesh,
+                                 drawing=drawing), out_dtype, dyn)
 
 
 @jax.jit
@@ -908,13 +920,15 @@ def _remap_colorrange_t(px, is_y: bool, max_pixel_value):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "win_h", "win_w", "out_rows",
                                              "tile_h", "tile_w", "win_k",
-                                             "win_r", "fused"))
+                                             "win_r", "fused", "out_dtype"))
 def remap_plane_pallas_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
                            mesh=None, win_h: int = 64, win_w: int = 512,
                            drawing=None, out_rows: int = None, oy0=0,
                            tile_h: int = 8, tile_w: int = 128, win_k: int = 0,
-                           win_r: int = 0, fused: bool = False):
-    return remap_plane_pallas(img, matrices, cfg, dyn, mesh, win_h, win_w,
-                              drawing=drawing, out_rows=out_rows, oy0=oy0,
-                              tile_h=tile_h, tile_w=tile_w, win_k=win_k,
-                              win_r=win_r, fused=fused)
+                           win_r: int = 0, fused: bool = False,
+                           out_dtype: str = "f32"):
+    out, ov = remap_plane_pallas(img, matrices, cfg, dyn, mesh, win_h, win_w,
+                                 drawing=drawing, out_rows=out_rows, oy0=oy0,
+                                 tile_h=tile_h, tile_w=tile_w, win_k=win_k,
+                                 win_r=win_r, fused=fused)
+    return _cast_out(out, out_dtype, dyn), ov

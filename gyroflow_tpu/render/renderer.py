@@ -181,13 +181,14 @@ class _AsyncReader:
     backpressure so memory stays O(depth) frames. Wrap AFTER any
     seek_frame() — iteration starts immediately."""
 
-    def __init__(self, reader, depth: int = 4):
+    def __init__(self, reader, depth: int = 4, prefetch=None):
         import queue
         import threading
         self._r = reader
         self._q = queue.Queue(maxsize=max(depth, 1))
         self._stop = False
         self._exc = None
+        self._prefetch = prefetch
         self._t = threading.Thread(target=self._run, daemon=True,
                                    name="decode-ahead")
         self._t.start()
@@ -205,6 +206,16 @@ class _AsyncReader:
     def _run(self):
         try:
             for item in self._r:
+                if self._prefetch is not None:
+                    try:
+                        # warm the per-frame FrameTransform (and any other
+                        # host-side per-ts work) on THIS thread so the main
+                        # loop's dispatch doesn't serialize behind the
+                        # ~3 ms/frame matrix build (idempotent dict fill —
+                        # a lost race just recomputes on the main thread)
+                        self._prefetch(item[0])
+                    except Exception:  # noqa: BLE001 — prefetch is advisory
+                        pass
                 if not self._put(item):
                     return
         except Exception as e:  # noqa: BLE001 — re-raised on the main thread
@@ -331,6 +342,29 @@ def _plane_groups(fmt: RawFormat, planes: List[np.ndarray]):
         return [(native(planes[0]), 0)]
     # planar RGB float (gbrpf32le etc.): process as one multi-channel plane
     return [(np.concatenate(planes, axis=-1).astype(np.float32), 0)]
+
+
+def _overflow_check(mgr, ts_us, groups, bgs, drawing, flags, options,
+                    use_pallas, fmt):
+    """Deferred-overflow drain closure for one planar frame (consumed by
+    _emit). process_pixels(defer_overflow=True) skips the per-plane device
+    sync on the overflow flag — the flag is checked HERE, when the frame is
+    materialized for encoding anyway, and a stale-window hit replays the
+    plane through the blocking path (which re-probes the window ladder)."""
+    if not any(f is not None for f in flags):
+        return None
+    def check(payload):
+        fixed = list(payload)
+        for gi, ((data, plane_index), fl) in enumerate(zip(groups, flags)):
+            if fl is not None and bool(fl):
+                fixed[gi] = mgr.process_pixels(
+                    ts_us, data, interpolation=options.interpolation,
+                    use_pallas=use_pallas, plane_index=plane_index,
+                    max_pixel_value=fmt.max_value, plane_rects=True,
+                    background_override=bgs[gi] if gi < len(bgs) else None,
+                    drawing=drawing if plane_index == 0 else None)[0]
+        return fixed
+    return check
 
 
 def _ungroup_planes(fmt: RawFormat, groups: List[np.ndarray],
@@ -484,7 +518,12 @@ def render(mgr, input_path: str, output_path: str,
     if first > 0:
         reader.seek_frame(first)
     if options.decode_ahead > 0:
-        reader = _AsyncReader(reader, depth=options.decode_ahead)
+        def _warm_ft(ts_us):
+            if mgr.params.stab_enabled:
+                mgr.frame_transform_at(mgr._adjusted_ts_ms(ts_us))
+
+        reader = _AsyncReader(reader, depth=options.decode_ahead,
+                              prefetch=_warm_ft)
 
     use_pallas = jax.default_backend() not in ("cpu",)
 
@@ -592,9 +631,15 @@ def render(mgr, input_path: str, output_path: str,
             inflight.append(([g[i] for g in group_outs], emit))
         win_buf.clear()
 
-    def _emit(payload, emit):
+    def _emit(payload, emit, check=None):
         nonlocal t_stab, t_encode
         _t2 = _time.time()
+        if check is not None:
+            # deferred-overflow drain: the device results are (about to be)
+            # materialized anyway, so checking the tiny flags here costs no
+            # extra device wait; a stale-window hit replays the frame through
+            # the blocking path (which re-probes the ladder) before encoding
+            payload = check(payload)
         if kind == "planar":
             groups = [np.asarray(g) for g in payload]
             planes = _ungroup_planes(out_fmt or fmt, groups,
@@ -670,7 +715,7 @@ def render(mgr, input_path: str, output_path: str,
                         _flush_window()
                 elif kind == "planar":
                     groups = _plane_groups(fmt, frame)
-                    outs = []
+                    outs, flags = [], []
                     for gi, (data, plane_index) in enumerate(groups):
                         out, info = mgr.process_pixels(
                             ts_us, data, interpolation=options.interpolation,
@@ -678,14 +723,28 @@ def render(mgr, input_path: str, output_path: str,
                             max_pixel_value=fmt.max_value,
                             plane_rects=True,
                             background_override=bgs[gi] if gi < len(bgs) else None,
-                            drawing=drawing if plane_index == 0 else None)
+                            drawing=drawing if plane_index == 0 else None,
+                            defer_overflow=True)
                         outs.append(out)
-                    inflight.append((outs, emit))
+                        flags.append(info.get("overflow"))
+                    inflight.append((outs, emit,
+                                     _overflow_check(mgr, ts_us, groups, bgs,
+                                                     drawing, flags, options,
+                                                     use_pallas, fmt)))
                 else:
                     out, info = mgr.process_pixels(
                         ts_us, frame, interpolation=options.interpolation,
-                        use_pallas=use_pallas, drawing=drawing)
-                    inflight.append((out, emit))
+                        use_pallas=use_pallas, drawing=drawing,
+                        defer_overflow=True)
+                    inflight.append((
+                        out, emit,
+                        (lambda p, _ts=ts_us, _f=frame, _d=drawing,
+                                _fl=info.get("overflow"):
+                         p if _fl is None or not bool(_fl) else
+                         mgr.process_pixels(_ts, _f,
+                                            interpolation=options.interpolation,
+                                            use_pallas=use_pallas,
+                                            drawing=_d)[0])))
                 t_stab += _time.time() - _t1
                 # depth-k dispatch pipeline: the device queue keeps computing
                 # frame N+1..N+k while frame N transfers back and encodes
