@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import logging
 import math
+import threading
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -42,6 +43,11 @@ class StabilizationManager:
         self.device = None                # lib.rs:1978 accelerator pick
         self._compute_params: Optional[ComputeParams] = None
         self._stab_cache: Dict[int, object] = {}     # ts_us -> FrameTransform
+        # guards _stab_cache: frame_transform_at is called concurrently from
+        # the render main loop AND the decode-ahead prefetch thread
+        # (renderer._AsyncReader); unguarded eviction can double-pop or
+        # KeyError mid-render
+        self._stab_lock = threading.Lock()
         self._mats_dev: Dict[int, object] = {}       # ts_us -> device (mats, mesh)
         self._win_cache: Dict[object, tuple] = {}    # cfg -> sampler window size
         self.current_compute_id = 0
@@ -814,9 +820,14 @@ class StabilizationManager:
     def invalidate_undistortion(self):
         self._undistortion_invalidated = True
         self._compute_params = None
-        self._stab_cache.clear()
-        self._mats_dev.clear()
+        # bump the generation BEFORE clearing: an in-flight prefetch
+        # (renderer decode-ahead thread) captured the old id and will skip
+        # its cache insert, so a stale FrameTransform can never repopulate
+        # the just-cleared cache
         self.current_compute_id += 1
+        with self._stab_lock:
+            self._stab_cache.clear()
+        self._mats_dev.clear()
 
     def invalidate_blocking_smoothing(self):
         """lib.rs:1026: mark for the lazy blocking recompute that the next
@@ -1183,7 +1194,8 @@ class StabilizationManager:
 
     def recompute_undistortion(self):
         self._compute_params = ComputeParams.from_manager(self)
-        self._stab_cache.clear()
+        with self._stab_lock:
+            self._stab_cache.clear()
         self._mats_dev.clear()
 
     def recompute_blocking(self):
@@ -1239,18 +1251,28 @@ class StabilizationManager:
     def frame_transform_at(self, timestamp_ms: float, frame: Optional[int] = None):
         from ..ops.frame_transform import frame_transform_at
         from .params import frame_at_timestamp
+        gen = self.current_compute_id   # BEFORE the params snapshot
         cp = self.get_compute_params()
         if frame is None:
             frame = frame_at_timestamp(timestamp_ms, cp.scaled_fps)
         key = int(round(timestamp_ms * 1000.0))
-        if key not in self._stab_cache:
-            # bounded: a long render walks monotonically increasing ts, so
-            # insertion order IS recency; unbounded growth would leak ~120 KB
-            # of matrices per 4K frame (4+ GB over a 10-minute clip)
-            while len(self._stab_cache) >= 256:
-                self._stab_cache.pop(next(iter(self._stab_cache)))
-            self._stab_cache[key] = frame_transform_at(cp, timestamp_ms, frame)
-        return self._stab_cache[key]
+        with self._stab_lock:
+            hit = self._stab_cache.get(key)
+        if hit is not None:
+            return hit
+        ft = frame_transform_at(cp, timestamp_ms, frame)
+        with self._stab_lock:
+            # skip the insert if params were invalidated while computing —
+            # a decode-ahead prefetch running with the old ComputeParams
+            # must not repopulate the just-cleared cache with stale geometry
+            if gen == self.current_compute_id:
+                # bounded: a long render walks monotonically increasing ts,
+                # so insertion order IS recency; unbounded growth would leak
+                # ~120 KB of matrices per 4K frame (4+ GB over a 10-min clip)
+                while len(self._stab_cache) >= 256:
+                    self._stab_cache.pop(next(iter(self._stab_cache)), None)
+                self._stab_cache[key] = ft
+        return ft
 
     def _mats_on_device(self, timestamp_ms: float, ft):
         """Device copies of ft.matrices / ft.mesh_data, cached per timestamp:

@@ -302,11 +302,24 @@ def frame_transform_at(params: ComputeParams, timestamp_ms: float, frame: int) -
     # per-row SVD — np.linalg.pinv on (2160, 3, 3) costs 5.4 ms/frame of
     # host time (73% of the per-frame FrameTransform build), the analytic
     # form 0.7 ms, max |diff| 7e-16 (f64; both cast to f32 below)
+    # near-singular new_k (degenerate fov/focal keyframe): the reference
+    # uses (new_k*r).pseudo_inverse(1e-6) (frame_transform.rs:296), which
+    # truncates singular values <= 1e-6 instead of blowing up; mirror that
+    # with an SVD-based absolute-epsilon pseudo-inverse whenever the plain
+    # inverse is non-finite or new_k is ill-conditioned
+    inv_k = None
     try:
-        i_r = np.einsum("nij,jk->nik", r.transpose(0, 2, 1),
-                        np.linalg.inv(new_k))                    # (rows, 3, 3)
+        inv_k = np.linalg.inv(new_k)
+        if not np.isfinite(inv_k).all() or np.linalg.cond(new_k) > 1e12:
+            inv_k = None
     except np.linalg.LinAlgError:
-        i_r = np.linalg.pinv(new_k @ r)
+        inv_k = None
+    if inv_k is None:
+        u, s, vt = np.linalg.svd(new_k)
+        s_inv = np.where(s > 1e-6, 1.0 / np.where(s > 1e-6, s, 1.0), 0.0)
+        inv_k = (vt.T * s_inv) @ u.T                 # pinv(new_k), eps=1e-6
+    # (new_k @ r)^+ == r.T @ new_k^+ (r orthonormal)
+    i_r = np.einsum("nij,jk->nik", r.transpose(0, 2, 1), inv_k)  # (rows,3,3)
     matrices = np.concatenate([i_r.reshape(rows, 9), ibis], axis=1).astype(np.float32)
 
     az_cy_eff = -az_cy if params.framebuffer_inverted else az_cy

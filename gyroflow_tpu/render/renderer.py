@@ -736,15 +736,21 @@ def render(mgr, input_path: str, output_path: str,
                         ts_us, frame, interpolation=options.interpolation,
                         use_pallas=use_pallas, drawing=drawing,
                         defer_overflow=True)
-                    inflight.append((
-                        out, emit,
-                        (lambda p, _ts=ts_us, _f=frame, _d=drawing,
-                                _fl=info.get("overflow"):
-                         p if _fl is None or not bool(_fl) else
-                         mgr.process_pixels(_ts, _f,
-                                            interpolation=options.interpolation,
-                                            use_pallas=use_pallas,
-                                            drawing=_d)[0])))
+                    # mirror _overflow_check: only build the replay closure
+                    # (which pins the decoded frame for pipeline_depth
+                    # frames) when there IS an overflow flag to drain
+                    _fl = info.get("overflow")
+                    _check = None
+                    if _fl is not None:
+                        _check = (lambda p, _ts=ts_us, _f=frame, _d=drawing,
+                                         _fl=_fl:
+                                  p if not bool(_fl) else
+                                  mgr.process_pixels(
+                                      _ts, _f,
+                                      interpolation=options.interpolation,
+                                      use_pallas=use_pallas,
+                                      drawing=_d)[0])
+                    inflight.append((out, emit, _check))
                 t_stab += _time.time() - _t1
                 # depth-k dispatch pipeline: the device queue keeps computing
                 # frame N+1..N+k while frame N transfers back and encodes
