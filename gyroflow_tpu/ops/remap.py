@@ -645,7 +645,8 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
                        mesh=None, win_h: int = 64, win_w: int = 512,
                        drawing=None, out_rows: int = None, oy0=0,
                        tile_h: int = 8, tile_w: int = 128, win_k: int = 0,
-                       win_r: int = 0, fused: bool = False):
+                       win_r: int = 0, fused: bool = False,
+                       win_m: int = 0):
     """Drop-in replacement for remap_plane using the Pallas sampling kernels.
 
     Returns (output, overflow) — overflow True means some tile's source bbox
@@ -708,7 +709,7 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         imgs = jnp.moveaxis(img, -1, 0)
         pixel, overflow = pf.remap_fused(
             spec, cfg, dyn, imgs, matrices, x, y, idx, probe, pad_ok, bg,
-            win_m=64 if win_k else 256)
+            win_m=win_m or (64 if win_k else 256))
         orx, ory, orw, orh = cfg.out_rect
         lx = map_coord(ox, float(orx), float(orx + orw), 0.0, float(cfg.output_width))
         ly = map_coord(oy, float(ory), float(ory + orh), 0.0, float(cfg.output_height))
@@ -739,7 +740,7 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         It also flips ~0.4% of pixels by one tap phase (XLA-vs-Mosaic f32
         contraction order in the probe). The classic split stays."""
         from . import pallas_coords as pc
-        wm = 64 if win_k else 256
+        wm = win_m or (64 if win_k else 256)
         op = out_pos if pos_offset is None else \
             out_pos + jnp.asarray(pos_offset, jnp.float32)
         x, y, idx, _probe = coords_pre(op, matrices, cfg, dyn, out_c, out_f)
@@ -920,15 +921,16 @@ def _remap_colorrange_t(px, is_y: bool, max_pixel_value):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "win_h", "win_w", "out_rows",
                                              "tile_h", "tile_w", "win_k",
-                                             "win_r", "fused", "out_dtype"))
+                                             "win_r", "fused", "win_m",
+                                             "out_dtype"))
 def remap_plane_pallas_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
                            mesh=None, win_h: int = 64, win_w: int = 512,
                            drawing=None, out_rows: int = None, oy0=0,
                            tile_h: int = 8, tile_w: int = 128, win_k: int = 0,
                            win_r: int = 0, fused: bool = False,
-                           out_dtype: str = "f32"):
+                           win_m: int = 0, out_dtype: str = "f32"):
     out, ov = remap_plane_pallas(img, matrices, cfg, dyn, mesh, win_h, win_w,
                                  drawing=drawing, out_rows=out_rows, oy0=oy0,
                                  tile_h=tile_h, tile_w=tile_w, win_k=win_k,
-                                 win_r=win_r, fused=fused)
+                                 win_r=win_r, fused=fused, win_m=win_m)
     return _cast_out(out, out_dtype, dyn), ov
