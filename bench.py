@@ -100,8 +100,7 @@ def main():
     win_y = pick_window(planes[0][0], planes[0][1], planes[0][2], planes[0][3])
     win_uv = pick_window(planes[1][0], planes[1][1], planes[1][2], planes[1][3])
 
-    @jax.jit
-    def run_frame(y, yl, uv, uvm, salt):
+    def frame_step(y, yl, uv, uvm, salt):
         cfg0, dyn0 = planes[0][0], planes[0][1]
         cfg1, dyn1 = planes[1][0], planes[1][1]
         out_y, _ = remap.remap_plane_pallas(y + salt, yl, cfg0, dyn0,
@@ -114,27 +113,44 @@ def main():
                                              tile_h=TILE_H, win_r=win_uv[4])
         return jnp.sum(out_y) + jnp.sum(out_uv) + salt
 
+    run_frame = jax.jit(frame_step)
+
+    # primary dispatch shape: F-frame scan windows, the production render
+    # loop's window mode (renderer.py frame_window / parallel.pipeline scan
+    # step). One program per F frames amortizes the per-dispatch device idle
+    # (~1 ms/frame through the axon tunnel; probes 22/23/26) and the scanned
+    # program's own device span measures BELOW the per-frame program's
+    # (7.95 vs ~8.9 ms at this geometry).
+    F = 16
+
+    @jax.jit
+    def run_window(y, uv, yls, uvms, ss):
+        def body(acc, xs):
+            yl_i, uvm_i, s_i = xs
+            return acc + frame_step(y, yl_i, uv, uvm_i, s_i), ()
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), (yls, uvms, ss))
+        return acc
+
     y_img, y_mats = planes[0][2], planes[0][3]
     uv_img, uv_mats = planes[1][2], planes[1][3]
+    y_mats_f = jnp.asarray(np.stack([np.asarray(y_mats)] * F))
+    uv_mats_f = jnp.asarray(np.stack([np.asarray(uv_mats)] * F))
+    salts_f = [jnp.arange(F, dtype=jnp.float32) * 1e-6 + i * 1e-3
+               for i in range(4)]
 
     _phase("primary: warm-up compile")
-    # warm up / compile
-    v = float(run_frame(y_img, y_mats, uv_img, uv_mats, jnp.float32(0.0)))
+    v = float(run_window(y_img, uv_img, y_mats_f, uv_mats_f, salts_f[0]))
     assert math.isfinite(v)
 
     _phase("primary: timing loop")
     best = None
-    B = 24
-    # pre-create the per-frame salt inputs: a jnp scalar device_put through
-    # the axon tunnel costs ~3 ms of host time per call, which starves the
-    # device queue and was measured as ~8 fps of pure dispatch overhead
-    salts = [jnp.float32(i * 1e-6) for i in range(B)]
+    CALLS = 6   # 96 frames per rep
     for _ in range(3):
         t0 = time.time()
-        outs = [run_frame(y_img, y_mats, uv_img, uv_mats, salts[i])
-                for i in range(B)]
+        outs = [run_window(y_img, uv_img, y_mats_f, uv_mats_f,
+                           salts_f[i % 4]) for i in range(CALLS)]
         float(outs[-1])  # in-order device queue: last done => all done
-        dt = (time.time() - t0) / B
+        dt = (time.time() - t0) / (CALLS * F)
         best = dt if best is None else min(best, dt)
 
     fps = 1.0 / best
@@ -145,6 +161,29 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),
     }
+
+    # secondary: per-frame dispatch (one program per frame — the renderer's
+    # default non-window mode; kept for cross-round comparability with the
+    # r1-r4 primary numbers)
+    try:
+        _phase("per-frame dispatch secondary")
+        v = float(run_frame(y_img, y_mats, uv_img, uv_mats, jnp.float32(0.0)))
+        assert math.isfinite(v)
+        bestf = None
+        B = 24
+        # pre-create the per-frame salt inputs: a jnp scalar device_put
+        # through the axon tunnel costs ~3 ms of host time per call
+        salts = [jnp.float32(i * 1e-6) for i in range(B)]
+        for _ in range(3):
+            t0 = time.time()
+            outs = [run_frame(y_img, y_mats, uv_img, uv_mats, salts[i])
+                    for i in range(B)]
+            float(outs[-1])
+            dt = (time.time() - t0) / B
+            bestf = dt if bestf is None else min(bestf, dt)
+        result["per_frame_dispatch_fps"] = round(1.0 / bestf, 2)
+    except Exception as e:  # noqa: BLE001
+        result["per_frame_dispatch_error"] = str(e)[:200]
 
     # secondary metric: 8K Y-plane single-frame time (BASELINE.json
     # configs[4] geometry class; VERDICT r2 #8). Failure-tolerant: the
@@ -267,6 +306,66 @@ def main():
         os.unlink(gcsv)
     except Exception as e:  # noqa: BLE001 — secondary must not kill the bench
         result["production_path_error"] = str(e)[:200]
+
+    # secondary: PRODUCTION WINDOW step (parallel.pipeline.make_window_step
+    # on a 1-device mesh — the renderer's frame_window mode): F=16 DISTINCT
+    # stacked uint16 frames in, stacked uint16 outputs materialized, per-frame
+    # matrices/dynamics. Operands are pre-staged on device (the axon tunnel
+    # would otherwise measure its own 25 MB/s, not the path; a TPU VM's PCIe
+    # ships a window in ~80 ms overlapped with compute).
+    try:
+        import jax.numpy as jnp2  # noqa: F401
+
+        from gyroflow_tpu.ops.kernel_params import KernelDynamics as KD
+        from gyroflow_tpu.parallel import pipeline as pp
+
+        _phase("production window")
+        Fw = 16
+        mesh1 = pp.make_frame_mesh(1, sp=1)
+        winw = (win_y[0], win_y[1], win_y[2], win_y[3], TILE_H, win_y[4])
+        steps, dev_args = [], []
+        for (W, H, plane_index, kchan) in ((3840, 2160, 0, 1),
+                                           (1920, 1080, 1, 2)):
+            fpl = (W * 0.62, W * 0.62)
+            cfgw = KernelConfig(width=W, height=H, output_width=W,
+                                output_height=H, interpolation=8,
+                                distortion_model="opencv_fisheye",
+                                plane_index=plane_index, flags=FIX_COLOR_RANGE)
+            dynw = pp.stack_dynamics([
+                KD.make(f=fpl, c=(W / 2, H / 2), k=[0.25, -0.07, 0.02, -0.003],
+                        fov=0.92, max_pixel_value=1023.0,
+                        pixel_value_limit=1023.0, background=(0, 0, 0, 1))
+                for _ in range(Fw)])
+            imgsw = rng.integers(0, 1024, (Fw, H, W, kchan)).astype(np.uint16)
+            matw = np.stack([np.asarray(make_matrices(W, H, fpl, 0.92, H))] * Fw)
+            for i in range(Fw):
+                matw[i, :, :9] *= (1.0 + 1e-4 * i)   # distinct per-frame RS
+            steps.append(pp.make_window_step(mesh1, cfgw, Fw, win=winw,
+                                             use_pallas=True,
+                                             out_dtype=jnp.uint16))
+            dev_args.append(pp.place_window(mesh1, imgsw, matw, dynw))
+
+        def run_prod_window():
+            res = []
+            for stepw, (im, ma, dy, _) in zip(steps, dev_args):
+                res.append(stepw(im, ma, dy))
+            return res
+
+        res = run_prod_window()
+        for _, ovw in res:
+            if bool(np.asarray(ovw).any()):
+                raise RuntimeError("production window overflowed")
+        bestw = None
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(4):
+                res = run_prod_window()
+            np.asarray(res[-1][1])   # in-order queue: last ov done => all done
+            dt = (time.time() - t0) / (4 * Fw)
+            bestw = dt if bestw is None else min(bestw, dt)
+        result["production_window_fps"] = round(1.0 / bestw, 2)
+    except Exception as e:  # noqa: BLE001 — secondary must not kill the bench
+        result["production_window_error"] = str(e)[:200]
 
     _phase('done')
     print(json.dumps(result))

@@ -1526,7 +1526,10 @@ class StabilizationManager:
                 out, ov = remap.remap_plane_pallas_jit(
                     img, mats, cfg, dyn, mesh, win_h=win[0], win_w=win[1],
                     win_k=win[2], tile_w=win[3], tile_h=win[4],
-                    drawing=drawing, win_r=win[5], out_dtype=out_dtype)
+                    drawing=drawing, win_r=win[5],
+                    ewa_cap=win[6] if len(win) > 6 else 4,
+                    ewa_cap_y=win[7] if len(win) > 7 else 4,
+                    out_dtype=out_dtype)
                 if defer_overflow:
                     # pipelined contract (renderer/bench): NO device sync
                     # here — the caller checks info["overflow"] when the
@@ -1547,10 +1550,23 @@ class StabilizationManager:
                     out = None
             if win is None:
                 for cand in ladder_for(cfg):
-                    out, ov = remap.remap_plane_pallas_jit(
-                        img, mats, cfg, dyn, mesh, win_h=cand[0], win_w=cand[1],
-                        win_k=cand[2], tile_w=cand[3], tile_h=cand[4],
-                        drawing=drawing, win_r=cand[5], out_dtype=out_dtype)
+                    try:
+                        out, ov = remap.remap_plane_pallas_jit(
+                            img, mats, cfg, dyn, mesh, win_h=cand[0], win_w=cand[1],
+                            win_k=cand[2], tile_w=cand[3], tile_h=cand[4],
+                            drawing=drawing, win_r=cand[5],
+                            ewa_cap=cand[6] if len(cand) > 6 else 4,
+                            ewa_cap_y=cand[7] if len(cand) > 7 else 4,
+                            out_dtype=out_dtype)
+                    except Exception as e:  # noqa: BLE001 — a rung that fails
+                        # to COMPILE (e.g. Mosaic scoped-vmem OOM on some
+                        # geometry/cap combinations) walks the ladder like an
+                        # overflow instead of killing the render
+                        log.warning("sampler window %s failed to compile: %s",
+                                    cand, str(e).split("\n")[0][:160])
+                        self.stats["window_compile_fails"] = \
+                            self.stats.get("window_compile_fails", 0) + 1
+                        continue
                     if not bool(ov):
                         self._win_cache[wkey] = cand
                         break

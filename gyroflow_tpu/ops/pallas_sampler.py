@@ -38,7 +38,6 @@ from .interpolation import INTER_BITS, INTER_TAB_SIZE, INTERP_INFO
 
 LANE = 128
 SUBLANE = 8
-EWA_CAP = 4   # matches ops/remap.py EWA_CAP (static elliptical tap radius)
 
 
 class SamplerSpec(NamedTuple):
@@ -65,11 +64,31 @@ class SamplerSpec(NamedTuple):
                            # compare form (build_onehot8_mod; 13.1 -> 9.7
                            # ms/frame 4K Y on v5e, bit-exact), 0 = blocked
                            # two-select form (kept for A/B probes)
+    ewa_cap: int = 4       # EWA X stencil radius: taps_x = 2*cap + 2. The
+                           # reference bbox is 2*max(|jac row|, 1)
+                           # (cpu_undistort.rs:272-277) — dynamic, unbounded.
+                           # Here the radius is STATIC per compiled kernel;
+                           # the caller computes the needed radius (min of
+                           # bbox and dr<=4 ellipse support) from the jac map
+                           # in XLA and escalates through the window ladder
+                           # when it exceeds the rung's cap. The X radius is
+                           # ~2 for almost all real content (the tap LOOP
+                           # iterates over x taps: 10 -> 6-8 iterations); the
+                           # Y radius spikes to ~5-9 on per-row-RS content
+                           # because the reference's finite-difference
+                           # jacobian (undistort_point(pos±eps)) crosses RS
+                           # matrix-row boundaries, so Y keeps its own cap.
+    ewa_cap_y: int = 4     # EWA Y stencil radius: taps_y = 2*cap_y + 2
+                           # (typ-space rows). Cap 4 is the legacy fixed
+                           # stencil with NO escalation check (radius > 4
+                           # truncates taps in the bc2 tail — documented
+                           # deviation, STATUS.md).
 
     @classmethod
     def create(cls, height, width, out_height, out_width, interpolation,
                tile_h=8, tile_w=128, win_h=64, win_w=512, source_rect=None,
-               win_k=0, exact8=False, win_r=0, band_mode=None):
+               win_k=0, exact8=False, win_r=0, band_mode=None, ewa_cap=4,
+               ewa_cap_y=None):
         # plane dims padded to the f32 tile grid so aligned window origins can
         # reach every edge; src_rect keeps the true extent (padding reads bg).
         # win_k < win_w enables the ROLLED mode: the DMA window stays
@@ -103,7 +122,8 @@ class SamplerSpec(NamedTuple):
                 band_mode = 1
         return cls(pheight, pwidth, out_height, out_width, interpolation,
                    tile_h, tile_w, win_h, win_w, rect, win_k, exact8, win_r,
-                   band_mode)
+                   band_mode, int(ewa_cap),
+                   int(ewa_cap if ewa_cap_y is None else ewa_cap_y))
 
     @property
     def kw(self) -> int:
@@ -117,14 +137,28 @@ class SamplerSpec(NamedTuple):
 
     @property
     def taps(self) -> int:
-        if self.interpolation > 8:          # EWA: fixed ±EWA_CAP window
-            return 2 * EWA_CAP + 2
+        """X-axis taps (EWA: ±ewa_cap stencil; separable: interp taps)."""
+        if self.interpolation > 8:
+            return 2 * self.ewa_cap + 2
+        return INTERP_INFO[self.interpolation]["taps"]
+
+    @property
+    def taps_y(self) -> int:
+        """Y-axis taps (EWA: ±ewa_cap_y stencil; separable: == taps)."""
+        if self.interpolation > 8:
+            return 2 * self.ewa_cap_y + 2
         return INTERP_INFO[self.interpolation]["taps"]
 
     @property
     def offset(self) -> float:
         if self.interpolation > 8:
-            return float(EWA_CAP)
+            return float(self.ewa_cap)
+        return INTERP_INFO[self.interpolation]["offset"]
+
+    @property
+    def offset_y(self) -> float:
+        if self.interpolation > 8:
+            return float(self.ewa_cap_y)
         return INTERP_INFO[self.interpolation]["offset"]
 
     @property
@@ -589,6 +623,7 @@ def plan_windows(spec: SamplerSpec, u, v, valid):
     TH, TW = spec.tile_h, spec.tile_w
     ny, nx = spec.grid
     taps = spec.taps
+    taps_y = spec.taps_y
 
     def tilewise(arr, fill):
         a = jnp.where(valid, arr, fill)
@@ -607,9 +642,10 @@ def plan_windows(spec: SamplerSpec, u, v, valid):
     vmax = jnp.where(any_valid, vmax, 0.0)
 
     off = spec.offset
+    off_y = spec.offset_y          # EWA: per-axis stencil radii
     xf = (jnp.floor(umin - off).astype(jnp.int32) - 1) & ~(SUBLANE - 1)
     x0 = xf & ~(LANE - 1)
-    yf = jnp.floor(vmin - off).astype(jnp.int32) - 1
+    yf = jnp.floor(vmin - off_y).astype(jnp.int32) - 1
     y0 = yf & ~(SUBLANE - 1)
     x0 = jnp.clip(x0, 0, max(spec.width - spec.win_w, 0))
     y0 = jnp.clip(y0, 0, max(spec.height - spec.win_h, 0))
@@ -627,9 +663,9 @@ def plan_windows(spec: SamplerSpec, u, v, valid):
     # the farthest in-rect tap each tile needs
     srx, sry, srw, srh = spec.src_rect
     xlast = jnp.minimum(jnp.floor(umax - off).astype(jnp.int32) + taps, srx + srw - 1)
-    ylast = jnp.minimum(jnp.floor(vmax - off).astype(jnp.int32) + taps, sry + srh - 1)
+    ylast = jnp.minimum(jnp.floor(vmax - off_y).astype(jnp.int32) + taps_y, sry + srh - 1)
     xfirst = jnp.maximum(jnp.floor(umin - off).astype(jnp.int32), srx)
-    yfirst = jnp.maximum(jnp.floor(vmin - off).astype(jnp.int32), sry)
+    yfirst = jnp.maximum(jnp.floor(vmin - off_y).astype(jnp.int32), sry)
     overflow = (((xlast - xband >= spec.kw) | (xlast - x0 >= spec.win_w) |
                  (ylast - yband >= spec.kh) | (ylast - y0 >= spec.win_h)) &
                 (xlast >= xfirst) & (ylast >= yfirst) & any_valid)
@@ -703,7 +739,8 @@ def _ewa_kernel(spec: SamplerSpec,
     Sr, Sc = spec.win_h, spec.win_w
     Kh, Kw = spec.kh, spec.kw
     nchan = win_ref.shape[0]
-    taps = 2 * EWA_CAP + 2
+    taps = spec.taps               # X taps = 2*spec.ewa_cap + 2 (the loop)
+    taps_y = spec.taps_y           # Y taps = 2*spec.ewa_cap_y + 2 (typ rows)
     P = spec.tile_h * spec.tile_w
     srx, sry, srw, srh = spec.src_rect
 
@@ -770,8 +807,8 @@ def _ewa_kernel(spec: SamplerSpec,
         qr = (qw[0] + qw[2] * dr) + x * (qw[1] + qw[3] * dr)
         return jnp.where(dr < 1.0, pr, jnp.where(dr < 4.0, qr, 0.0))
 
-    base_x = jnp.floor(u).astype(jnp.int32) - EWA_CAP    # absolute tap-0 col
-    base_y = jnp.floor(v).astype(jnp.int32) - EWA_CAP
+    base_x = jnp.floor(u).astype(jnp.int32) - spec.ewa_cap   # absolute tap-0 col
+    base_y = jnp.floor(v).astype(jnp.int32) - spec.ewa_cap_y
     bx_rel = base_x - x0 - xoff           # tap-0 col inside the rolled band
     # The shared one-hot must FIRE even when tap 0 falls outside the band
     # (plan_windows clips window origins to the plane, so base_x can be
@@ -796,8 +833,8 @@ def _ewa_kernel(spec: SamplerSpec,
     #  * band space (Kh, P): rows = window band row. Aligned with colmix —
     #    used for the pixel accumulation weights (in-rect taps only, which
     #    plan_windows guarantees are in-band for valid, non-overflowed tiles).
-    ty10 = jax.lax.broadcasted_iota(jnp.int32, (taps, P), 0)
-    in_y10 = base_y + ty10                               # absolute, (taps, P)
+    ty10 = jax.lax.broadcasted_iota(jnp.int32, (taps_y, P), 0)
+    in_y10 = base_y + ty10                             # absolute, (taps_y, P)
     fy10 = in_y10.astype(jnp.float32) - v
     fy10_z = fy10 * fy10 * abc_z                         # shared across taps
     y_bb10 = (in_y10 >= by0) & (in_y10 <= by1)
@@ -808,7 +845,7 @@ def _ewa_kernel(spec: SamplerSpec,
     fyb = in_yb.astype(jnp.float32) - v
     fyb_z = fyb * fyb * abc_z                            # shared across taps
     typb = in_yb - base_y
-    band_ok = ((typb >= 0) & (typb < taps) &             # inside the stencil
+    band_ok = ((typb >= 0) & (typb < taps_y) &           # inside the stencil
                (in_yb >= by0) & (in_yb <= by1) &         # inside the bbox
                (in_yb >= sry) & (in_yb < sry + srh))     # inside the rect
 
@@ -858,8 +895,8 @@ def _ewa_kernel(spec: SamplerSpec,
         colmix = both[:m] + both[m:]
 
     acc = [jnp.zeros((Kh, P), jnp.float32) for _ in range(nchan)]
-    ksum_all = jnp.zeros((taps, P), jnp.float32)
-    ksum_rect = jnp.zeros((taps, P), jnp.float32)
+    ksum_all = jnp.zeros((taps_y, P), jnp.float32)
+    ksum_rect = jnp.zeros((taps_y, P), jnp.float32)
     xband = x0 + xoff                     # absolute source col of band col 0
     for txp in range(taps):
         # typ space: normalization sums over the full stencil ∩ bbox,
@@ -983,9 +1020,11 @@ def plan_windows_t(spec: SamplerSpec, u_t, v_t, valid_t):
 
     off = spec.offset
     taps = spec.taps
+    off_y = spec.offset_y          # EWA: per-axis stencil radii
+    taps_y = spec.taps_y
     xf = (jnp.floor(umin - off).astype(jnp.int32) - 1) & ~(SUBLANE - 1)
     x0 = xf & ~(LANE - 1)
-    yf = jnp.floor(vmin - off).astype(jnp.int32) - 1
+    yf = jnp.floor(vmin - off_y).astype(jnp.int32) - 1
     y0 = yf & ~(SUBLANE - 1)
     x0 = jnp.clip(x0, 0, max(spec.width - spec.win_w, 0))
     y0 = jnp.clip(y0, 0, max(spec.height - spec.win_h, 0))
@@ -1002,9 +1041,9 @@ def plan_windows_t(spec: SamplerSpec, u_t, v_t, valid_t):
 
     srx, sry, srw, srh = spec.src_rect
     xlast = jnp.minimum(jnp.floor(umax - off).astype(jnp.int32) + taps, srx + srw - 1)
-    ylast = jnp.minimum(jnp.floor(vmax - off).astype(jnp.int32) + taps, sry + srh - 1)
+    ylast = jnp.minimum(jnp.floor(vmax - off_y).astype(jnp.int32) + taps_y, sry + srh - 1)
     xfirst = jnp.maximum(jnp.floor(umin - off).astype(jnp.int32), srx)
-    yfirst = jnp.maximum(jnp.floor(vmin - off).astype(jnp.int32), sry)
+    yfirst = jnp.maximum(jnp.floor(vmin - off_y).astype(jnp.int32), sry)
     overflow = (((xlast - xband >= spec.kw) | (xlast - x0 >= spec.win_w) |
                  (ylast - yband >= spec.kh) | (ylast - y0 >= spec.win_h)) &
                 (xlast >= xfirst) & (ylast >= yfirst) & any_valid)

@@ -646,7 +646,7 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
                        drawing=None, out_rows: int = None, oy0=0,
                        tile_h: int = 8, tile_w: int = 128, win_k: int = 0,
                        win_r: int = 0, fused: bool = False,
-                       win_m: int = 0):
+                       win_m: int = 0, ewa_cap: int = 4, ewa_cap_y: int = 4):
     """Drop-in replacement for remap_plane using the Pallas sampling kernels.
 
     Returns (output, overflow) — overflow True means some tile's source bbox
@@ -685,7 +685,7 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         height=img.shape[0], width=img.shape[1], out_height=oh_local, out_width=ow,
         interpolation=cfg.interpolation, tile_h=tile_h, tile_w=tile_w,
         win_h=win_h, win_w=win_w, source_rect=cfg.src_rect, win_k=win_k,
-        exact8=exact8, win_r=win_r)
+        exact8=exact8, win_r=win_r, ewa_cap=ewa_cap, ewa_cap_y=ewa_cap_y)
     P = spec.tile_h * spec.tile_w
     ox, oy, pad_ok = ps.tiled_grid(spec)            # (ntiles, P)
     oy = oy + jnp.asarray(oy0, jnp.float32)         # absolute output row
@@ -791,6 +791,84 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         dy = jnp.where(_vy[..., None], uv_y, 0.0) - uv
         jac = jnp.stack([dx[..., 0] / eps, dy[..., 0] / eps,
                          dx[..., 1] / eps, dy[..., 1] / eps], axis=-1)
+        # Cap-escalation check for sub-maximal ewa_cap rungs. A cap-c kernel
+        # is EXACT iff every truncated tap is either outside the reference
+        # bbox (cpu_undistort.rs:272-277 — the reference skips those too) or
+        # has zero weight (bc2 zeroes dr >= 4, so taps beyond the clamped
+        # ellipse's dr<=4 support never contribute). The needed radius is
+        # therefore min(bbox radius, ellipse support extent); when any valid
+        # pixel needs more than the rung's cap, the overflow flag escalates
+        # the window ladder to the next (bigger-cap) rung. The TOP cap (4)
+        # keeps the legacy fixed-stencil semantics with no check — strong
+        # minification tails (fisheye periphery reaches bbox radius ~10)
+        # would otherwise exhaust every rung into the XLA fallback; beyond
+        # radius 4 the truncated taps sit in the bc2 tail where weights are
+        # small (documented deviation, STATUS.md).
+        if ewa_cap < 4 or ewa_cap_y < 4:
+            jjx, jjy = jac[..., 0], jac[..., 1]
+            jjz, jjw = jac[..., 2], jac[..., 3]
+            cap_x = jnp.float32(ewa_cap)
+            cap_y = jnp.float32(ewa_cap_y)
+            tx_m = 2.0 * jnp.maximum(jnp.maximum(jnp.abs(jjx + jjy),
+                                                 jnp.abs(jjx - jjy)), 1.0)
+            ty_m = 2.0 * jnp.maximum(jnp.maximum(jnp.abs(jjz + jjw),
+                                                 jnp.abs(jjz - jjw)), 1.0)
+            # mirror the kernel's clamped_ellipse abc (same f32 elementwise
+            # ops on the same jac values) to get the dr<=4 support extents:
+            # for dr = A fx^2 + B fx fy + C fy^2, max |fx| on dr=4 is
+            # 2*sqrt(C/det), det = A*C - B^2/4
+            f0 = jnp.abs(jjx * jjw - jjy * jjz)
+            fq = jnp.maximum(f0 * f0, 0.1)
+            a_e = (jjz * jjz + jjw * jjw) / fq
+            b_e = -2.0 * (jjx * jjz + jjy * jjw) / fq
+            c_e = (jjx * jjx + jjy * jjy) / fq
+            vx_e = c_e - a_e
+            vy_e = -b_e
+            lv = jnp.sqrt(vx_e * vx_e + vy_e * vy_e)
+            v0_e = jnp.where(lv > 0.01, vx_e / jnp.where(lv == 0, 1.0, lv), 1.0)
+            cc = jnp.sqrt(jnp.maximum(1.0 + v0_e, 0.0) / 2.0)
+            s_ = jnp.sqrt(jnp.maximum(1.0 - v0_e, 0.0) / 2.0)
+            a0 = a_e * cc * cc - b_e * cc * s_ + c_e * s_ * s_
+            c0 = a_e * s_ * s_ + b_e * cc * s_ + c_e * cc * cc
+            bt1 = b_e * (cc * cc - s_ * s_)
+            bt2 = 2.0 * (a_e - c_e) * cc * s_
+            b0 = bt1 + bt2
+            b0v2 = bt1 - bt2
+            flip = jnp.abs(b0) > jnp.abs(b0v2)
+            s_ = jnp.where(flip, -s_, s_)
+            b0 = jnp.where(flip, b0v2, b0)
+            a0 = jnp.minimum(a0, 1.0)
+            c0 = jnp.minimum(c0, 1.0)
+            sn = -s_
+            abc_x = a0 * cc * cc - b0 * cc * sn + c0 * sn * sn
+            abc_z = a0 * sn * sn + b0 * cc * sn + c0 * cc * cc
+            abc_y = (2.0 * a0 * cc * sn + b0 * cc * cc - b0 * sn * sn
+                     - 2.0 * c0 * cc * sn)
+            det = abc_x * abc_z - 0.25 * abc_y * abc_y
+            good = det > 1e-9
+            # support epsilon: the kernel clamps a0/c0 to <= 1, which puts
+            # the support at >= 2 + O(b^2) even for pure magnification — a
+            # strict check would never accept cap 2. Shrinking the support
+            # branch by eps accepts taps whose dr >= 4 - 4*eps, i.e. weight
+            # <= |q'(2)|*eps ~ 0.25% of one tap (bc2 hits zero at dr=4) —
+            # far below the golden tolerances. The bbox branch stays exact
+            # (a bbox-included tap can carry full weight).
+            eps_s = 0.005
+            sx_m = jnp.where(
+                good, 2.0 * jnp.sqrt(jnp.maximum(abc_z, 0.0)
+                                     / jnp.maximum(det, 1e-9)), 1e9) - eps_s
+            sy_m = jnp.where(
+                good, 2.0 * jnp.sqrt(jnp.maximum(abc_x, 0.0)
+                                     / jnp.maximum(det, 1e-9)), 1e9) - eps_s
+            need_x = jnp.minimum(tx_m, sx_m)
+            need_y = jnp.minimum(ty_m, sy_m)
+            bad = jnp.zeros_like(valid)
+            if ewa_cap < 4:
+                bad = bad | (need_x > cap_x)
+            if ewa_cap_y < 4:
+                bad = bad | (need_y > cap_y)
+            capflow = (bad & valid).any()
+            coords_overflow = coords_overflow | capflow
 
     imgs = jnp.moveaxis(img, -1, 0)
 
@@ -922,15 +1000,18 @@ def _remap_colorrange_t(px, is_y: bool, max_pixel_value):
 @functools.partial(jax.jit, static_argnames=("cfg", "win_h", "win_w", "out_rows",
                                              "tile_h", "tile_w", "win_k",
                                              "win_r", "fused", "win_m",
+                                             "ewa_cap", "ewa_cap_y",
                                              "out_dtype"))
 def remap_plane_pallas_jit(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
                            mesh=None, win_h: int = 64, win_w: int = 512,
                            drawing=None, out_rows: int = None, oy0=0,
                            tile_h: int = 8, tile_w: int = 128, win_k: int = 0,
                            win_r: int = 0, fused: bool = False,
-                           win_m: int = 0, out_dtype: str = "f32"):
+                           win_m: int = 0, ewa_cap: int = 4,
+                           ewa_cap_y: int = 4, out_dtype: str = "f32"):
     out, ov = remap_plane_pallas(img, matrices, cfg, dyn, mesh, win_h, win_w,
                                  drawing=drawing, out_rows=out_rows, oy0=oy0,
                                  tile_h=tile_h, tile_w=tile_w, win_k=win_k,
-                                 win_r=win_r, fused=fused, win_m=win_m)
+                                 win_r=win_r, fused=fused, win_m=win_m,
+                                 ewa_cap=ewa_cap, ewa_cap_y=ewa_cap_y)
     return _cast_out(out, out_dtype, dyn), ov

@@ -146,20 +146,21 @@ def make_window_step(mesh: Mesh, cfg: KernelConfig, f_local: int,
     rows_local = oh // sp
     win_h, win_w, win_k, tile_w, tile_h = win[:5]
     win_r = win[5] if len(win) > 5 else 0
+    ewa_cap = win[6] if len(win) > 6 else 4
+    ewa_cap_y = win[7] if len(win) > 7 else 4
 
     def _local(imgs_l, mats_l, dyns_l, mesh_l):
         oy0 = jax.lax.axis_index("sp") * rows_local
-        outs, ovs = [], []
-        for i in range(f_local):
-            dyn_i = jax.tree.map(lambda x: x[i], dyns_l)
-            mesh_i = mesh_l[i] if mesh_l is not None else None
+
+        def _one(img_i, mats_i, dyn_i, mesh_i):
             if use_pallas:
                 out, ov = remap.remap_plane_pallas(
-                    imgs_l[i], mats_l[i], cfg, dyn_i, mesh=mesh_i,
+                    img_i, mats_i, cfg, dyn_i, mesh=mesh_i,
                     win_h=win_h, win_w=win_w, win_k=win_k, tile_w=tile_w,
-                    tile_h=tile_h, win_r=win_r, out_rows=rows_local, oy0=oy0)
+                    tile_h=tile_h, win_r=win_r, ewa_cap=ewa_cap,
+                    ewa_cap_y=ewa_cap_y, out_rows=rows_local, oy0=oy0)
             else:
-                full = remap.remap_plane(imgs_l[i], mats_l[i], cfg, dyn_i,
+                full = remap.remap_plane(img_i, mats_i, cfg, dyn_i,
                                          mesh=mesh_i)
                 out = jax.lax.dynamic_slice_in_dim(full, oy0, rows_local, axis=0)
                 ov = jnp.asarray(False)
@@ -168,9 +169,25 @@ def make_window_step(mesh: Mesh, cfg: KernelConfig, f_local: int,
             elif out_dtype == jnp.uint16:
                 out = jnp.clip(jnp.rint(out), 0,
                                dyn_i.max_pixel_value).astype(jnp.uint16)
-            outs.append(out)
-            ovs.append(ov)
-        return jnp.stack(outs), jnp.stack(ovs).reshape(f_local, 1)
+            return out, ov
+
+        # lax.scan over the local frames, not a Python unroll: the scanned
+        # program's per-frame device span measures BELOW the per-frame
+        # dispatch wall (8.16 vs 9.0 ms at the 4K bench geometry — probes
+        # 22/26), it amortizes the per-program launch RPC, and the body
+        # compiles once instead of f_local times
+        def _body(_, xs):
+            img_i, mats_i, dyn_i, mesh_i = xs
+            return None, _one(img_i, mats_i, dyn_i, mesh_i)
+
+        if f_local == 1:
+            dyn0 = jax.tree.map(lambda x: x[0], dyns_l)
+            mesh0 = mesh_l[0] if mesh_l is not None else None
+            out, ov = _one(imgs_l[0], mats_l[0], dyn0, mesh0)
+            return out[None], jnp.asarray(ov).reshape(1, 1)
+        _, (outs, ovs) = jax.lax.scan(
+            _body, None, (imgs_l, mats_l, dyns_l, mesh_l))
+        return outs, ovs.reshape(f_local, 1)
 
     img_spec = P("dp", None, None, None)
     mat_spec = P("dp", None, None)
@@ -224,11 +241,29 @@ WINDOW_LADDER = ((24, 256, 128, 96, 16, 16), (32, 256, 128, 96, 16, 24),
 # EWA prefers 8-row tiles: its per-tap weights evaluate over the WHOLE row
 # band (Kh, P) — not a bit-select tree — so the band height is the dominant
 # VPU cost and halving the per-tile v-spread (th8 vs th16) buys a tighter
-# win_r rung (measured 11.4 vs 12.7 ms 1080p interp-11 on v5e)
-EWA_WINDOW_LADDER = ((24, 256, 128, 96, 8, 16), (32, 256, 128, 96, 8, 24),
-                     (40, 256, 128, 96, 8, 32), (48, 384, 128, 96, 8, 40),
-                     (48, 384, 0, 128, 8, 0), (72, 512, 0, 128, 8, 64),
-                     (104, 768, 0, 128, 8, 96))
+# win_r rung (measured 11.4 vs 12.7 ms 1080p interp-11 on v5e).
+# 7th/8th elements: ewa_cap_x, ewa_cap_y (per-axis stencil radii;
+# taps = 2*cap+2). The kernel's tap LOOP runs over X taps, and the needed
+# X radius — min(reference bbox, dr<=4 ellipse support) — is ~2 for almost
+# all real content (measured: 2.00 mild lens, 2.13 max on the bench
+# fisheye), so the cap_x=2/3 rungs run 6/8 loop iterations instead of the
+# legacy 10. The Y radius spikes to ~5-9 on per-row-RS content (the
+# reference's finite-difference jacobian crosses RS matrix-row
+# boundaries), so Y escalates separately; cap 4 rungs are the legacy
+# fixed stencil with NO check (radius > 4 truncates bc2-tail taps —
+# documented deviation, STATUS.md). The exact jac-derived check in
+# remap_plane_pallas escalates through the ladder
+# (cpu_undistort.rs:272-277 dynamic bbox, ladder-quantized).
+EWA_WINDOW_LADDER = ((24, 256, 128, 96, 8, 16, 2, 2),
+                     (32, 256, 128, 96, 8, 24, 2, 2),
+                     (32, 256, 128, 96, 8, 24, 2, 4),
+                     (32, 256, 128, 96, 8, 24, 3, 4),
+                     (40, 256, 128, 96, 8, 32, 3, 4),
+                     (40, 256, 128, 96, 8, 32, 4, 4),
+                     (48, 384, 128, 96, 8, 40, 4, 4),
+                     (48, 384, 0, 128, 8, 0, 4, 4),
+                     (72, 512, 0, 128, 8, 64, 4, 4),
+                     (104, 768, 0, 128, 8, 96, 4, 4))
 
 
 def ladder_for(cfg: KernelConfig):
@@ -265,9 +300,17 @@ def stabilize_window_production(mesh: Mesh, imgs, matrices, cfg: KernelConfig,
         w for w in ladder_for(cfg) if w != cached)
     if use_pallas:
         for win in ladder:
-            step = make_window_step(mesh, cfg, f_local, win, True, with_mesh,
-                                    out_dtype)
-            out, ov = step(imgs, matrices, dyns, mesh_data)
+            try:
+                step = make_window_step(mesh, cfg, f_local, win, True,
+                                        with_mesh, out_dtype)
+                out, ov = step(imgs, matrices, dyns, mesh_data)
+            except Exception:  # noqa: BLE001 — a rung that fails to compile
+                # (Mosaic scoped-vmem OOM on some geometry/cap combinations)
+                # walks the ladder like an overflow
+                if stats is not None:
+                    stats["window_compile_fails"] = \
+                        stats.get("window_compile_fails", 0) + 1
+                continue
             if not bool(jnp.any(ov)):
                 if win_cache is not None:
                     if cached is not None and win != cached and stats is not None:

@@ -314,3 +314,50 @@ class TestEWAPallas:
         want = oracle.undistort_image(img, p2, matrices)
         diff = np.abs(np.asarray(pal) - want)
         assert np.percentile(diff, 99) < 2.0, np.percentile(diff, 99)
+
+    def test_dynamic_cap_parity_and_escalation(self):
+        """ewa_cap rungs (parallel.pipeline.EWA_WINDOW_LADDER[...,-1]):
+        a cap that covers the jac-derived reference bbox computes the same
+        tap set as the old fixed cap 4 — outputs agree to f32 reassociation
+        (the nonzero taps sit at different offsets inside the reduction
+        trees, so sums regroup; measured <= 1e-3 of a code) — and a cap
+        that truncates the bbox must raise the overflow flag so the
+        manager's ladder escalates (cpu_undistort.rs:272-277 dynamic-bbox
+        semantics, ladder-quantized)."""
+        img = make_image()
+        from gyroflow_tpu.ops.remap import ewa_coeffs
+        pq, qq = ewa_coeffs(11)
+
+        # mild geometry: |jac| <= 1 -> bbox radius exactly 2 -> cap 2 covers
+        cfg, dyn, p, matrices = make_pair(fov=0.9)
+        cfg = cfg._replace(interpolation=11)
+        dyn = dyn._replace(ewa_coeffs_p=jnp.asarray(pq, jnp.float32),
+                           ewa_coeffs_q=jnp.asarray(qq, jnp.float32))
+        ref4, ov4 = remap.remap_plane_pallas(
+            jnp.asarray(img), jnp.asarray(matrices), cfg, dyn,
+            win_h=64, win_w=512, ewa_cap=4)
+        got2, ov2 = remap.remap_plane_pallas(
+            jnp.asarray(img), jnp.asarray(matrices), cfg, dyn,
+            win_h=64, win_w=512, ewa_cap=2)
+        # asymmetric rung (the per-row-RS shape: short X loop, legacy Y)
+        gota, ova = remap.remap_plane_pallas(
+            jnp.asarray(img), jnp.asarray(matrices), cfg, dyn,
+            win_h=64, win_w=512, ewa_cap=2, ewa_cap_y=4)
+        assert not bool(ov4) and not bool(ov2) and not bool(ova)
+        r4 = np.asarray(ref4)
+        for got in (got2, gota):
+            g = np.asarray(got)
+            assert np.isfinite(r4).all() and np.isfinite(g).all()
+            d = np.abs(r4 - g)
+            assert d.max() <= 1e-2, d.max()
+
+        # strong minification: fov >> 1 widens the source-per-output jac
+        # beyond radius 2 -> the cap-2 kernel MUST flag overflow
+        cfg_m, dyn_m, _, mats_m = make_pair(fov=2.5)
+        cfg_m = cfg_m._replace(interpolation=11)
+        dyn_m = dyn_m._replace(ewa_coeffs_p=jnp.asarray(pq, jnp.float32),
+                               ewa_coeffs_q=jnp.asarray(qq, jnp.float32))
+        _, ov_small = remap.remap_plane_pallas(
+            jnp.asarray(img), jnp.asarray(mats_m), cfg_m, dyn_m,
+            win_h=64, win_w=512, ewa_cap=2)
+        assert bool(ov_small), "cap-2 must overflow on a radius>2 bbox"
