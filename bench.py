@@ -284,7 +284,19 @@ def main():
 
         _phase("production path: warm-up")
         res = prod_frame(0)     # warm-up: ladder probe + compiles
-        jax.block_until_ready(res[1])
+
+        def drain(arr):
+            # jax.block_until_ready on remote-device (axon tunnel) arrays
+            # returns WITHOUT waiting (r5 finding: a 16-frame production rep
+            # "completed" in 3.5 ms while ~150 ms of device work was still
+            # queued — rounds 1-4 production numbers measured issue +
+            # backpressure artifacts, not throughput). Dispatching a tiny
+            # reduction AFTER the loop and float()ing it provably drains:
+            # the device queue is in-order, so its result transfer waits
+            # for every earlier program.
+            return float(jnp.sum(arr[:8, :8].astype(jnp.float32)))
+
+        drain(res[1])
         bestp = None
         for _ in range(3):
             # every rep pays the REAL per-frame host work: FrameTransform
@@ -297,7 +309,7 @@ def main():
             for i in range(NB):
                 oy, ouv, fy, fuv = prod_frame(i)
                 flags += [fy, fuv]
-            jax.block_until_ready(ouv)
+            drain(ouv)
             dt = (time.time() - t0) / NB
             bestp = dt if bestp is None else min(bestp, dt)
             if any(f is not None and bool(f) for f in flags):

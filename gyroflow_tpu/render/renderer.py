@@ -534,14 +534,17 @@ def render(mgr, input_path: str, output_path: str,
     n_dev = len(jax.devices())
     window = options.frame_window
     if window == 0:
-        window = n_dev if n_dev > 1 else 1
+        # auto: windows on multi-device (dp sharding) AND on a single device
+        # (the scan-window step runs F frames as ONE program — measured
+        # 110 vs ~50 fps through the production path at 4K on v5e: the
+        # per-frame path pays ~2 program launches + a matrix upload of
+        # pipeline bubbles per frame). frame_window=1 opts out (low-latency
+        # preview-style rendering).
+        window = n_dev if n_dev > 1 else 8
     device_mesh = None
-    # auto mode windows only with >1 device; an EXPLICIT frame_window also
-    # batches on a single device (F frames per dispatch amortize the
-    # per-call launch/dispatch overhead, ~1.2 ms/frame through the tunnel)
     show_dbg = bool(getattr(mgr.params, "show_detected_features", False)
                     or getattr(mgr.params, "show_optical_flow", False))
-    if window > 1 and (n_dev > 1 or options.frame_window > 1) \
+    if window > 1 \
             and kind == "planar" and not show_dbg \
             and options.overlay is None and options.safe_area is None:
         from ..parallel.pipeline import make_frame_mesh
