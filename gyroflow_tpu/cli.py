@@ -285,9 +285,11 @@ def _run_single(args) -> int:
             from .render.renderer import apply_output_settings
             apply_output_settings(opts, mgr.render_output_settings)
         if args.out_params:
-            for k, v in json.loads(args.out_params).items():
-                if hasattr(opts, k):
-                    setattr(opts, k, v)
+            # route through the same mapper as project "output" settings so
+            # reference value spellings work ("EWA: Robidoux", "H.265/HEVC");
+            # a raw setattr would smuggle the STRING into cfg.interpolation
+            from .render.renderer import apply_output_settings
+            apply_output_settings(opts, json.loads(args.out_params))
         stats = render(mgr, video, output, opts, progress_cb=progress)
         print(f"rendered {stats['frames']} frames -> {output} [{stats['backend']}]")
         if args.trace and "trace" in stats:

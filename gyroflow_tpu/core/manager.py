@@ -1321,6 +1321,16 @@ class StabilizationManager:
         dyn = ft.kernel_dyn._replace(
             max_pixel_value=np.float32(max_pixel_value),
             pixel_value_limit=np.float32(max_pixel_value))
+        if interpolation > 8:
+            # EWA cubic-family coefficients (stabilization/mod.rs:24-48):
+            # FrameTransform builds dynamics interpolation-agnostically, so
+            # attach them here — zero coeffs would zero every tap weight and
+            # silently render pure background (caught by end-to-end verify,
+            # round 5)
+            from ..ops.remap import ewa_coeffs
+            ewp, ewq = ewa_coeffs(interpolation)
+            dyn = dyn._replace(ewa_coeffs_p=np.asarray(ewp, np.float32),
+                               ewa_coeffs_q=np.asarray(ewq, np.float32))
         if background_override is not None:
             bgv = np.zeros(4, np.float32)
             bgo = np.asarray(background_override, np.float32).reshape(-1)

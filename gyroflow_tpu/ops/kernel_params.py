@@ -58,6 +58,18 @@ class KernelConfig(NamedTuple):
     # source_rect/output_rect map between the two (the reference's
     # HAS_SOURCE_RECT/HAS_OUTPUT_RECT mechanism, stabilization/mod.rs:230-231)
     out_size: Optional[Tuple[int, int]] = None
+    # EWA jacobian mode. False (default): the ±eps finite-difference evals
+    # reuse the base eval's rolling-shutter matrix row, yielding the true
+    # within-row local derivative. True: literal reference semantics
+    # (cpu_undistort.rs:566-571) where each eval re-probes its own RS row —
+    # at ~1% of pixels the re-probed rint(source_y) crosses a row boundary
+    # and the row-to-row matrix delta is amplified by 1/eps = 100x, spiking
+    # the ellipse radius to 5-12 px (measured, experiments/perf_probe30.py).
+    # Those spiked pixels are ALREADY truncated at radius 4 by the top
+    # ladder rung (documented deviation, STATUS.md); the same-row mode
+    # renders them with the artifact-free local ellipse instead and lets
+    # real content run the cap-2 rungs (4K EWA 51 -> ~30 ms/frame).
+    ewa_ref_jac: bool = False
 
     @property
     def src_rect(self) -> Tuple[int, int, int, int]:

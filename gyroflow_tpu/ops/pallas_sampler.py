@@ -800,12 +800,19 @@ def _ewa_kernel(spec: SamplerSpec,
 
     def bc2(dr):
         # piecewise cubic in x = sqrt(dr), Estrin on (x², x): the x² terms
-        # are just dr, so only ONE sqrt and two fused mul-add chains run on
-        # the big (Kh, P)/(taps, P) stacks
+        # are just dr, so only ONE sqrt and ONE fused mul-add chain run on
+        # the big (Kh, P)/(taps, P) stacks. Selecting the p/q COEFFICIENTS
+        # first (4 selects) then evaluating one chain is bit-identical to
+        # evaluating both chains and selecting the result, and drops ~4 VPU
+        # ops per element (r5: 4K EWA step -1.3 ms/frame).
         x = jnp.sqrt(dr)
-        pr = (pw[0] + pw[2] * dr) + x * (pw[1] + pw[3] * dr)
-        qr = (qw[0] + qw[2] * dr) + x * (qw[1] + qw[3] * dr)
-        return jnp.where(dr < 1.0, pr, jnp.where(dr < 4.0, qr, 0.0))
+        lo = dr < 1.0
+        c0 = jnp.where(lo, pw[0], qw[0])
+        c1 = jnp.where(lo, pw[1], qw[1])
+        c2 = jnp.where(lo, pw[2], qw[2])
+        c3 = jnp.where(lo, pw[3], qw[3])
+        r = (c0 + c2 * dr) + x * (c1 + c3 * dr)
+        return jnp.where(dr < 4.0, r, 0.0)
 
     base_x = jnp.floor(u).astype(jnp.int32) - spec.ewa_cap   # absolute tap-0 col
     base_y = jnp.floor(v).astype(jnp.int32) - spec.ewa_cap_y

@@ -185,10 +185,15 @@ def _rotated_frame_size(cfg: KernelConfig) -> Tuple[float, float]:
 
 
 def coords_pre(out_pos, matrices, cfg: KernelConfig, dyn: KernelDynamics,
-               out_c, out_f, mesh=None):
+               out_c, out_f, mesh=None, rs_idx=None):
     """Stages of undistort_coord BEFORE the per-pixel matrix projection:
     output-rect map, translation2d, lens-correction blend, RS row select.
-    Returns (x, y, idx)."""
+    Returns (x, y, idx).
+
+    `rs_idx` overrides the rolling-shutter row select (the probe projection
+    is skipped entirely): the EWA same-row jacobian mode evaluates the ±eps
+    finite differences with the BASE pixel's matrix row (KernelConfig.
+    ewa_ref_jac docstring)."""
     model = dm.get_model(cfg.distortion_model)
     digital = dm.get_model(cfg.digital_lens) if cfg.digital_lens else None
     lp = _lens_params(cfg, dyn)
@@ -225,6 +230,8 @@ def coords_pre(out_pos, matrices, cfg: KernelConfig, dyn: KernelDynamics,
 
     # ---- rolling shutter row select (cpu_undistort.rs:463-482) ----
     matrix_count = matrices.shape[0]
+    if rs_idx is not None:
+        return x, y, rs_idx, None
     horizontal_rs = cfg.has(HORIZONTAL_RS)
     lim = cfg.width if horizontal_rs else cfg.height
     axis = x if horizontal_rs else y
@@ -285,13 +292,15 @@ def coords_post(u, v, valid, cfg: KernelConfig):
 
 
 def undistort_coord(out_pos, matrices, cfg: KernelConfig, dyn: KernelDynamics,
-                    out_c, out_f, mesh=None):
+                    out_c, out_f, mesh=None, rs_idx=None):
     """Output pixel -> source uv, before background-mode / sampling.
 
     Mirrors undistort_coord (cpu_undistort.rs:421-517). Returns (uv, valid);
-    where invalid the caller paints background.
+    where invalid the caller paints background. `rs_idx` overrides the RS
+    row select (EWA same-row jacobian mode, see coords_pre).
     """
-    x, y, idx, _probe = coords_pre(out_pos, matrices, cfg, dyn, out_c, out_f, mesh=mesh)
+    x, y, idx, _probe = coords_pre(out_pos, matrices, cfg, dyn, out_c, out_f,
+                                   mesh=mesh, rs_idx=rs_idx)
     uv, valid = rotate_and_distort(jnp.stack([x, y], axis=-1), idx, matrices, cfg, dyn,
                                    mesh=mesh)
     return coords_post(uv[..., 0], uv[..., 1], valid, cfg)
@@ -535,10 +544,19 @@ def remap_plane(img, matrices, cfg: KernelConfig, dyn: KernelDynamics, mesh=None
     if cfg.interpolation > 8:
         # finite-difference Jacobian, eps=0.01 (cpu_undistort.rs:566-571)
         eps = 0.01
+        rs_idx = None
+        if not cfg.ewa_ref_jac and matrices.shape[0] > 1:
+            # same-row mode (default): the ±eps evals reuse the base pixel's
+            # RS matrix row — the true within-row derivative, no 1/eps
+            # row-crossing amplification (KernelConfig.ewa_ref_jac docstring)
+            _, _, rs_idx, _ = coords_pre(out_pos, matrices, cfg, dyn,
+                                         out_c, out_f, mesh=mesh)
         uv_x, _vx = undistort_coord(out_pos + jnp.asarray([eps, 0.0], jnp.float32),
-                                    matrices, cfg, dyn, out_c, out_f, mesh=mesh)
+                                    matrices, cfg, dyn, out_c, out_f, mesh=mesh,
+                                    rs_idx=rs_idx)
         uv_y, _vy = undistort_coord(out_pos + jnp.asarray([0.0, eps], jnp.float32),
-                                    matrices, cfg, dyn, out_c, out_f, mesh=mesh)
+                                    matrices, cfg, dyn, out_c, out_f, mesh=mesh,
+                                    rs_idx=rs_idx)
         dx = jnp.where(_vx[..., None], uv_x, 0.0) - uv
         dy = jnp.where(_vy[..., None], uv_y, 0.0) - uv
         jac = jnp.stack([dx[..., 0] / eps, dy[..., 0] / eps,
@@ -751,7 +769,38 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
         u_, v_ = coords_post_uv(u_, v_, cfg)
         return u_, v_, valid_t > 0.5, ov
 
-    if use_coords_kernel:
+    eps = 0.01
+    if use_coords_kernel and is_ewa:
+        # EWA RS path: the base eval and BOTH finite-difference evals ride
+        # ONE projection-kernel call (tile-axis stacked). The kernel is
+        # per-call latency-bound (~1.9 ms io floor per launch at 4K —
+        # probe 15), so stacking amortizes two of the three launches
+        # (measured 3x3.1 -> ~1x5.5 ms at 4K, perf_probe29/31). In the
+        # default same-row jacobian mode the ±eps evals also skip their own
+        # RS probe projections (they reuse idx0 — see ewa_ref_jac).
+        from . import pallas_coords as pc
+        wm = win_m or (64 if win_k else 256)
+        x0, y0, idx0, _probe0 = coords_pre(out_pos, matrices, cfg, dyn,
+                                           out_c, out_f)
+        rs_idx = None if cfg.ewa_ref_jac else idx0
+        x1, y1, idx1, _ = coords_pre(
+            out_pos + jnp.asarray([eps, 0.0], jnp.float32), matrices, cfg,
+            dyn, out_c, out_f, rs_idx=rs_idx)
+        x2, y2, idx2, _ = coords_pre(
+            out_pos + jnp.asarray([0.0, eps], jnp.float32), matrices, cfg,
+            dyn, out_c, out_f, rs_idx=rs_idx)
+        xs = jnp.concatenate([x0, x1, x2], axis=0)
+        ys = jnp.concatenate([y0, y1, y2], axis=0)
+        ids = jnp.concatenate([idx0, idx1, idx2], axis=0)
+        u3, v3, valid3, coords_overflow = pc.project_tiles(
+            cfg, dyn, matrices, xs, ys, ids, win_m=wm)
+        u3, v3 = coords_post_uv(u3, v3, cfg)
+        vt3 = valid3 > 0.5
+        nt = x0.shape[0]
+        u, xu, yu = u3[:nt], u3[nt:2 * nt], u3[2 * nt:]
+        v, xv, yv = v3[:nt], v3[nt:2 * nt], v3[2 * nt:]
+        valid, _vx, _vy = vt3[:nt], vt3[nt:2 * nt], vt3[2 * nt:]
+    elif use_coords_kernel:
         # RS path: XLA coords_pre + projection kernel + sampler kernel.
         # Negative results (measured on v5e, don't retry): (a) a fully fused
         # projection+sampling mega-kernel is 2.4x SLOWER; (b) moving the RS
@@ -772,21 +821,24 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
     jac = None
     if is_ewa:
         # finite-difference Jacobian, eps=0.01 (cpu_undistort.rs:566-571);
-        # each eval re-runs the full chain incl. its own RS row select,
-        # matching the reference's undistort_point(pos +- eps)
-        eps = 0.01
+        # ewa_ref_jac=True re-runs the full chain incl. each eval's own RS
+        # row select (literal reference); the default same-row mode reuses
+        # the base row (KernelConfig.ewa_ref_jac docstring)
         uv = jnp.stack([u, v], axis=-1)
         if use_coords_kernel:
-            xu, xv, _vx, ovx = _kernel_coords((eps, 0.0))
-            yu, yv, _vy, ovy = _kernel_coords((0.0, eps))
             uv_x = jnp.stack([xu, xv], axis=-1)
             uv_y = jnp.stack([yu, yv], axis=-1)
-            coords_overflow = coords_overflow | ovx | ovy
         else:
+            rs_idx = None
+            if not cfg.ewa_ref_jac and matrices.shape[0] > 1:
+                _, _, rs_idx, _ = coords_pre(out_pos, matrices, cfg, dyn,
+                                             out_c, out_f, mesh=mesh)
             uv_x, _vx = undistort_coord(out_pos + jnp.asarray([eps, 0.0], jnp.float32),
-                                        matrices, cfg, dyn, out_c, out_f, mesh=mesh)
+                                        matrices, cfg, dyn, out_c, out_f, mesh=mesh,
+                                        rs_idx=rs_idx)
             uv_y, _vy = undistort_coord(out_pos + jnp.asarray([0.0, eps], jnp.float32),
-                                        matrices, cfg, dyn, out_c, out_f, mesh=mesh)
+                                        matrices, cfg, dyn, out_c, out_f, mesh=mesh,
+                                        rs_idx=rs_idx)
         dx = jnp.where(_vx[..., None], uv_x, 0.0) - uv
         dy = jnp.where(_vy[..., None], uv_y, 0.0) - uv
         jac = jnp.stack([dx[..., 0] / eps, dy[..., 0] / eps,
@@ -813,6 +865,12 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
                                                  jnp.abs(jjx - jjy)), 1.0)
             ty_m = 2.0 * jnp.maximum(jnp.maximum(jnp.abs(jjz + jjw),
                                                  jnp.abs(jjz - jjw)), 1.0)
+            # the kernel's affine_bbox, same f32 elementwise ops
+            fu, fv = jnp.floor(u), jnp.floor(v)
+            bbx0 = jnp.floor(u - tx_m)
+            bbx1 = jnp.ceil(u + tx_m)
+            bby0 = jnp.floor(v - ty_m)
+            bby1 = jnp.ceil(v + ty_m)
             # mirror the kernel's clamped_ellipse abc (same f32 elementwise
             # ops on the same jac values) to get the dr<=4 support extents:
             # for dr = A fx^2 + B fx fy + C fy^2, max |fx| on dr=4 is
@@ -860,13 +918,39 @@ def remap_plane_pallas(img, matrices, cfg: KernelConfig, dyn: KernelDynamics,
             sy_m = jnp.where(
                 good, 2.0 * jnp.sqrt(jnp.maximum(abc_x, 0.0)
                                      / jnp.maximum(det, 1e-9)), 1e9) - eps_s
-            need_x = jnp.minimum(tx_m, sx_m)
-            need_y = jnp.minimum(ty_m, sy_m)
+            # Integer-exact per-side check: a cap-c rung is wrong for a
+            # pixel iff some TRUNCATED tap (stencil covers integer offsets
+            # -c..c+1 around floor(u/v)) is BOTH inside the reference bbox
+            # AND inside the dr<=4 ellipse support (|fx| < extent). The
+            # first truncated tap's |fx| is c+1+frac (left, offset -(c+1))
+            # or c+2-frac (right, offset c+2); farther taps only grow |fx|,
+            # and the bbox is an interval containing the stencil, so the
+            # first truncated tap is the binding one per side. This replaces
+            # the earlier conservative min(bbox, support) > cap float check
+            # (which over-escalated by up to one full tap and kept real
+            # content off the cap-2 rungs).
             bad = jnp.zeros_like(valid)
-            if ewa_cap < 4:
-                bad = bad | (need_x > cap_x)
-            if ewa_cap_y < 4:
-                bad = bad | (need_y > cap_y)
+            if cfg.background_mode == 3:
+                # feather mode samples at REMAPPED coords (two sample_all
+                # calls below), so the frac/bbox refinement wouldn't align
+                # with the kernel's bbox — keep the conservative float form
+                if ewa_cap < 4:
+                    bad = bad | (jnp.minimum(tx_m, sx_m) > cap_x)
+                if ewa_cap_y < 4:
+                    bad = bad | (jnp.minimum(ty_m, sy_m) > cap_y)
+            else:
+                if ewa_cap < 4:
+                    frac_u = u - fu
+                    bad = bad | ((fu - bbx0 > cap_x) &
+                                 (cap_x + 1.0 + frac_u < sx_m))
+                    bad = bad | ((bbx1 - fu - 1.0 > cap_x) &
+                                 (cap_x + 2.0 - frac_u < sx_m))
+                if ewa_cap_y < 4:
+                    frac_v = v - fv
+                    bad = bad | ((fv - bby0 > cap_y) &
+                                 (cap_y + 1.0 + frac_v < sy_m))
+                    bad = bad | ((bby1 - fv - 1.0 > cap_y) &
+                                 (cap_y + 2.0 - frac_v < sy_m))
             capflow = (bad & valid).any()
             coords_overflow = coords_overflow | capflow
 

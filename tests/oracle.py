@@ -232,8 +232,11 @@ def rotate_point(pos, angle, origin, origin2):
             math.sin(angle) * (pos[0] - origin[0]) + math.cos(angle) * (pos[1] - origin[1]) + origin2[1])
 
 
-def undistort_coord(x, y, p, matrices, out_c, out_f, mesh=None):
-    """cpu_undistort.rs:421-517."""
+def undistort_coord(x, y, p, matrices, out_c, out_f, mesh=None, rs_idx=None,
+                    return_idx=False):
+    """cpu_undistort.rs:421-517. `rs_idx` overrides the RS row select (the
+    production kernels' default same-row EWA jacobian mode — see
+    KernelConfig.ewa_ref_jac); `return_idx` appends the selected row."""
     orx, ory, orw, orh = p["output_rect"]
     x = map_coord(x, orx, orx + orw, 0.0, p["output_width"])
     y = map_coord(y, ory, ory + orh, 0.0, p["output_height"])
@@ -269,24 +272,27 @@ def undistort_coord(x, y, p, matrices, out_c, out_f, mesh=None):
         x = nx * (1.0 - a) + x * a
         y = ny * (1.0 - a) + y * a
 
-    horizontal = (p["flags"] & 16) != 0
-    if horizontal:
-        sy = min(max(int(round(x)), 0), p["width"])
-    else:
-        sy = min(max(int(round(y)), 0), p["height"])
     matrix_count = len(matrices)
-    if matrix_count > 1:
-        idx = matrix_count // 2
-        pt = rotate_and_distort((x, y), idx, p, matrices, mesh)
-        if pt is not None:
-            if horizontal:
-                sy = min(max(int(round(pt[0])), 0), p["width"])
-            else:
-                sy = min(max(int(round(pt[1])), 0), p["height"])
-    idx = min(sy, matrix_count - 1)
+    if rs_idx is not None:
+        idx = rs_idx
+    else:
+        horizontal = (p["flags"] & 16) != 0
+        if horizontal:
+            sy = min(max(int(round(x)), 0), p["width"])
+        else:
+            sy = min(max(int(round(y)), 0), p["height"])
+        if matrix_count > 1:
+            idx = matrix_count // 2
+            pt = rotate_and_distort((x, y), idx, p, matrices, mesh)
+            if pt is not None:
+                if horizontal:
+                    sy = min(max(int(round(pt[0])), 0), p["width"])
+                else:
+                    sy = min(max(int(round(pt[1])), 0), p["height"])
+        idx = min(sy, matrix_count - 1)
     uv = rotate_and_distort((x, y), idx, p, matrices, mesh)
     if uv is None:
-        return None
+        return (None, idx) if return_idx else None
     u, v = uv
 
     frame_w, frame_h = float(p["width"]), float(p["height"])
@@ -311,7 +317,7 @@ def undistort_coord(x, y, p, matrices, out_c, out_f, mesh=None):
         srx, sry, srw, srh = p["source_rect"]
         u = map_coord(u, 0.0, frame_w, srx, srx + srw)
         v = map_coord(v, 0.0, frame_h, sry, sry + srh)
-    return (u, v)
+    return ((u, v), idx) if return_idx else (u, v)
 
 
 def _ewa_bc2(x, p):
@@ -455,14 +461,20 @@ def undistort_image(img, p, matrices, mesh=None):
             if fill_bg:
                 out[y, x] = bg
                 continue
-            uv = undistort_coord(float(x), float(y), p, matrices, out_c, out_f, mesh)
+            uv, base_idx = undistort_coord(float(x), float(y), p, matrices,
+                                           out_c, out_f, mesh, return_idx=True)
             if uv is not None:
                 u, v = uv
                 jac = (1.0, 0.0, 0.0, 1.0)
                 if p["interpolation"] > 8:
+                    # ewa_ref_jac=True: literal cpu_undistort.rs:566-571
+                    # (each eval re-probes its own RS row). Default False:
+                    # same-row jacobian, matching the production kernels
+                    # (KernelConfig.ewa_ref_jac docstring).
                     eps = 0.01
-                    xyx = undistort_coord(float(x) + eps, float(y), p, matrices, out_c, out_f, mesh) or (0.0, 0.0)
-                    xyy = undistort_coord(float(x), float(y) + eps, p, matrices, out_c, out_f, mesh) or (0.0, 0.0)
+                    ri = None if p.get("ewa_ref_jac", False) else base_idx
+                    xyx = undistort_coord(float(x) + eps, float(y), p, matrices, out_c, out_f, mesh, rs_idx=ri) or (0.0, 0.0)
+                    xyy = undistort_coord(float(x), float(y) + eps, p, matrices, out_c, out_f, mesh, rs_idx=ri) or (0.0, 0.0)
                     jac = ((xyx[0] - u) / eps, (xyy[0] - u) / eps,
                            (xyx[1] - v) / eps, (xyy[1] - v) / eps)
                 if p["background_mode"] == 3:

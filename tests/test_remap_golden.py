@@ -315,6 +315,54 @@ class TestEWAPallas:
         diff = np.abs(np.asarray(pal) - want)
         assert np.percentile(diff, 99) < 2.0, np.percentile(diff, 99)
 
+    def test_rs_jacobian_modes_golden(self):
+        """Per-row-RS (multi-matrix) EWA vs the oracle in BOTH jacobian
+        modes. Default (same-row): the ±eps finite-difference evals reuse
+        the base pixel's RS matrix row — the true within-row derivative;
+        max need stays ~2 so a tight full-image tolerance holds.
+        ewa_ref_jac=True: literal cpu_undistort.rs:566-571 (each eval
+        re-probes its own row); at ~1% of pixels the re-probed rint crosses
+        a row boundary and the 1/eps-amplified jacobian spikes the reference
+        bbox past the kernels' radius-4 stencil (documented truncation,
+        STATUS.md), so that comparison uses a p99 tolerance."""
+        img = make_image()
+        rotations = [(0.02 + 0.002 * i, -0.03 + 0.0015 * i, 0.01 - 0.001 * i)
+                     for i in range(H)]
+        cfg, dyn, p, matrices = make_pair(rotations=rotations)
+        from gyroflow_tpu.ops.remap import ewa_coeffs
+        pq, qq = ewa_coeffs(11)
+        dyn = dyn._replace(ewa_coeffs_p=jnp.asarray(pq, jnp.float32),
+                           ewa_coeffs_q=jnp.asarray(qq, jnp.float32))
+        p.update(interpolation=11, ewa_coeffs_p=list(pq),
+                 ewa_coeffs_q=list(qq))
+
+        cfg_s = cfg._replace(interpolation=11)
+        pal, ov = remap.remap_plane_pallas(
+            jnp.asarray(img), jnp.asarray(matrices), cfg_s, dyn,
+            win_h=64, win_w=512)
+        assert not bool(ov)
+        want = oracle.undistort_image(img, p, matrices)
+        d = np.abs(np.asarray(pal) - want)
+        assert d.max() < 1.5, d.max()
+
+        cfg_r = cfg_s._replace(ewa_ref_jac=True)
+        p_r = dict(p)
+        p_r["ewa_ref_jac"] = True
+        pal_r, ov_r = remap.remap_plane_pallas(
+            jnp.asarray(img), jnp.asarray(matrices), cfg_r, dyn,
+            win_h=64, win_w=512)
+        assert not bool(ov_r)
+        want_r = oracle.undistort_image(img, p_r, matrices)
+        d_r = np.abs(np.asarray(pal_r) - want_r)
+        assert np.percentile(d_r, 99) < 2.0, np.percentile(d_r, 99)
+        # the XLA fallback path must implement the same mode switch
+        xla_r = np.asarray(remap.remap_plane_jit(
+            jnp.asarray(img), jnp.asarray(matrices), cfg_r, dyn))
+        xla_s = np.asarray(remap.remap_plane_jit(
+            jnp.asarray(img), jnp.asarray(matrices), cfg_s, dyn))
+        assert np.abs(xla_s - np.asarray(pal)).max() < 1.0
+        assert np.abs(xla_r - np.asarray(pal_r)).max() < 1.0
+
     def test_dynamic_cap_parity_and_escalation(self):
         """ewa_cap rungs (parallel.pipeline.EWA_WINDOW_LADDER[...,-1]):
         a cap that covers the jac-derived reference bbox computes the same
